@@ -1,0 +1,130 @@
+"""Taxamatch-style phonetic keys (SURVEY.md §2.2 F5/F6).
+
+A faithful re-implementation of the reference's sound-ex layer
+(`TaxonNameSoundEx.treatWord`, ala-name-matching-model/src/main/java/au/org/
+ala/names/util/TaxonNameSoundEx.java:82-159): leading-digraph rewrites, a
+quarantined first letter, ordered soundalike folds (AE/IA/OE/OI/SC, vowel
+classes E/O/U/Y -> I/A/I/I, K->C, Z->C, drop H), repeat squeezing, and the
+species-suffix fold IS/IM/AS -> A. This is the error-class model our fuzzy
+blocking tier (J4) relies on: case changes, vowel-class swaps, K<->C, Z<->S,
+dropped H, doubled letters all collapse to the same key.
+
+Implementation note: the replacement cascade is order-sensitive
+(TaxonNameSoundEx.java:130-145) -- ports must apply the rules sequentially,
+which we do, and property-test against hand-derived goldens.
+
+Exposed three ways:
+  * `treat_word(word, word_type)`       -- pure python (unit-testable)
+  * `treat_word_udf` / `phonetic_key_udf` -- Arrow-vectorized pandas UDFs
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Effective TaxonNameSoundEx.normalize (see normalize.py fidelity note):
+_TAG_RE = re.compile(r"<.+?>")
+_NON_ALPHA_RE = re.compile(r"[^a-zA-Z .]")
+_ACC = str.maketrans(
+    "ÁÉÍÓÚÀÈÌÒÙÂÊÎÔÛÄËÏÖÜÃÑÕÅÇØ",
+    "AEIOUAEIOUAEIOUAEIOUANOACO",
+)
+
+# Leading-digraph rewrites, applied to at most one prefix
+# (TaxonNameSoundEx.java:88-125). Order matters only in that they are
+# mutually exclusive if/else-if -- longest listed prefix first is not needed
+# because all sources are 2 chars (plus 1-char X).
+_LEADING = [
+    ("AE", "E"), ("CN", "N"), ("CT", "T"), ("CZ", "C"), ("DJ", "J"),
+    ("EA", "E"), ("EU", "U"), ("GN", "N"), ("KN", "N"), ("MC", "MAC"),
+    ("MN", "N"), ("OE", "E"), ("QU", "Q"), ("PS", "S"), ("PT", "T"),
+    ("TS", "S"), ("WR", "R"), ("X", "Z"),
+]
+
+# Ordered soundalike folds applied to the tail (first letter quarantined)
+# (TaxonNameSoundEx.java:130-143). Sequential, order-sensitive.
+_FOLDS = [
+    ("AE", "I"), ("IA", "A"), ("OE", "I"), ("OI", "A"), ("SC", "S"),
+    ("E", "I"), ("O", "A"), ("U", "I"), ("Y", "I"), ("K", "C"),
+    ("Z", "C"), ("H", ""),
+]
+
+_SQUEEZE_RE = re.compile(r"(\w)\1+")
+
+
+def soundex_normalize(s: str | None) -> str | None:
+    """Effective `TaxonNameSoundEx.normalize` (TaxonNameSoundEx.java:45-79)."""
+    if s is None:
+        return None
+    out = s.upper()
+    out = out.replace(" &AMP; ", " & ")
+    out = _TAG_RE.sub("", out)
+    out = out.translate(_ACC)
+    out = out.replace("Æ", "AE")
+    out = _NON_ALPHA_RE.sub("", out)
+    out = out.strip()
+    return out or None
+
+
+def treat_word(word: str | None, word_type: str = "normal") -> str | None:
+    """F5 -- the Taxamatch phonetic key (TaxonNameSoundEx.java:82-159)."""
+    temp = soundex_normalize(word)
+    if not temp:
+        return temp
+    for src, dst in _LEADING:
+        if temp.startswith(src):
+            temp = dst + temp[len(src):]
+            break
+    head, tail = temp[0], temp[1:]
+    for src, dst in _FOLDS:
+        tail = tail.replace(src, dst)
+    temp = head + tail
+    temp = _SQUEEZE_RE.sub(r"\1", temp)
+    if word_type == "species":
+        if temp.endswith(("IS", "IM", "AS")):
+            temp = temp[:-2] + "A"
+    return temp
+
+
+def phonetic_key(text: str | None, max_tokens: int = 4) -> str | None:
+    """Compound phonetic blocking key for a transcript turn.
+
+    The reference blocks fuzzy candidates on the compound
+    (genus_ex, specific_ex, infra_ex) -- treatWord of the first, second and
+    third name tokens, with a "<null>" sentinel for absent parts
+    (ALANameSearcher.java:1080-1093, ALANameIndexer.java:953-977). For free
+    text we take treatWord of the first `max_tokens` alphabetic tokens,
+    joined with "|", with the same "<null>" padding sentinel -- identical
+    join-key semantics, generalized token count.
+    """
+    norm = soundex_normalize(text)
+    if not norm:
+        return None
+    tokens = [t for t in norm.replace(".", " ").split() if t]
+    if not tokens:
+        return None
+    parts = [
+        treat_word(t, "species" if i > 0 else "normal")
+        for i, t in enumerate(tokens[:max_tokens])
+    ]
+    while len(parts) < max_tokens:
+        parts.append("<null>")  # sentinel per ALANameSearcher.java:1087
+    return "|".join(p if p else "<null>" for p in parts)
+
+
+# --- Arrow-vectorized wrappers ----------------------------------------------
+
+def _treat_word_series(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: treat_word(x, "normal"), na_action="ignore")
+
+
+def _phonetic_key_series(s: pd.Series) -> pd.Series:
+    return s.map(phonetic_key, na_action="ignore")
+
+
+treat_word_udf = F.pandas_udf(_treat_word_series, T.StringType())
+phonetic_key_udf = F.pandas_udf(_phonetic_key_series, T.StringType())

@@ -1,0 +1,209 @@
+"""Blocking: derived keys, multi-tier block table, salting + size capping.
+
+Re-expresses the reference's candidate-retrieval ladder (SURVEY.md §2.3):
+the tiered exact -> canonical -> phonetic Lucene searches
+(ALANameSearcher.searchForRecords, ala-name-matching-search/src/main/java/au/
+org/ala/names/search/ALANameSearcher.java:979-1106, tiers J1/J2/J4) become
+block-key columns of decreasing specificity. For clustering we union the
+tiers' candidate pairs (the reference's "first non-empty tier wins" applies
+to its point-query mode, implemented in operators/ladder.py for search mode).
+
+Skew handling (north_rule): the reference never faces hot keys (Lucene
+doesn't care); at 10^12 turns a hot block would quadratically explode the
+pair join. We (a) compute block sizes with one aggregation on the key table
+only, (b) split blocks larger than `block_cap` into ceil(size/cap) salted
+sub-blocks via a deterministic hash of the record id, and (c) record
+dropped-pair fractions in the metrics table. AQE skew-join remains on as a
+backstop (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ala_name_matching_spark.functions.normalize import (
+    canon_key_col,
+    canon_text_col,
+    norm_text_col,
+)
+from ala_name_matching_spark.functions.phonetic import phonetic_key_udf
+
+# Tier ids, by decreasing specificity (J1 exact, J2 canonical, J4 phonetic).
+TIER_EXACT = 1
+TIER_CANON = 2
+TIER_PHONETIC = 3
+
+DEFAULT_BLOCK_CAP = 200
+
+
+def with_record_id(df: DataFrame) -> DataFrame:
+    """Stable unique record id `conv_id#turn_idx`.
+
+    String, not a 64-bit hash: at 10^12 rows a 64-bit hash would collide
+    (birthday bound), and (conv_id, turn_idx) is unique by contract
+    (FIXTURES.md §1). Min-aggregation over strings is what the connected-
+    components labels use.
+    """
+    return df.withColumn(
+        "record_id",
+        F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string")),
+    )
+
+
+def with_blocking_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds norm_text / canon_text / canon_key / phonetic_key.
+
+    All but phonetic_key are JVM expressions (whole-stage codegen); the
+    phonetic key is the Arrow-vectorized Taxamatch kernel (functions/
+    phonetic.py). Mirrors the index-time derived fields build
+    (ALANameIndexer.createALAIndexDocument, ALANameIndexer.java:786-981, B3).
+    """
+    c = F.col(text_col)
+    out = (
+        df.withColumn("norm_text", norm_text_col(c))
+        .withColumn("canon_text", canon_text_col(c))
+    )
+    out = out.withColumn("canon_key", canon_key_col(c, F.col("record_id")))
+    out = out.withColumn("phonetic_key", phonetic_key_udf(F.col("canon_text")))
+    return out
+
+
+def block_table(
+    df: DataFrame,
+    tiers: tuple[int, ...] = (TIER_EXACT, TIER_CANON, TIER_PHONETIC),
+) -> DataFrame:
+    """Long-form block table: (tier, block_key, record_id).
+
+    One stack() projection -- no shuffle. Null keys (placeholders already
+    salted by canon_key_col) are dropped; the exact tier uses lower(norm_text)
+    so pure case changes collide (LowerCaseKeywordAnalyzer semantics,
+    ala-name-matching-search/.../LowerCaseKeywordAnalyzer.java:40-46).
+    """
+    # Placeholder records (canon_key salted with the record id,
+    # ALANameAnalyser.java:281-294 analog) must not block under ANY tier --
+    # their norm_text ("?", "...") would otherwise collide on the exact tier.
+    is_ph = F.col("canon_key").startswith("__ph__")
+    pieces = []
+    if TIER_EXACT in tiers:
+        pieces.append((TIER_EXACT, F.when(~is_ph, F.lower(F.col("norm_text")))))
+    if TIER_CANON in tiers:
+        pieces.append((TIER_CANON, F.when(~is_ph, F.col("canon_key"))))
+    if TIER_PHONETIC in tiers:
+        pieces.append((TIER_PHONETIC, F.when(~is_ph, F.col("phonetic_key"))))
+    exprs = []
+    for tier, key in pieces:
+        exprs.extend([F.lit(tier), key])
+    stacked = df.select(
+        F.col("record_id"),
+        F.stack(F.lit(len(pieces)), *exprs).alias("tier", "block_key"),
+    )
+    return stacked.filter(
+        F.col("block_key").isNotNull() & (F.length("block_key") > 0)
+    ).select("tier", "block_key", "record_id")
+
+
+def canon_group_edges(features: DataFrame) -> DataFrame:
+    """Linear-cost edges for the exact/canonical tiers (J1/J2) -- no self-join.
+
+    Canonical-key equality is transitive, so records sharing
+    (canon_key, role, tool) merge by definition: one groupBy emits
+    (record_id -> min record_id) edges, O(n) rows, no quadratic blowup even
+    for a block holding 5% of all rows. Grouping includes the secondary
+    context fields so the homonym gate (identical text, conflicting
+    role/tool, ALANameSearcher.java:1418-1491 analog) is preserved: exact
+    duplicates with conflicting context never share a group.
+
+    Exact-tier (lower(norm_text)) equality implies canonical equality, so the
+    canonical grouping subsumes tier J1 for clustering purposes.
+    """
+    grp = ["canon_key", "role", "_tool_c"]
+    with_tool = features.withColumn("_tool_c", F.coalesce(F.col("tool"), F.lit("<null>")))
+    reps = with_tool.groupBy(*grp).agg(F.min("record_id").alias("group_rep"))
+    return (
+        with_tool.join(reps, grp)
+        .filter(F.col("record_id") != F.col("group_rep"))
+        .select(F.col("record_id").alias("src"), F.col("group_rep").alias("dst"))
+    )
+
+
+def canon_group_representatives(features: DataFrame) -> DataFrame:
+    """One row per canonical group -- the meta-blocking input for tier J4.
+
+    All members of a canonical group share canon_text (hence phonetic_key),
+    so fuzzy pair generation over group representatives covers every
+    record-level pair via transitive closure; the fuzzy self-join size drops
+    from |block| to |distinct canonical groups in block|. This is the skew
+    killer: a hot entity with millions of exact duplicates contributes a
+    handful of representatives.
+    """
+    with_tool = features.withColumn("_tool_c", F.coalesce(F.col("tool"), F.lit("<null>")))
+    w_grp = ["canon_key", "role", "_tool_c"]
+    return (
+        with_tool.groupBy(*w_grp)
+        .agg(
+            F.min("record_id").alias("record_id"),
+            F.first("canon_text").alias("canon_text"),
+            F.first("phonetic_key").alias("phonetic_key"),
+            F.first("tool").alias("tool"),
+            F.count("*").alias("group_size"),
+        )
+        .withColumnRenamed("_tool_c", "tool_c")
+        .drop("tool_c")
+    )
+
+
+def salt_and_cap_blocks(
+    blocks: DataFrame,
+    block_cap: int = DEFAULT_BLOCK_CAP,
+) -> tuple[DataFrame, DataFrame]:
+    """Split oversized blocks into deterministic salted sub-blocks.
+
+    Returns (salted_blocks, block_stats). salted_blocks has `block_id` =
+    tier|block_key|salt; block_stats is the per-block size/salt/lost-pair
+    accounting destined for the metrics table (S5 analog,
+    DwcaNameIndexer.writeMetadata, DwcaNameIndexer.java:1052-1083).
+
+    The size aggregation shuffles only (tier, key, record_id) -- narrow
+    columns -- then broadcast-joins sizes back when the distinct-key set is
+    small, else a regular hash join; AQE decides (autoBroadcastJoinThreshold).
+    Lost pairs per split block: C(n,2) - sum_salt C(n_s,2); recall loss is
+    bounded and reported, exactly the "block-size capping" contract of the
+    north rule.
+    """
+    sizes = blocks.groupBy("tier", "block_key").agg(F.count("*").alias("block_size"))
+    sizes = sizes.withColumn(
+        "n_salts",
+        F.when(F.col("block_size") <= block_cap, F.lit(1)).otherwise(
+            F.ceil(F.col("block_size") / block_cap).cast("int")
+        ),
+    )
+    salted = (
+        blocks.join(sizes, ["tier", "block_key"])
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts") == 1, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("record_id"), F.col("n_salts")).cast("int")
+            ),
+        )
+        .withColumn(
+            "block_id",
+            F.concat_ws(
+                "|", F.col("tier").cast("string"), F.col("block_key"), F.col("salt").cast("string")
+            ),
+        )
+        .select("tier", "block_key", "block_id", "salt", "record_id", "block_size", "n_salts")
+    )
+    stats = sizes.withColumn(
+        "pairs_full", F.col("block_size") * (F.col("block_size") - 1) / 2
+    ).withColumn(
+        # expected retained pairs under even salt split
+        "pairs_retained_est",
+        F.when(F.col("n_salts") == 1, F.col("pairs_full")).otherwise(
+            (F.col("block_size") / F.col("n_salts"))
+            * (F.col("block_size") / F.col("n_salts") - 1)
+            / 2
+            * F.col("n_salts")
+        ),
+    )
+    return salted, stats

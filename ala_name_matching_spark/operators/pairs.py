@@ -1,0 +1,120 @@
+"""Candidate-pair generation + vectorized pair scoring (J4 join + A1 score).
+
+The reference retrieves candidates per query with a Lucene boolean query and
+scores them one by one (ALANameSearcher.performSearch, ALANameSearcher.java:
+1152-1271; MatchMetrics.computeMatch, MatchMetrics.java:114-166). Here the
+same computation is a block self-join followed by expression-based scoring:
+
+  1. self-join the salted block table on block_id with record_id_l <
+     record_id_r (each unordered pair once),
+  2. distinct (tier union can propose the same pair under several keys --
+     dedupe BEFORE paying for payload join + scoring),
+  3. join the two payload sides, score with pair_score_cols (only the
+     Jaro-Winkler kernel leaves the JVM, via Arrow),
+  4. hard homonym gate (V5 analog): identical-text pairs whose secondary
+     context (role/tool) conflicts are rejected with an error code rather
+     than merged (ALANameSearcher homonym path :1253-1265,1418-1491).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ala_name_matching_spark.functions.similarity import (
+    DEFAULT_MATCH_THRESHOLD,
+    pair_score_cols,
+)
+
+# Payload columns carried into scoring.
+PAYLOAD_COLS = ["record_id", "canon_text", "role", "tool"]
+
+
+def candidate_pairs(salted_blocks: DataFrame) -> DataFrame:
+    """Unordered candidate pairs from the salted block table.
+
+    Shuffle profile: one hash-partitioned self-join on block_id (bounded per
+    block by the salting cap -> no quadratic straggler), then one distinct on
+    (record_id_l, record_id_r). Both shuffles move only id/key columns.
+    """
+    left = salted_blocks.select(
+        F.col("block_id"), F.col("record_id").alias("record_id_l")
+    )
+    right = salted_blocks.select(
+        F.col("block_id"), F.col("record_id").alias("record_id_r")
+    )
+    pairs = left.join(right, "block_id").filter(
+        F.col("record_id_l") < F.col("record_id_r")
+    )
+    return pairs.select("record_id_l", "record_id_r").distinct()
+
+
+def score_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Join payloads onto the pair list and compute the A1 score vector.
+
+    `records` must carry PAYLOAD_COLS. Two hash joins on record_id (string);
+    at production scale `records` would be bucketed on record_id so both
+    sides co-locate. The score itself is one projection -- JVM expressions
+    plus the Arrow JW kernel -- no extra shuffle.
+    """
+    payload_cols = payload_cols or PAYLOAD_COLS
+    payload = records.select(*payload_cols)
+    l = payload.select([F.col(c).alias(f"{c}_l") for c in payload_cols])
+    r = payload.select([F.col(c).alias(f"{c}_r") for c in payload_cols])
+    joined = pairs.join(l, "record_id_l").join(r, "record_id_r")
+    cols = pair_score_cols(
+        F.col("canon_text_l"),
+        F.col("canon_text_r"),
+        F.col("role_l"),
+        F.col("role_r"),
+        F.col("tool_l"),
+        F.col("tool_r"),
+    )
+    out = joined
+    for name, col in cols.items():
+        out = out.withColumn(name, col)
+    # V5 analog -- homonym hard gate: same canonical text but conflicting
+    # secondary context must not merge (FIXTURES.md §1 adversarial homonyms;
+    # reference resolves homonyms via author/classification agreement and
+    # errors out otherwise, ALANameSearcher.java:1418-1491).
+    role_conflict = (
+        F.col("role_l").isNotNull()
+        & F.col("role_r").isNotNull()
+        & (F.col("role_l") != F.col("role_r"))
+    )
+    tool_conflict = (
+        F.col("tool_l").isNotNull()
+        & F.col("tool_r").isNotNull()
+        & (F.col("tool_l") != F.col("tool_r"))
+    )
+    out = out.withColumn("homonym_conflict", role_conflict | tool_conflict)
+    # V7 analog: error codes accumulate instead of aborting
+    out = out.withColumn(
+        "error_codes",
+        F.when(F.col("homonym_conflict"), F.array(F.lit("HOMONYM"))).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    return out
+
+
+def match_edges(
+    scored: DataFrame,
+    threshold: float = DEFAULT_MATCH_THRESHOLD,
+) -> DataFrame:
+    """Accepted edges for clustering: score >= threshold and no hard gate.
+
+    Threshold is the MATCH_LIMIT analog (0.5 in the reference,
+    ALANameSearcher.java:67), recalibrated for the JW+Lev+token blend.
+    """
+    return scored.filter(
+        (F.col("score") >= threshold) & ~F.col("homonym_conflict")
+    ).select(
+        F.col("record_id_l").alias("src"),
+        F.col("record_id_r").alias("dst"),
+        "score",
+    )

@@ -1,0 +1,133 @@
+"""The end-to-end ER pipeline (SURVEY.md §3.1 re-expressed Spark-first).
+
+normalize -> canonical grouping (linear, transitive tiers J1/J2) ->
+phonetic blocking over group representatives (meta-blocking, tier J4) ->
+salted/capped candidate pairs -> vectorized scoring -> accepted edges ->
+connected components over (canonical + fuzzy) edges -> clusters ->
+representative election.
+
+Scale design (the part that must survive 100 TB):
+  * Exact/canonical equality is transitive, so tiers J1/J2 are a single
+    groupBy emitting (record -> group-min) edges -- O(n), NO pairwise
+    self-join. A hot entity with millions of byte-identical turns costs one
+    aggregation, not a quadratic block.
+  * Fuzzy (phonetic) pairs are generated over canonical-group
+    REPRESENTATIVES only; transitive closure recovers record-level pairs.
+    The fuzzy self-join input shrinks from |records| to |distinct canonical
+    groups|.
+  * Remaining oversized phonetic blocks are salted + size-capped
+    (operators/blocking.salt_and_cap_blocks) with lost-pair accounting in
+    the metrics table. AQE skew-join stays on as a backstop.
+  * Each phase optionally commits a checkpoint (Iceberg-snapshot analog,
+    sources/checkpoints.py) so a restart resumes at the last completed phase
+    with per-partition lineage metrics (north_rule).
+
+Per-row invariant: the input `text` column flows through untouched -- all
+derived values live in new columns; tests assert byte-identical text under
+stable (conv_id, turn_idx) ordering (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ala_name_matching_spark.functions.similarity import DEFAULT_MATCH_THRESHOLD
+from ala_name_matching_spark.operators.blocking import (
+    DEFAULT_BLOCK_CAP,
+    TIER_PHONETIC,
+    block_table,
+    canon_group_edges,
+    canon_group_representatives,
+    salt_and_cap_blocks,
+    with_blocking_columns,
+    with_record_id,
+)
+from ala_name_matching_spark.operators.clustering import assign_clusters
+from ala_name_matching_spark.operators.pairs import (
+    candidate_pairs,
+    match_edges,
+    score_pairs,
+)
+from ala_name_matching_spark.operators.representative import elect_representatives
+from ala_name_matching_spark.sources.checkpoints import CheckpointManager
+
+
+@dataclass
+class PipelineConfig:
+    block_cap: int = DEFAULT_BLOCK_CAP
+    match_threshold: float = DEFAULT_MATCH_THRESHOLD
+    fuzzy_tiers: tuple[int, ...] = field(default=(TIER_PHONETIC,))
+
+
+def _phase(ckpt: CheckpointManager, name: str, build) -> DataFrame:
+    if ckpt.exists(name):
+        return ckpt.read(name)
+    return ckpt.materialize(name, build())
+
+
+def run_pipeline(
+    transcripts: DataFrame,
+    config: PipelineConfig | None = None,
+    checkpoints: CheckpointManager | None = None,
+) -> DataFrame:
+    """Cluster a transcript table; returns it with cluster/representative cols.
+
+    Shuffle inventory:
+      P1 features     -- narrow map, zero shuffles
+      P2 canon groups -- one groupBy(canon_key, role, tool) + one join back
+      P3 fuzzy blocks -- block-size agg + size join (AQE) over REPS only
+      P4 pairs+scores -- bounded self-join + two id joins + Arrow JW kernel
+      P5 cc           -- O(log n) rounds x 2 shuffles on node id
+      P6 clusters     -- one join + one window per cluster
+    """
+    cfg = config or PipelineConfig()
+    ckpt = checkpoints or CheckpointManager(None, "", enabled=False)
+
+    features = _phase(
+        ckpt, "p1_features", lambda: with_blocking_columns(with_record_id(transcripts))
+    )
+
+    canon_edges = _phase(ckpt, "p2_canon_edges", lambda: canon_group_edges(features))
+    reps = _phase(ckpt, "p2_canon_reps", lambda: canon_group_representatives(features))
+
+    def build_blocks():
+        blocks = block_table(reps, tiers=cfg.fuzzy_tiers)
+        salted, stats = salt_and_cap_blocks(blocks, block_cap=cfg.block_cap)
+        ckpt.materialize("p3_block_stats", stats)
+        return salted
+
+    salted = _phase(ckpt, "p3_blocks", build_blocks)
+
+    def build_edges():
+        pairs = candidate_pairs(salted)
+        scored = score_pairs(pairs, reps)
+        return match_edges(scored, threshold=cfg.match_threshold)
+
+    fuzzy_edges = _phase(ckpt, "p4_edges", build_edges)
+
+    all_edges = canon_edges.select("src", "dst").unionByName(
+        fuzzy_edges.select("src", "dst")
+    )
+    clustered = assign_clusters(features, all_edges)
+    clustered = elect_representatives(clustered)
+    clustered = ckpt.materialize("p6_clusters", clustered)
+    ckpt.write_metrics()
+    return clustered
+
+
+def cluster_summary(clustered: DataFrame) -> DataFrame:
+    """Flagship rollup: one row per cluster with size + representative text."""
+    return (
+        clustered.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("record_id").alias("first_record"),
+            F.max_by("canon_text", F.col("is_representative").cast("int")).alias(
+                "representative_text"
+            ),
+        )
+        .orderBy(F.col("cluster_size").desc(), F.col("cluster_id"))
+    )

@@ -1,0 +1,90 @@
+"""Unit tests for the Taxamatch phonetic layer (SURVEY.md §2.2 F4/F5).
+
+Goldens are hand-derived by executing the reference algorithm
+(TaxonNameSoundEx.java:82-159) on paper -- see each case's comment. The
+property tests assert the error-class invariants the fuzzy blocking tier
+relies on (FIXTURES.md §1: vowel-class swaps, K<->C, dropped H, doubled
+letters, case changes all collapse to one key).
+"""
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from ala_name_matching_spark.functions.phonetic import (
+    phonetic_key,
+    soundex_normalize,
+    treat_word,
+)
+
+
+def test_soundex_normalize_golden():
+    # TaxonNameSoundEx.java:45-79 (effective behavior)
+    assert soundex_normalize("Ab<i>c</i>d") == "ABCD"  # tags removed, content kept
+    assert soundex_normalize("Señor número 42") == "SENOR NUMERO"
+    assert soundex_normalize("a &AMP; b") == "A  B"  # & not in [a-zA-Z .]
+    assert soundex_normalize("   ") is None
+    assert soundex_normalize(None) is None
+    assert soundex_normalize("Ærø") == "AERO"  # upper first: Æ->AE, Ø->O
+
+
+def test_treat_word_goldens():
+    # hand-derived through TaxonNameSoundEx.java:82-159:
+    # BRACHYPHYLLA -> head B + RACHYPHYLLA; Y->I, H dropped -> RACIPILLA;
+    # squeeze LL -> BRACIPILA (no species suffix change)
+    assert treat_word("brachyphylla", "species") == "BRACIPILA"
+    # OCELLATUS -> O + CELLATUS; E->I, U->I -> CILLATIS; squeeze -> OCILATIS;
+    # species IS->A -> OCILATA
+    assert treat_word("ocellatus", "species") == "OCILATA"
+    # PSITTACUS: leading PS->S; U->I; squeeze TT -> SITACIS
+    assert treat_word("Psittacus") == "SITACIS"
+    # HEMIGENIA: head H kept; tail IA->A then E->I -> HIMIGINA
+    assert treat_word("hemigenia") == "HIMIGINA"
+    # first letter is quarantined: Z vs S initial stay distinct
+    assert treat_word("zebra") == "ZIBRA"
+    assert treat_word("sebra") == "SIBRA"
+    assert treat_word("zebra") != treat_word("sebra")
+    # leading digraph rewrites (TaxonNameSoundEx.java:88-125)
+    assert treat_word("Aedes") == treat_word("edes")
+    assert treat_word("Xanthium")[0] == "Z"
+    assert treat_word("McDonald").startswith("MAC")
+    assert treat_word(None) is None
+    assert treat_word("") is None  # empty normalizes to None
+    assert treat_word("   ") is None
+
+
+def test_error_class_invariants():
+    # the planted error classes of FIXTURES.md §1(c) collapse to one key
+    assert treat_word("restarted") == treat_word("raestarted")  # ae/e swap
+    assert treat_word("metric") == treat_word("metrik")  # k<->c (non-initial)
+    assert treat_word("pipeline") == treat_word("pipelinne")  # doubled letter
+    assert treat_word("shard") == treat_word("sharrd")
+    assert treat_word("ticket") == treat_word("tycket")  # y<->i
+    assert treat_word("THROTTLED") == treat_word("throttled")  # case
+    assert treat_word("hemigenia") == treat_word("hemygenia")
+
+
+def test_phonetic_key_compound():
+    k = phonetic_key("The customer restarted the pod")
+    assert k is not None and k.count("|") == 3  # 4 slots joined by |
+    # fewer than max_tokens pads with the reference's "<null>" sentinel
+    # (ALANameSearcher.java:1087)
+    assert phonetic_key("hello").endswith("|<null>|<null>|<null>")
+    assert phonetic_key("") is None
+    assert phonetic_key("?!") is None
+    # stable under the planted perturbations
+    assert phonetic_key("the customer restarted the pod") == phonetic_key(
+        "THE CUSTOMER RESTARTED THE POD"
+    )
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=40))
+def test_treat_word_total_and_idempotent_shape(s):
+    out = treat_word(s)
+    # total: never raises; output is None/empty or uppercase [A-Z .]
+    if out:
+        assert all(c.isupper() or c in " ." for c in out)
+        # no doubled letters survive squeezing except across the head boundary
+        # (the reference squeezes AFTER re-attaching the head -- verify none)
+        for a, b in zip(out, out[1:]):
+            if a.isalpha():
+                assert not (a == b)

