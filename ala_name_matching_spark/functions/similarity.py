@@ -42,8 +42,9 @@ W_TOOL = 1.0
 W_JW, W_LEV, W_TOKEN = 0.4, 0.3, 0.3
 
 # Acceptance cutoff analog of MATCH_LIMIT = 0.5 (ALANameSearcher.java:67),
-# recalibrated on the labeled fixture (tests/test_pipeline_e2e.py).
-DEFAULT_MATCH_THRESHOLD = 0.72
+# recalibrated on the labeled fixture (tools/calibrate_threshold.py: gold
+# negatives max 0.794, gold positives min 0.860 -> 0.83 splits with margin).
+DEFAULT_MATCH_THRESHOLD = 0.83
 
 
 def jaro(s1: str, s2: str) -> float:

@@ -1,0 +1,214 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Four families, all DataFrame-native (the MinHash path is 100% JVM built-ins
+so Catalyst/codegen applies; SimHash uses one Arrow-vectorized kernel):
+
+  * exact            -- hash-groupBy on normalized text (linear)
+  * MinHash + LSH    -- shingle -> K md5-min signatures -> bands ->
+                        bucket-join -> verified Jaccard
+  * SimHash          -- 64-bit fingerprint, near-dup via hamming <= r
+  * n-gram Jaccard   -- exact token-shingle Jaccard for candidate pairs
+
+These generalize the reference's duplicate-name detection (spelling-collision
+QA via per-parent soundex grouping, Taxonomy.validateSpeciesSpelling,
+Taxonomy.java:619-677; canonical-key grouping, Taxonomy.java:1294-1312) to
+free-text corpora. Scale notes per function.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ala_name_matching_spark.functions.normalize import norm_text_col
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: groups of byte-identical normalized text (size >= 2).
+
+    One hash aggregation; at 100 TB group on a 128-bit md5 of the normalized
+    text instead of the text itself to shrink shuffle width (done here).
+    Returns (text_hash, n_dups, doc_ids sorted, keep_id=min).
+    """
+    h = F.md5(F.lower(norm_text_col(F.col(text_col)))).alias("text_hash")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def token_shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string>, pure built-ins.
+
+    split -> sliding window via transform over an index sequence. Short docs
+    (< n tokens) yield their whole text as the single shingle.
+    """
+    toks = F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+    k = F.size(toks) - (n - 1)
+    window = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(window)
+
+
+def minhash_signature_cols(shingles: Column, num_hashes: int = 16) -> list[Column]:
+    """K MinHash values: min over shingles of md5(seed || shingle).
+
+    md5 hex strings compare lexicographically -- a uniform min-hash family
+    keyed by seed, reproducible in any engine with md5 (the DuckDB oracle
+    uses the identical expression). All JVM built-ins: transform + array_min.
+    """
+    def one(i: int) -> Column:
+        prefix = f"seed{i}|"
+        # NB: the lambda must take exactly one arg -- a two-arg lambda is
+        # interpreted by F.transform as (element, index)
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        ).alias(f"mh{i}")
+
+    return [one(i) for i in range(num_hashes)]
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing >= 1 band of their MinHash signature.
+
+    rows/bands tradeoff: P(candidate) = 1-(1-J^r)^b with r=num_hashes/bands.
+    Shuffle profile: one map to build signatures (no shuffle), one explode to
+    (band_key, doc) -- linear -- one self-join per band bucket. Hot buckets
+    (boilerplate text) are bounded the same way as blocking: callers should
+    cap bucket sizes for adversarial corpora; at 16/4 defaults buckets stay
+    small on natural text.
+    """
+    r = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *minhash_signature_cols(token_shingles_col(F.col(text_col), shingle_n), num_hashes),
+    )
+    band_cols = [
+        F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * r + j}") for j in range(r)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
+    )
+    left = stacked.select(F.col("band_key"), F.col("doc_id").alias("doc_id_l"))
+    right = stacked.select(F.col("band_key"), F.col("doc_id").alias("doc_id_r"))
+    return (
+        left.join(right, "band_key")
+        .filter(F.col("doc_id_l") < F.col("doc_id_r"))
+        .select("doc_id_l", "doc_id_r")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verified near-duplicates: exact token-shingle Jaccard over candidates.
+
+    Two id joins + one JVM expression (array_intersect/union); only candidate
+    pairs pay the cost -- the LSH stage bounded their number.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_shingles_col(F.col(text_col), shingle_n).alias("sh"),
+    )
+    out = (
+        candidates.join(sh.select(F.col("doc_id").alias("doc_id_l"), F.col("sh").alias("sh_l")), "doc_id_l")
+        .join(sh.select(F.col("doc_id").alias("doc_id_r"), F.col("sh").alias("sh_r")), "doc_id_r")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_l", "sh_r"))
+            / F.size(F.array_union("sh_l", "sh_r")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_l", "doc_id_r", "jaccard")
+    )
+    return out
+
+
+# --- SimHash ------------------------------------------------------------------
+
+def _simhash_series(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-vectorized kernel).
+
+    Per token a deterministic 64-bit hash (blake2b) votes +-1 per bit;
+    fingerprint = sign vector. Returned as int64 (two's complement).
+    """
+    import hashlib
+
+    def one(t):
+        if t is None:
+            return None
+        acc = [0] * 64
+        for tok in t.lower().split():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        v = 0
+        for b in range(64):
+            if acc[b] > 0:
+                v |= 1 << b
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    return texts.map(one)
+
+
+simhash_udf = F.pandas_udf(_simhash_series, T.LongType())
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dups by SimHash hamming distance <= max_hamming.
+
+    Candidate generation blocks on the top `prefix_bits` of the fingerprint
+    (documents differing only in low bits still collide; for a guaranteed
+    r-neighbor search use 4 rotated prefix tables -- the single-table variant
+    is the recall/cost tradeoff suitable for boilerplate detection). Hamming
+    check is JVM bit_count(xor).
+    """
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("fp")
+    )
+    blocked = fp.withColumn("bucket", F.shiftright("fp", 64 - prefix_bits))
+    left = blocked.select("bucket", F.col("doc_id").alias("doc_id_l"), F.col("fp").alias("fp_l"))
+    right = blocked.select("bucket", F.col("doc_id").alias("doc_id_r"), F.col("fp").alias("fp_r"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("doc_id_l") < F.col("doc_id_r"))
+        .withColumn("hamming", F.bit_count(F.col("fp_l").bitwiseXOR(F.col("fp_r"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_l", "doc_id_r", "hamming")
+    )

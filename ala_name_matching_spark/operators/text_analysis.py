@@ -1,0 +1,96 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure built-in Column expressions (JVM, whole-stage codegen -- zero
+Python in the hot path): language ID (stopword n-gram heuristic), quality
+scoring, token counting (whitespace + BPE-ish regex), and document
+fingerprinting. Each has a DuckDB-expressible oracle (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Deliberately small + deterministic; real pipelines swap in fastText et al.
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "was", "for", "with"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "mit", "für", "von"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "en", "para"],
+    "it": ["il", "la", "di", "e", "un", "una", "che", "per", "con", "del"],
+}
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols --
+# the shape GPT-style byte-pair pretokenizers use.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    toks = _tokens(text)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_PROFILES[lang]))
+    )
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def language_id_col(text: Column) -> Column:
+    """argmax language over the stopword profiles; 'und' when all zero."""
+    pairs = [
+        F.struct(lang_score_col(text, lg).alias("score"), F.lit(lg).alias("lang"))
+        for lg in sorted(LANG_PROFILES)
+    ]
+    best = F.array_max(F.array(*pairs))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def whitespace_token_count_col(text: Column) -> Column:
+    return F.size(_tokens(text))
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Count of BPE-ish pretokens via regexp_count (JVM)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite quality heuristic in [0,1].
+
+    length band + alpha ratio + stopword ratio + mean word length band --
+    the standard cheap pre-filter for web-scale corpus cleaning.
+    """
+    n_chars = F.length(text)
+    toks = _tokens(text)
+    n_toks = F.size(toks)
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(text, r"[^A-Za-z ]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = lang_score_col(text, "en")
+    mean_word = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    len_band = F.when((n_chars >= 20) & (n_chars <= 5000), F.lit(1.0)).otherwise(
+        F.lit(0.3)
+    )
+    word_band = F.when((mean_word >= 3) & (mean_word <= 12), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return F.round(
+        0.3 * len_band + 0.3 * alpha_ratio + 0.2 * F.least(stop_ratio * 4, F.lit(1.0)) + 0.2 * word_band,
+        6,
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the sorted distinct tokens.
+
+    Token-order-insensitive (catches shuffled boilerplate) -- the classic
+    "fingerprint" key of record-linkage literature; md5 keeps it oracle-
+    reproducible in DuckDB.
+    """
+    toks = F.array_sort(F.array_distinct(_tokens(text)))
+    return F.md5(F.concat_ws(" ", toks))

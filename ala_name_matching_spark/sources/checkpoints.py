@@ -92,6 +92,14 @@ class CheckpointManager:
         if not self.enabled:
             return None
         path = os.path.join(self.root, "_metrics.json")
+        existing: list[dict] = []
+        if os.path.exists(path):
+            with open(path) as fh:
+                existing = json.load(fh)
+        # a resumed run re-reads phases without re-materializing them; keep
+        # the original lineage rows and append only genuinely new phases
+        seen = {m["phase"] for m in self._metrics}
+        merged = [m for m in existing if m["phase"] not in seen] + self._metrics
         with open(path, "w") as fh:
-            json.dump(self._metrics, fh, indent=1)
+            json.dump(merged, fh, indent=1)
         return path

@@ -1,0 +1,92 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the full ER pipeline (the north-rule workload, on a
+deterministically synthesized transcript table sized to the SF) plus the
+heaviest operator families -- blocking self-join + Levenshtein scoring,
+MinHash-LSH dedup, SimHash, brute-force + LSH ANN, and the window/join/agg
+relational shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# ER bench size scales with SF: sf0.1 -> 120k turns
+ER_TURNS = int(os.environ.get("SPARK_GRAFT_ER_TURNS", "120000"))
+
+
+def main():
+    import __spark_entry__ as entry_mod
+    from ala_name_matching_spark.plans.pipeline import cluster_summary, run_pipeline
+    from ala_name_matching_spark.session import get_spark
+    from ala_name_matching_spark.sources.transcripts import synthesize_transcripts
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    # the north-rule workload: full ER pipeline over synthesized transcripts
+    transcripts = synthesize_transcripts(spark, ER_TURNS, partitions=CPUS * 2)
+
+    def er():
+        clustered = run_pipeline(transcripts.drop("entity_id"))
+        return cluster_summary(clustered).count()
+
+    timed("er_pipeline", er)
+    er_turns_per_sec = round(ER_TURNS / timings["er_pipeline"], 1)
+
+    qs = entry_mod.queries()
+    for name in [
+        "pair_scores_lev",
+        "minhash_lsh_neardups",
+        "simhash_neardups",
+        "cosine_topk",
+        "ann_lsh_topk",
+        "broadcast_lookup_join",
+        "topk_orders_per_customer",
+        "range_join",
+        "sessionization",
+        "windowed_counts",
+        "quality_score",
+        "lang_id",
+    ]:
+        fn = qs[name]
+        timed(name, lambda f=fn: f(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "er_turns": ER_TURNS,
+                "er_turns_per_sec": er_turns_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

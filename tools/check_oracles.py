@@ -1,0 +1,98 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and, where an oracle
+exists, the oracle_sql() on DuckDB over the same parquet views; compares
+row count, sorted column names, and order-insensitive values (floats rounded
+to 9 dp). Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return v
+
+
+def frame_to_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in idx], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from ala_name_matching_spark.session import get_spark
+
+    spark = get_spark("check_oracles", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols, svals = frame_to_rows(sdf.columns, [tuple(r) for r in srows])
+            if name not in oracles:
+                print(f"[rows-only] {name}: {len(svals)} rows")
+                continue
+            rel = con.sql(oracles[name])
+            dcols, dvals = frame_to_rows([d[0] for d in rel.description], rel.fetchall())
+            status = []
+            if scols != dcols:
+                status.append(f"SCHEMA spark={scols} duck={dcols}")
+            if len(svals) != len(dvals):
+                status.append(f"COUNT spark={len(svals)} duck={len(dvals)}")
+            elif scols == dcols and svals != dvals:
+                bad = [
+                    (i, a, b)
+                    for i, (a, b) in enumerate(zip(svals, dvals))
+                    if a != b
+                ][:3]
+                status.append(f"VALUES {len([1 for a,b in zip(svals,dvals) if a!=b])} diffs, first: {bad}")
+            if status:
+                failures.append(name)
+                print(f"[MISMATCH] {name}: " + " | ".join(status))
+            else:
+                print(f"[ok] {name}: {len(svals)} rows match")
+        except Exception as e:
+            failures.append(name)
+            print(f"[ERROR] {name}: {e}")
+            traceback.print_exc(limit=3)
+    print(f"\n{len(failures)} failures: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
