@@ -42,9 +42,10 @@ W_TOOL = 1.0
 W_JW, W_LEV, W_TOKEN = 0.4, 0.3, 0.3
 
 # Acceptance cutoff analog of MATCH_LIMIT = 0.5 (ALANameSearcher.java:67),
-# recalibrated on the labeled fixture (tools/calibrate_threshold.py: gold
-# negatives max 0.794, gold positives min 0.860 -> 0.83 splits with margin).
-DEFAULT_MATCH_THRESHOLD = 0.83
+# recalibrated on the labeled fixture (tools/calibrate_threshold.py, with
+# phonetic token-set scoring: gold negatives max 0.817, gold positives min
+# 0.893 -> 0.855 splits with margin on both sides).
+DEFAULT_MATCH_THRESHOLD = 0.855
 
 
 def jaro(s1: str, s2: str) -> float:
@@ -181,6 +182,14 @@ def context_sim_col(a: Column, b: Column) -> Column:
     )
 
 
+def array_jaccard_col(a: Column, b: Column) -> Column:
+    """Jaccard over two array<string> columns (pure built-ins)."""
+    ta, tb = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(F.array_union(ta, tb))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
 def pair_score_cols(
     canon_l: Column,
     canon_r: Column,
@@ -188,6 +197,8 @@ def pair_score_cols(
     role_r: Column,
     tool_l: Column,
     tool_r: Column,
+    ptoks_l: Column | None = None,
+    ptoks_r: Column | None = None,
 ) -> dict[str, Column]:
     """A1 -- the full pair-score expression set.
 
@@ -195,10 +206,19 @@ def pair_score_cols(
     (blend), role_sim, tool_sim, score (weighted mean with skipped-null
     renormalization exactly like MatchMetrics.computeMatch's weight
     accumulation, MatchMetrics.java:132-146).
+
+    When phonetic token arrays are supplied, the token-set slot is computed
+    over them instead of raw tokens, so phonetic-class misspellings (the
+    error family treatWord folds) don't depress token overlap -- matching
+    the reference's char-level SWG field scoring, which never token-
+    penalizes a misspelling (MatchMetrics.java:158-166).
     """
     jw = jaro_winkler_udf(canon_l, canon_r)
     lev = lev_similarity_col(canon_l, canon_r)
-    tok = token_set_similarity_col(canon_l, canon_r)
+    if ptoks_l is not None and ptoks_r is not None:
+        tok = array_jaccard_col(ptoks_l, ptoks_r)
+    else:
+        tok = token_set_similarity_col(canon_l, canon_r)
     text = W_JW * jw + W_LEV * lev + W_TOKEN * tok
     role = context_sim_col(role_l, role_r)
     tool = context_sim_col(tool_l, tool_r)

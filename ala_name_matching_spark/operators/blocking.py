@@ -27,7 +27,7 @@ from ala_name_matching_spark.functions.normalize import (
     canon_text_col,
     norm_text_col,
 )
-from ala_name_matching_spark.functions.phonetic import phonetic_key_udf
+from ala_name_matching_spark.functions.phonetic import phonetic_struct_udf
 
 # Tier ids, by decreasing specificity (J1 exact, J2 canonical, J4 phonetic).
 TIER_EXACT = 1
@@ -65,7 +65,13 @@ def with_blocking_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("canon_text", canon_text_col(c))
     )
     out = out.withColumn("canon_key", canon_key_col(c, F.col("record_id")))
-    out = out.withColumn("phonetic_key", phonetic_key_udf(F.col("canon_text")))
+    # single Arrow kernel producing both phonetic columns (memoized per batch)
+    out = out.withColumn("_ph", phonetic_struct_udf(F.col("canon_text")))
+    out = (
+        out.withColumn("phonetic_key", F.col("_ph.phonetic_key"))
+        .withColumn("phonetic_tokens", F.col("_ph.phonetic_tokens"))
+        .drop("_ph")
+    )
     return out
 
 
@@ -101,6 +107,22 @@ def block_table(
     return stacked.filter(
         F.col("block_key").isNotNull() & (F.length("block_key") > 0)
     ).select("tier", "block_key", "record_id")
+
+
+def canon_group_map(features: DataFrame) -> DataFrame:
+    """(record_id -> group_rep) for EVERY record, group_rep = min record_id
+    of its (canon_key, role, tool) group.
+
+    The contraction map: connected components runs on the (small) rep graph
+    only; this map extends component labels back to all records with one
+    join. One groupBy + one join back, both on narrow columns.
+    """
+    grp = ["canon_key", "role", "_tool_c"]
+    with_tool = features.withColumn(
+        "_tool_c", F.coalesce(F.col("tool"), F.lit("<null>"))
+    )
+    reps = with_tool.groupBy(*grp).agg(F.min("record_id").alias("group_rep"))
+    return with_tool.join(reps, grp).select("record_id", "group_rep")
 
 
 def canon_group_edges(features: DataFrame) -> DataFrame:
@@ -145,6 +167,7 @@ def canon_group_representatives(features: DataFrame) -> DataFrame:
             F.min("record_id").alias("record_id"),
             F.first("canon_text").alias("canon_text"),
             F.first("phonetic_key").alias("phonetic_key"),
+            F.first("phonetic_tokens").alias("phonetic_tokens"),
             F.first("tool").alias("tool"),
             F.count("*").alias("group_size"),
         )

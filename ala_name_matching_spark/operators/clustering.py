@@ -100,3 +100,29 @@ def assign_clusters(records: DataFrame, edges: DataFrame) -> DataFrame:
     return records.join(comps, "record_id", "left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col("record_id"))
     )
+
+
+def assign_clusters_contracted(
+    records: DataFrame, group_map: DataFrame, rep_edges: DataFrame
+) -> DataFrame:
+    """Cluster assignment via graph contraction.
+
+    `group_map` = (record_id -> group_rep) from the transitive canonical
+    grouping (operators/blocking.canon_group_map); `rep_edges` connect group
+    reps only (the fuzzy tier). CC runs on the contracted graph -- orders of
+    magnitude fewer nodes/edges than the record graph -- and labels extend
+    back through the map with one join. Labels are identical to running CC
+    on the full graph: group_rep is the min record of its group, and the
+    component label is the min rep = min record of the whole component.
+    """
+    comps = connected_components(rep_edges)
+    rep_label = comps.select(
+        F.col("record_id").alias("group_rep"), F.col("cluster_id")
+    )
+    mapped = group_map.join(rep_label, "group_rep", "left")
+    mapped = mapped.withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("group_rep"))
+    ).select("record_id", "cluster_id")
+    return records.join(mapped, "record_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("record_id"))
+    )

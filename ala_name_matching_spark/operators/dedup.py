@@ -96,9 +96,19 @@ def minhash_lsh_candidates(
     small on natural text.
     """
     r = num_hashes // bands
-    sig = docs.select(
+    # Compute shingles ONCE and explode, then K min-aggregates: the
+    # column-per-hash formulation re-evaluates the shingle expression K
+    # times per row (measured 109 s vs ~5 s at sf0.1); the explode+groupBy
+    # shape gets map-side partial aggregation and a single narrow shuffle.
+    exploded = docs.select(
         F.col(id_col).alias("doc_id"),
-        *minhash_signature_cols(token_shingles_col(F.col(text_col), shingle_n), num_hashes),
+        F.explode(token_shingles_col(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"seed{i}|"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     )
     band_cols = [
         F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * r + j}") for j in range(r)]).alias(
@@ -189,20 +199,32 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Near-dups by SimHash hamming distance <= max_hamming.
 
-    Candidate generation blocks on the top `prefix_bits` of the fingerprint
-    (documents differing only in low bits still collide; for a guaranteed
-    r-neighbor search use 4 rotated prefix tables -- the single-table variant
-    is the recall/cost tradeoff suitable for boilerplate detection). Hamming
-    check is JVM bit_count(xor).
+    Banded candidate generation (Charikar/Manku-style): the 64-bit
+    fingerprint is split into `n_bands` equal bit-bands; candidates are
+    pairs agreeing on >= 1 band. Pigeonhole guarantee: every pair with
+    hamming <= n_bands - 1 is found. Hamming verification is JVM
+    bit_count(xor); the explode is linear in rows x bands.
     """
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
     fp = docs.select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("fp")
     )
-    blocked = fp.withColumn("bucket", F.shiftright("fp", 64 - prefix_bits))
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                F.shiftrightunsigned("fp", b * band_bits).bitwiseAND(F.lit(mask)).cast("string"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    blocked = fp.select("doc_id", "fp", F.explode(bands).alias("bucket"))
     left = blocked.select("bucket", F.col("doc_id").alias("doc_id_l"), F.col("fp").alias("fp_l"))
     right = blocked.select("bucket", F.col("doc_id").alias("doc_id_r"), F.col("fp").alias("fp_r"))
     return (
@@ -211,4 +233,5 @@ def simhash_near_duplicates(
         .withColumn("hamming", F.bit_count(F.col("fp_l").bitwiseXOR(F.col("fp_r"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_l", "doc_id_r", "hamming")
+        .distinct()
     )

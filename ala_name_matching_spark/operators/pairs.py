@@ -27,7 +27,7 @@ from ala_name_matching_spark.functions.similarity import (
 )
 
 # Payload columns carried into scoring.
-PAYLOAD_COLS = ["record_id", "canon_text", "role", "tool"]
+PAYLOAD_COLS = ["record_id", "canon_text", "role", "tool", "phonetic_tokens"]
 
 
 def candidate_pairs(salted_blocks: DataFrame) -> DataFrame:
@@ -73,6 +73,8 @@ def score_pairs(
         F.col("role_r"),
         F.col("tool_l"),
         F.col("tool_r"),
+        F.col("phonetic_tokens_l") if "phonetic_tokens" in payload_cols else None,
+        F.col("phonetic_tokens_r") if "phonetic_tokens" in payload_cols else None,
     )
     out = joined
     for name, col in cols.items():

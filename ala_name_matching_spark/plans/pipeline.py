@@ -39,13 +39,13 @@ from ala_name_matching_spark.operators.blocking import (
     DEFAULT_BLOCK_CAP,
     TIER_PHONETIC,
     block_table,
-    canon_group_edges,
+    canon_group_map,
     canon_group_representatives,
     salt_and_cap_blocks,
     with_blocking_columns,
     with_record_id,
 )
-from ala_name_matching_spark.operators.clustering import assign_clusters
+from ala_name_matching_spark.operators.clustering import assign_clusters_contracted
 from ala_name_matching_spark.operators.pairs import (
     candidate_pairs,
     match_edges,
@@ -76,12 +76,13 @@ def run_pipeline(
     """Cluster a transcript table; returns it with cluster/representative cols.
 
     Shuffle inventory:
-      P1 features     -- narrow map, zero shuffles
+      P1 features     -- narrow map, zero shuffles (memoized Arrow kernel)
       P2 canon groups -- one groupBy(canon_key, role, tool) + one join back
       P3 fuzzy blocks -- block-size agg + size join (AQE) over REPS only
       P4 pairs+scores -- bounded self-join + two id joins + Arrow JW kernel
-      P5 cc           -- O(log n) rounds x 2 shuffles on node id
-      P6 clusters     -- one join + one window per cluster
+      P5 cc           -- O(log n) rounds x 2 shuffles, on the CONTRACTED rep
+                         graph only (canonical groups pre-merged)
+      P6 clusters     -- two label joins + one window per cluster
     """
     cfg = config or PipelineConfig()
     ckpt = checkpoints or CheckpointManager(None, "", enabled=False)
@@ -89,8 +90,11 @@ def run_pipeline(
     features = _phase(
         ckpt, "p1_features", lambda: with_blocking_columns(with_record_id(transcripts))
     )
-
-    canon_edges = _phase(ckpt, "p2_canon_edges", lambda: canon_group_edges(features))
+    # NOTE on caching: measured at 120k turns, persist()ing features is a
+    # net LOSS (102 s vs 83 s e2e) -- the phonetic_tokens arrays are heavy to
+    # cache and the memoized Arrow kernel recomputes cheaply. With
+    # checkpoints enabled the parquet read-back cuts lineage instead.
+    group_map = _phase(ckpt, "p2_group_map", lambda: canon_group_map(features))
     reps = _phase(ckpt, "p2_canon_reps", lambda: canon_group_representatives(features))
 
     def build_blocks():
@@ -108,10 +112,11 @@ def run_pipeline(
 
     fuzzy_edges = _phase(ckpt, "p4_edges", build_edges)
 
-    all_edges = canon_edges.select("src", "dst").unionByName(
-        fuzzy_edges.select("src", "dst")
+    # CC on the contracted rep graph only; canonical membership extends the
+    # labels back through group_map (identical labels, ~10x smaller CC input)
+    clustered = assign_clusters_contracted(
+        features, group_map, fuzzy_edges.select("src", "dst")
     )
-    clustered = assign_clusters(features, all_edges)
     clustered = elect_representatives(clustered)
     clustered = ckpt.materialize("p6_clusters", clustered)
     ckpt.write_metrics()

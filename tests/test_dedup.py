@@ -1,0 +1,70 @@
+"""Tests for the dedup operator family (exact, MinHash-LSH, SimHash, n-gram)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ala_name_matching_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, "The  Quick Brown fox jumps over the lazy dog near the river bank today"),  # case/space
+        (3, base.replace("river", "stream")),  # near dup (1 token)
+        (4, "completely different text about spark shuffle partitions and joins here"),
+        (5, "another unrelated document mentioning customers invoices and payments due"),
+        (6, base.replace("quick", "quik").replace("lazy", "lasy")),  # near dup (2 tokens)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    # 0, 1 and 2 collapse after lower+space normalization
+    assert g["n_dups"] == 3 and g["keep_id"] == 0 and g["doc_ids"] == [0, 1, 2]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cands = {
+        (r["doc_id_l"], r["doc_id_r"])
+        for r in minhash_lsh_candidates(docs, num_hashes=16, bands=8).collect()
+    }
+    # near-dups of the base doc must surface as candidates
+    assert (0, 3) in cands
+    assert (0, 1) in cands
+    # unrelated docs never pair with the base family
+    assert not any({a, b} & {4, 5} and {a, b} & {0, 1, 2, 3, 6} for a, b in cands)
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    cands = spark.createDataFrame(
+        pd.DataFrame([(0, 3), (0, 4)], columns=["doc_id_l", "doc_id_r"])
+    )
+    out = {
+        (r["doc_id_l"], r["doc_id_r"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, cands, threshold=0.0).collect()
+    }
+    assert out[(0, 3)] > 0.5  # one-token swap keeps most 3-gram shingles
+    assert out[(0, 4)] == 0.0
+
+
+def test_simhash_near_duplicates(docs):
+    # n_bands=8 guarantees recall of all pairs with hamming <= 7
+    pairs = {
+        (r["doc_id_l"], r["doc_id_r"]): r["hamming"]
+        for r in simhash_near_duplicates(docs, max_hamming=12, n_bands=8).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0  # identical text -> same fp
+    assert (0, 3) in pairs  # near dup within hamming radius
+    assert (0, 4) not in pairs and (0, 5) not in pairs

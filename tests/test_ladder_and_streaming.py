@@ -1,0 +1,115 @@
+"""Tests for search-mode tier ladder (J11) and streaming incremental match."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ).assign(ts=pd.Timestamp("2026-01-01")),
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    return _df(
+        spark,
+        [
+            ("i", 0, "user", "The deploy restarted the cluster", None, None),
+            ("i", 1, "user", "Customer invoice was reconciled fully", None, None),
+            ("i", 2, "user", "the pipeline migrated the usage dashboard", None, None),
+            ("i", 3, "tool", "The deploy restarted the cluster", None, None),
+        ],
+    )
+
+
+def test_ladder_tiers(spark, index):
+    from ala_name_matching_spark.operators.ladder import search_ladder
+
+    queries = _df(
+        spark,
+        [
+            # exact (case-only difference)
+            ("q", 0, "user", "the deploy restarted the cluster", None, None),
+            # canonical (marker prefix stripped)
+            ("q", 1, "user", "Re: Customer invoice was reconciled fully", None, None),
+            # phonetic (vowel-class + doubled-letter misspellings)
+            ("q", 2, "user", "the pipelinne migrated the usage dashbaord", None, None),
+            # no match
+            ("q", 3, "user", "totally unrelated text about gardening tips", None, None),
+        ],
+    )
+    out = {r["query_id"]: r for r in search_ladder(queries, index).collect()}
+    assert out["q#0"]["match_type"] == "EXACT" and out["q#0"]["index_id"] == "i#0"
+    assert out["q#1"]["match_type"] == "CANONICAL" and out["q#1"]["index_id"] == "i#1"
+    assert out["q#2"]["match_type"] == "PHONETIC" and out["q#2"]["index_id"] == "i#2"
+    assert out["q#3"]["match_type"] == "NO_MATCH" and out["q#3"]["index_id"] is None
+
+
+def test_ladder_homonym_gate(spark, index):
+    # identical text but conflicting role -> must not match the 'user' row;
+    # resolves to the role-compatible homonym (i#3) instead (V5 analog)
+    from ala_name_matching_spark.operators.ladder import search_ladder
+
+    queries = _df(
+        spark, [("q", 0, "tool", "the deploy restarted the cluster", None, None)]
+    )
+    out = search_ladder(queries, index).collect()[0]
+    assert out["index_id"] == "i#3"
+
+
+def test_streaming_incremental_match(spark, index, tmp_path):
+    from ala_name_matching_spark.streaming.incremental import (
+        incremental_match,
+        read_transcript_stream,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = _df(
+        spark,
+        [
+            ("s", 0, "user", "THE DEPLOY RESTARTED THE CLUSTER", None, None),
+            ("s", 1, "user", "nothing like anything indexed here", None, None),
+        ],
+    )
+    batch.write.parquet(src)
+    stream = read_transcript_stream(spark, src)
+    q = incremental_match(stream, index, out, ckpt)
+    q.awaitTermination(120)
+    res = {r["query_id"]: r["match_type"] for r in spark.read.parquet(out).collect()}
+    assert res == {"s#0": "EXACT", "s#1": "NO_MATCH"}
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from ala_name_matching_spark.streaming.incremental import (
+        read_transcript_stream,
+        windowed_turn_counts,
+    )
+
+    src = str(tmp_path / "in2")
+    rows = [("c", i, "user" if i % 2 else "assistant", f"text {i}", None, None) for i in range(8)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["ts"] = pd.Timestamp("2026-01-01") + pd.to_timedelta(pdf["turn_idx"] * 60, unit="s")
+    spark.createDataFrame(
+        pdf,
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).write.parquet(src)
+    agg = windowed_turn_counts(read_transcript_stream(spark, src), "5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wcounts")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    got = spark.sql("SELECT sum(n_turns) AS n FROM wcounts").collect()[0]["n"]
+    q.stop()
+    assert got == 8

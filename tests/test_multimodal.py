@@ -1,0 +1,39 @@
+"""Tests for multimodal binary-column plumbing (stubbed decode)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.errors import PythonException
+
+from ala_name_matching_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    frame_sample,
+    synth_media,
+)
+
+
+def test_decode_fake_plumbing(spark):
+    media = synth_media(spark, 12)
+    out = decode_media(media, fake=True)
+    rows = out.collect()
+    assert len(rows) == 12
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    assert all(r["n_bytes"] == 256 for r in rows)
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r["features"] for r in decode_media(media, fake=True).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+
+
+def test_decode_stub_raises_without_fake(spark):
+    media = synth_media(spark, 3)
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        decode_media(media, fake=False).collect()
+
+
+def test_frame_sample(spark):
+    media = synth_media(spark, 9)
+    frames = frame_sample(media, every_ms=250, fake=True)
+    rows = frames.collect()
+    vids = media.filter(F.col("kind") == "video").count()
+    assert len(rows) == vids * 4  # 1000ms / 250ms
+    assert {r["frame_ts_ms"] for r in rows} == {0, 250, 500, 750}

@@ -1,0 +1,65 @@
+"""Tests for text-analysis operators (lang-ID, quality, tokens, fingerprint)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ala_name_matching_spark.operators.text_analysis import (
+    bpe_token_count_col,
+    fingerprint_col,
+    language_id_col,
+    quality_score_col,
+    whitespace_token_count_col,
+)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "the cat sat on the mat and it was happy with the sun",
+                    "le chat est dans la maison et il est content pour toujours",
+                    "der hund ist ein gutes tier und die katze auch mit ihm",
+                    "el perro es un animal bueno y la casa es grande para todos",
+                    "zzz qqq xxx www",  # no stopwords -> und
+                ]
+            }
+        )
+    )
+    out = [r["lang"] for r in df.select(language_id_col(F.col("text")).alias("lang")).collect()]
+    assert out == ["en", "fr", "de", "es", "und"]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["Hello, world! 42 times."]}))
+    row = df.select(
+        whitespace_token_count_col(F.col("text")).alias("ws"),
+        bpe_token_count_col(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert row["ws"] == 4
+    # Hello , world ! 42 times . -> 7 BPE-ish pretokens
+    assert row["bpe"] == 7
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "the quick brown fox jumps over the lazy dog with great skill",
+                    "!!!! #### $$$$ %%%%",
+                    "b a c",
+                    "a b c",
+                ]
+            }
+        )
+    )
+    rows = df.select(
+        quality_score_col(F.col("text")).alias("q"),
+        fingerprint_col(F.col("text")).alias("fp"),
+    ).collect()
+    assert rows[0]["q"] > 0.8  # clean english sentence
+    assert rows[1]["q"] < 0.5  # symbol soup
+    # fingerprint is token-order-insensitive
+    assert rows[2]["fp"] == rows[3]["fp"]
+    assert rows[0]["fp"] != rows[1]["fp"]
