@@ -358,6 +358,106 @@ def _q_windowed_counts(spark, sf_dir):
     )
 
 
+def _q_soundex_normalize(spark, sf_dir):
+    # F4 -- TaxonNameSoundEx.normalize effective behavior
+    from ala_name_matching_spark.functions.normalize import soundex_normalize_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", soundex_normalize_col(F.col("text")).alias("sx_norm")
+    )
+
+
+def _q_name_complete(spark, sf_dir):
+    # F8 -- name+author assembly with containment dedup
+    # (ALANameIndexer.java:991-1010): append the qualifier only when not
+    # already contained in the name.
+    d = _docs(spark, sf_dir)
+    contained = F.contains(F.lower(F.col("text")), F.lower(F.col("source")))
+    return d.select(
+        "doc_id",
+        F.when(contained, F.col("text"))
+        .otherwise(F.concat_ws(" ", F.col("text"), F.concat(F.lit("["), F.col("source"), F.lit("]"))))
+        .alias("name_complete"),
+    )
+
+
+def _q_homonym_probe(spark, sf_dir):
+    # J9 -- iterative homonym narrowing as precomputed prefix-level counts
+    from ala_name_matching_spark.operators.validation import homonym_probe
+
+    p = _read(spark, sf_dir, "part")
+    return homonym_probe(
+        p,
+        [["p_brand"], ["p_brand", "p_type"], ["p_brand", "p_type", "p_size"]],
+        "p_partkey",
+    ).select("p_partkey", "resolve_level")
+
+
+def _q_autocomplete(spark, sf_dir):
+    # J10 -- exact/prefix/contains union with Levenshtein rerank
+    from ala_name_matching_spark.operators.validation import autocomplete
+
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("record_id"), F.col("c_name").alias("canon_text")
+    )
+    return autocomplete(c, "customer#00000001", k=10).select(
+        F.col("record_id").alias("c_custkey"), "ac_score", "rank"
+    )
+
+
+def _q_interval_containment(spark, sf_dir):
+    # V2 -- nested-interval containment (checkForSpeciesSplit left/right
+    # nesting, ALANameSearcher.java:1315-1358): order pairs of one customer
+    # where one 30-day window contains the other's start.
+    o = _read(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    pairs = (
+        a.join(b, "ck")
+        .filter(
+            (F.col("k1") != F.col("k2"))
+            & (F.col("d2") >= F.col("d1"))
+            & (F.col("d2") <= F.date_add(F.col("d1"), 30))
+        )
+        .groupBy("ck")
+        .agg(F.count("*").alias("n_contained"))
+    )
+    return pairs
+
+
+def _q_json_extract(spark, sf_dir):
+    # S2' -- semi-structured props extraction (JSON string column)
+    e = _read(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def _q_cosine_neardups_exact(spark, sf_dir):
+    # embedding-cosine near-dup (exact baseline; LSH variant is rows-only)
+    from ala_name_matching_spark.operators.similarity_search import cosine_col
+
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_id_l"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_id_r"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id_l") < F.col("vec_id_r"))
+        .withColumn("_cos", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("_cos") >= 0.4)  # filter BEFORE rounding (oracle parity)
+        .select("vec_id_l", "vec_id_r", F.round("_cos", 6).alias("cosine"))
+    )
+
+
 # --- rows-only checks (genuinely not SQL-expressible) -----------------------
 
 def _q_er_clusters(spark, sf_dir):
@@ -405,6 +505,22 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
+def _q_spelling_collision_qa(spark, sf_dir):
+    # B9 -- per-parent phonetic spelling-collision QA (phonetic UDF)
+    from ala_name_matching_spark.operators.blocking import (
+        with_blocking_columns,
+        with_record_id,
+    )
+    from ala_name_matching_spark.operators.validation import spelling_collision_qa
+    from ala_name_matching_spark.sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    feats = with_blocking_columns(with_record_id(t))
+    return spelling_collision_qa(feats, group_col="role").select(
+        "role", "phonetic_key", "n_variants"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_text": _q_normalize_text,
@@ -432,12 +548,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "sessionization": _q_sessionization,
         "windowed_counts": _q_windowed_counts,
+        "soundex_normalize": _q_soundex_normalize,
+        "name_complete": _q_name_complete,
+        "homonym_probe": _q_homonym_probe,
+        "autocomplete": _q_autocomplete,
+        "interval_containment": _q_interval_containment,
+        "json_extract": _q_json_extract,
+        "cosine_neardups_exact": _q_cosine_neardups_exact,
         # rows-only (no oracle_sql entry):
         "er_clusters": _q_er_clusters,
         "phonetic_keys": _q_phonetic_keys,
         "simhash_neardups": _q_simhash_neardups,
         "minhash_lsh_neardups": _q_minhash_lsh_neardups,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "spelling_collision_qa": _q_spelling_collision_qa,
     }
 
 
@@ -626,6 +750,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "soundex_normalize": """
+            SELECT doc_id,
+                   nullif(trim(regexp_replace(regexp_replace(upper(text),
+                       '<.+?>', '', 'g'), '[^a-zA-Z .]', '', 'g')), '') AS sx_norm
+            FROM documents""",
+        "name_complete": """
+            SELECT doc_id,
+                   CASE WHEN contains(lower(text), lower(source)) THEN text
+                        ELSE text || ' [' || source || ']' END AS name_complete
+            FROM documents""",
+        "homonym_probe": """
+            WITH c AS (
+              SELECT p_partkey,
+                     count(DISTINCT p_partkey) OVER (PARTITION BY p_brand) AS n1,
+                     count(DISTINCT p_partkey) OVER (PARTITION BY p_brand, p_type) AS n2,
+                     count(DISTINCT p_partkey) OVER (PARTITION BY p_brand, p_type, p_size) AS n3
+              FROM part)
+            SELECT p_partkey,
+                   CASE WHEN n1 = 1 THEN 1 WHEN n2 = 1 THEN 2
+                        WHEN n3 = 1 THEN 3 ELSE 0 END AS resolve_level
+            FROM c""",
+        "autocomplete": """
+            WITH cand AS (
+              SELECT c_custkey, lower(c_name) AS nm,
+                     CASE WHEN lower(c_name) = 'customer#00000001' THEN 12.0
+                          WHEN lower(c_name) LIKE 'customer#00000001%' THEN 2.0
+                          ELSE 1.0 END AS boost
+              FROM customer
+              WHERE contains(lower(c_name), 'customer#00000001')),
+            scored AS (
+              SELECT c_custkey, nm,
+                     round((1.0 - levenshtein(nm, 'customer#00000001') * 1.0 /
+                            greatest(length(nm), 17)) * boost, 6) AS ac_score
+              FROM cand),
+            ranked AS (
+              SELECT c_custkey, ac_score,
+                     row_number() OVER (ORDER BY ac_score DESC, nm ASC,
+                                        c_custkey ASC) AS rank
+              FROM scored)
+            SELECT c_custkey, ac_score, rank FROM ranked WHERE rank <= 10""",
+        "interval_containment": """
+            SELECT a.o_custkey AS ck, count(*) AS n_contained
+            FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+            WHERE a.o_orderkey <> b.o_orderkey
+              AND b.o_orderdate >= a.o_orderdate
+              AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+            GROUP BY 1""",
+        "json_extract": """
+            SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events""",
+        "cosine_neardups_exact": """
+            SELECT a.vec_id AS vec_id_l, b.vec_id AS vec_id_r,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4""",
     }
 
 

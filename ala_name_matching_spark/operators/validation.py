@@ -1,0 +1,137 @@
+"""Post-match validation operators (SURVEY.md §2.5 V1-V7, §2.6 B9, J9/J10).
+
+All column logic + small joins over candidate/result sets -- the Spark form
+of the reference's per-query result checks (ALANameSearcher.java:1216-1491).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ala_name_matching_spark.functions.phonetic import treat_word_udf
+
+
+def filter_excluded(candidates: DataFrame, query_col: str = "query_id") -> DataFrame:
+    """V1 -- excluded-name handling (ALANameSearcher.java:1216-1238).
+
+    Candidates carry a boolean `is_excluded`. Per query: if EVERY candidate
+    is excluded -> keep the first but flag EXCLUDED; if mixed -> drop the
+    excluded ones and flag PARTIALLY_EXCLUDED; else untouched.
+    """
+    w = Window.partitionBy(query_col)
+    out = candidates.withColumn(
+        "_n_excl", F.sum(F.col("is_excluded").cast("int")).over(w)
+    ).withColumn("_n", F.count("*").over(w))
+    all_excl = F.col("_n_excl") == F.col("_n")
+    return (
+        out.filter(all_excl | ~F.col("is_excluded"))
+        .withColumn(
+            "error_codes",
+            F.when(all_excl, F.array(F.lit("EXCLUDED")))
+            .when(F.col("_n_excl") > 0, F.array(F.lit("ASSOCIATED_EXCLUDED")))
+            .otherwise(F.array().cast("array<string>")),
+        )
+        .drop("_n_excl", "_n")
+    )
+
+
+def blocklist_flag(
+    results: DataFrame, blocklist: DataFrame, key_col: str = "canon_text"
+) -> DataFrame:
+    """V4 -- cross-rank-homonym analog: broadcast-join a small lookup of
+    always-ambiguous texts and raise a flag when matched without context
+    (cross_rank_homonyms.txt, ALANameSearcher.java:130-131,1369-1374)."""
+    bl = F.broadcast(blocklist.select(F.col("name").alias(key_col)).distinct())
+    return results.join(
+        bl.withColumn("_ambiguous", F.lit(True)), key_col, "left"
+    ).withColumn("ambiguous_flag", F.coalesce(F.col("_ambiguous"), F.lit(False))).drop(
+        "_ambiguous"
+    )
+
+
+def common_accepted(candidates: DataFrame, query_col: str = "query_id") -> DataFrame:
+    """V6 -- multiple hits acceptable iff all share one accepted target
+    (getCommonAcceptedConcept, ALANameSearcher.java:1115-1130). Candidates
+    carry `accepted_id` (nullable) and `index_id`; per query keep groups
+    whose countDistinct(coalesce(accepted_id, index_id)) == 1."""
+    tgt = F.coalesce(F.col("accepted_id"), F.col("index_id"))
+    per = candidates.groupBy(query_col).agg(
+        F.countDistinct(tgt).alias("n_targets"), F.count("*").alias("n")
+    )
+    return candidates.join(per, query_col).withColumn(
+        "common_accepted_ok", (F.col("n_targets") == 1) | (F.col("n") == 1)
+    ).drop("n_targets", "n")
+
+
+def homonym_probe(
+    df: DataFrame,
+    levels: list[list[str]],
+    target_col: str,
+) -> DataFrame:
+    """J9 -- IRMNG-style iterative homonym narrowing.
+
+    The reference counts matches at successively longer classification
+    prefixes until exactly one remains (resolveIRMNGHomonym,
+    ALANameSearcher.java:1541-1595). Here: per row, `resolve_level` = the
+    first level (1-based) whose prefix-partition holds exactly one distinct
+    target; 0 = unresolved at every level. Precomputed as window counts --
+    one shuffle per level over narrow columns, no iteration.
+    """
+    out = df
+    conds = []
+    for i, cols in enumerate(levels, start=1):
+        w = Window.partitionBy(*[F.col(c) for c in cols])
+        out = out.withColumn(f"_n{i}", F.size(F.collect_set(target_col).over(w)))
+        conds.append((i, F.col(f"_n{i}") == 1))
+    expr = F.lit(0)
+    for i, c in reversed(conds):  # lowest level wins (first-one semantics)
+        expr = F.when(c, F.lit(i)).otherwise(expr)
+    out = out.withColumn("resolve_level", expr)
+    return out.drop(*[f"_n{i}" for i in range(1, len(levels) + 1)])
+
+
+def autocomplete(
+    index: DataFrame,
+    prefix: str,
+    name_col: str = "canon_text",
+    k: int = 10,
+    boost_exact: float = 12.0,
+) -> DataFrame:
+    """J10 -- autocomplete: exact (boosted) + prefix + contains matches,
+    reranked by Levenshtein similarity x boost (buildAutocompleteQuery,
+    ALANameSearcher.java:1947-1966; rerank :1885-1906).
+
+    Deterministic: ties break on the name then record id.
+    """
+    p = prefix.lower()
+    c = F.lower(F.col(name_col))
+    cand = index.filter(c.contains(p)).withColumn(
+        "boost",
+        F.when(c == p, F.lit(boost_exact))
+        .when(c.startswith(p), F.lit(2.0))
+        .otherwise(F.lit(1.0)),
+    )
+    maxlen = F.greatest(F.length(c), F.lit(len(p)))
+    sim = 1.0 - F.levenshtein(c, F.lit(p)) / maxlen
+    cand = cand.withColumn("ac_score", F.round(sim * F.col("boost"), 6))
+    w = Window.orderBy(F.col("ac_score").desc(), c.asc(), F.col("record_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def spelling_collision_qa(
+    features: DataFrame, group_col: str = "conv_id"
+) -> DataFrame:
+    """B9 -- spelling-collision QA: within a parent group, >1 distinct
+    canonical text sharing one phonetic key is a suspected misspelling
+    cluster (validateSpeciesSpelling, Taxonomy.java:619-677). Emits the QA
+    metrics table (group, phonetic_key, n_variants, variants)."""
+    return (
+        features.filter(F.col("phonetic_key").isNotNull())
+        .groupBy(group_col, "phonetic_key")
+        .agg(
+            F.countDistinct("canon_text").alias("n_variants"),
+            F.array_sort(F.collect_set("canon_text")).alias("variants"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )

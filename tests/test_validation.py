@@ -1,0 +1,121 @@
+"""Tests for the validation operator family (V1/V4/V6, J9, J10, B9)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ala_name_matching_spark.operators.validation import (
+    autocomplete,
+    blocklist_flag,
+    common_accepted,
+    filter_excluded,
+    homonym_probe,
+    spelling_collision_qa,
+)
+
+
+def test_filter_excluded(spark):
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": ["q1", "q1", "q2", "q2", "q3"],
+                "index_id": ["a", "b", "c", "d", "e"],
+                "is_excluded": [True, False, True, True, False],
+            }
+        )
+    )
+    out = filter_excluded(cands).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # q1 mixed: excluded candidate dropped, flag ASSOCIATED_EXCLUDED
+    assert [r["index_id"] for r in by_q["q1"]] == ["b"]
+    assert by_q["q1"][0]["error_codes"] == ["ASSOCIATED_EXCLUDED"]
+    # q2 all-excluded: kept but flagged EXCLUDED
+    assert len(by_q["q2"]) == 2
+    assert all(r["error_codes"] == ["EXCLUDED"] for r in by_q["q2"])
+    # q3 clean
+    assert by_q["q3"][0]["error_codes"] == []
+
+
+def test_blocklist_flag(spark):
+    res = spark.createDataFrame(
+        pd.DataFrame({"canon_text": ["alpha beta", "gamma delta"], "v": [1, 2]})
+    )
+    bl = spark.createDataFrame(pd.DataFrame({"name": ["alpha beta"]}))
+    out = {r["canon_text"]: r["ambiguous_flag"] for r in blocklist_flag(res, bl).collect()}
+    assert out == {"alpha beta": True, "gamma delta": False}
+
+
+def test_common_accepted(spark):
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": ["q1", "q1", "q2", "q2"],
+                "index_id": ["a", "b", "c", "d"],
+                "accepted_id": ["x", "x", "y", "z"],
+            }
+        )
+    )
+    out = {(r["query_id"], r["index_id"]): r["common_accepted_ok"] for r in common_accepted(cands).collect()}
+    assert out[("q1", "a")] and out[("q1", "b")]  # both point at accepted x
+    assert not out[("q2", "c")] and not out[("q2", "d")]  # two targets
+
+
+def test_homonym_probe_levels(spark):
+    rows = [
+        # brand A: unique at level 1
+        ("A", "t1", 1, 100),
+        # brand B: two parts, types differ -> level 2
+        ("B", "t1", 1, 200),
+        ("B", "t2", 1, 201),
+        # brand C: same type, sizes differ -> level 3
+        ("C", "t1", 1, 300),
+        ("C", "t1", 2, 301),
+        # brand D: duplicates at every level -> 0
+        ("D", "t1", 1, 400),
+        ("D", "t1", 1, 401),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["b", "t", "s", "pk"]))
+    out = {
+        r["pk"]: r["resolve_level"]
+        for r in homonym_probe(df, [["b"], ["b", "t"], ["b", "t", "s"]], "pk").collect()
+    }
+    assert out[100] == 1
+    assert out[200] == 2 and out[201] == 2
+    assert out[300] == 3 and out[301] == 3
+    assert out[400] == 0 and out[401] == 0
+
+
+def test_autocomplete_ranking(spark):
+    idx = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "record_id": ["r1", "r2", "r3", "r4"],
+                "canon_text": ["deploy", "deploy cluster", "redeploy", "unrelated"],
+            }
+        )
+    )
+    out = autocomplete(idx, "deploy", k=3).collect()
+    ranked = [r["record_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # exact match first (12x boost), then prefix (2x), then contains
+    assert ranked == ["r1", "r2", "r3"]
+
+
+def test_spelling_collision_qa(spark):
+    from ala_name_matching_spark.operators.blocking import (
+        with_blocking_columns,
+        with_record_id,
+    )
+
+    rows = [
+        ("c1", 0, "u", "the cluster restarted", None),
+        ("c1", 1, "u", "the clusster restarted", None),  # misspelling, same key
+        ("c1", 2, "u", "different text entirely", None),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    pdf["ts"] = pd.Timestamp("2026-01-01")
+    feats = with_blocking_columns(with_record_id(spark.createDataFrame(pdf)))
+    out = spelling_collision_qa(feats, group_col="conv_id").collect()
+    assert len(out) == 1
+    assert out[0]["n_variants"] == 2
+    assert "the cluster restarted" in out[0]["variants"]
