@@ -458,6 +458,104 @@ def _q_cosine_neardups_exact(spark, sf_dir):
     )
 
 
+def _q_issue_flags(spark, sf_dir):
+    # F10 -- marker/issue detection (?/cf./aff./spp. analogs). Marker-bearing
+    # texts are constructed deterministically from doc_id so all flag paths
+    # are exercised (the raw documents are marker-free word salad).
+    from ala_name_matching_spark.operators.phrase import issue_flags_col
+
+    d = _docs(spark, sf_dir)
+    marked = d.withColumn(
+        "mtext",
+        F.when(F.col("doc_id") % 4 == 1, F.concat(F.lit("Re: "), F.col("text")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.col("text"), F.lit(" ...")))
+        .when(F.col("doc_id") % 4 == 3, F.upper(F.col("text")))
+        .otherwise(F.concat(F.col("text"), F.lit(" ?"))),
+    )
+    return marked.select(
+        "doc_id",
+        F.concat_ws(",", F.array_sort(issue_flags_col(F.col("mtext")))).alias("flags"),
+    )
+
+
+def _q_phrase_parse(spark, sf_dir):
+    # F13 -- phrase-name parse: (head, phrase, voucher) via precompiled
+    # regexes over a constructed phrase-bearing text (p_type 'container' ref N)
+    from ala_name_matching_spark.operators.phrase import parse_phrase_cols
+
+    p = _read(spark, sf_dir, "part")
+    t = F.concat(
+        F.col("p_type"), F.lit(" '"), F.col("p_brand"), F.lit("'"),
+        F.when(F.col("p_partkey") % 3 == 0,
+               F.concat(F.lit(" ref "), F.col("p_partkey").cast("string"))
+               ).otherwise(F.lit("")),
+    )
+    cols = parse_phrase_cols(t)
+    return p.select(
+        "p_partkey",
+        cols["head"].alias("head"),
+        cols["phrase"].alias("phrase"),
+        cols["voucher"].alias("voucher"),
+    )
+
+
+def _q_phrase_join(spark, sf_dir):
+    # J3 -- compound-key phrase join with the "<null>" voucher sentinel
+    from ala_name_matching_spark.operators.phrase import phrase_join
+
+    p = _read(spark, sf_dir, "part")
+    base = p.select(
+        "p_partkey",
+        F.lower(F.split_part(F.col("p_type"), F.lit(" "), F.lit(1))).alias("head"),
+        F.lower(F.col("p_brand")).alias("phrase"),
+        F.when(F.col("p_partkey") % 3 == 0, (F.col("p_size") % 10).cast("string"))
+        .alias("voucher"),
+    )
+    q = base.filter(F.col("p_partkey") % 2 == 1).withColumnRenamed("p_partkey", "query_id")
+    idx = base.filter(F.col("p_partkey") % 2 == 0).withColumnRenamed("p_partkey", "index_id")
+    return (
+        phrase_join(q, idx)
+        .groupBy("head", "phrase")
+        .agg(F.count("*").alias("n_matches"), F.min("query_id").alias("first_query"))
+    )
+
+
+def _q_alias_lookup(spark, sf_dir):
+    # J8 -- common-name lookup + containment-style ambiguity resolution
+    from ala_name_matching_spark.operators.phrase import common_name_lookup
+
+    p = _read(spark, sf_dir, "part")
+    aliases = p.select(
+        F.upper(F.regexp_replace(F.col("p_type"), "[^a-zA-Z0-9]", "")).alias("alias_key"),
+        F.col("p_partkey").alias("target_id"),
+        F.col("p_brand"),
+    )
+    queries_df = aliases.select("alias_key").distinct().withColumn(
+        "query_id", F.dense_rank().over(Window.orderBy("alias_key"))
+    )
+    return common_name_lookup(
+        queries_df, aliases, cls_cols=("p_brand",)
+    ).select("alias_key", "target_id", "ambiguous")
+
+
+def _q_rematch_stragglers(spark, sf_dir):
+    # B10 -- second-pass straggler re-match: exact-hash clusters, then
+    # singletons re-join the multi-record cluster reps on a coarser key
+    from ala_name_matching_spark.functions.normalize import canon_text_col
+    from ala_name_matching_spark.operators.phrase import rematch_stragglers
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("record_id"),
+        canon_text_col(F.col("text")).alias("canon_text"),
+    )
+    w = Window.partitionBy(F.substring("canon_text", 1, 20))
+    clustered = d.withColumn("cluster_id", F.min("record_id").over(w))
+    out = rematch_stragglers(
+        clustered, F.substring(F.col("canon_text"), 1, 8)
+    )
+    return out.select("record_id", "cluster_id", "rematch_cluster_id")
+
+
 # --- rows-only checks (genuinely not SQL-expressible) -----------------------
 
 def _q_er_clusters(spark, sf_dir):
@@ -555,6 +653,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_containment": _q_interval_containment,
         "json_extract": _q_json_extract,
         "cosine_neardups_exact": _q_cosine_neardups_exact,
+        "issue_flags": _q_issue_flags,
+        "phrase_parse": _q_phrase_parse,
+        "phrase_join": _q_phrase_join,
+        "alias_lookup": _q_alias_lookup,
+        "rematch_stragglers": _q_rematch_stragglers,
         # rows-only (no oracle_sql entry):
         "er_clusters": _q_er_clusters,
         "phonetic_keys": _q_phonetic_keys,
@@ -806,6 +909,83 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+        "issue_flags": """
+            WITH m AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 1 THEN 'Re: ' || text
+                          WHEN doc_id % 4 = 2 THEN text || ' ...'
+                          WHEN doc_id % 4 = 3 THEN upper(text)
+                          ELSE text || ' ?' END AS t
+              FROM documents)
+            SELECT doc_id, concat_ws(',',
+                     CASE WHEN regexp_matches(trim(t), '(?i)^(re|fwd|fw):') THEN 'FORWARDED' END,
+                     CASE WHEN contains(trim(t), '?') THEN 'QUESTION' END,
+                     CASE WHEN trim(t) = upper(trim(t))
+                               AND regexp_matches(trim(t), '[A-Za-z]') THEN 'SHOUT' END,
+                     CASE WHEN regexp_matches(trim(t), '\\.\\.\\.\\s*$') THEN 'TRUNCATED' END
+                   ) AS flags
+            FROM m""",
+        "phrase_parse": """
+            WITH m AS (
+              SELECT p_partkey,
+                     p_type || ' ''' || p_brand || '''' ||
+                     CASE WHEN p_partkey % 3 = 0
+                          THEN ' ref ' || CAST(p_partkey AS VARCHAR)
+                          ELSE '' END AS t
+              FROM part)
+            SELECT p_partkey,
+                   nullif(lower(regexp_extract(t, '^\\W*(\\w+)', 1)), '') AS head,
+                   nullif(lower(regexp_replace(
+                       regexp_extract(t, '''([^'']+)''|"([^"]+)"', 0),
+                       '["'']', '', 'g')), '') AS phrase,
+                   nullif(regexp_extract(lower(t),
+                       '\\b(?:request|ticket|order|case|ref)\\s+#?(\\d+)', 1), '') AS voucher
+            FROM m""",
+        "phrase_join": """
+            WITH base AS (
+              SELECT p_partkey,
+                     lower(split_part(p_type, ' ', 1)) AS head,
+                     lower(p_brand) AS phrase,
+                     CASE WHEN p_partkey % 3 = 0
+                          THEN CAST(p_size % 10 AS VARCHAR) END AS voucher
+              FROM part),
+            q AS (SELECT p_partkey AS query_id, head, phrase, voucher
+                  FROM base WHERE p_partkey % 2 = 1),
+            i AS (SELECT p_partkey AS index_id, head, phrase, voucher
+                  FROM base WHERE p_partkey % 2 = 0)
+            SELECT q.head, q.phrase, count(*) AS n_matches,
+                   min(q.query_id) AS first_query
+            FROM q JOIN i ON q.head = i.head AND q.phrase = i.phrase
+              AND (coalesce(q.voucher, '<null>') = coalesce(i.voucher, '<null>')
+                   OR q.voucher IS NULL OR i.voucher IS NULL)
+            GROUP BY 1, 2""",
+        "alias_lookup": """
+            WITH aliases AS (
+              SELECT upper(regexp_replace(p_type, '[^a-zA-Z0-9]', '', 'g')) AS alias_key,
+                     p_partkey AS target_id, p_brand
+              FROM part),
+            per AS (
+              SELECT alias_key, count(DISTINCT target_id) AS nt,
+                     min(target_id) AS mt, count(DISTINCT p_brand) AS nb
+              FROM aliases GROUP BY 1)
+            SELECT alias_key,
+                   CASE WHEN nt = 1 OR nb <= 1 THEN mt END AS target_id,
+                   NOT (nt = 1 OR nb <= 1) AS ambiguous
+            FROM per""",
+        "rematch_stragglers": f"""
+            WITH d AS (SELECT doc_id AS record_id, {_CANON} AS canon_text FROM documents),
+            cl AS (SELECT record_id, canon_text,
+                          min(record_id) OVER (PARTITION BY substr(canon_text, 1, 20))
+                            AS cluster_id
+                   FROM d),
+            sz AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY 1),
+            k AS (SELECT cl.*, sz.csize, substr(cl.canon_text, 1, 8) AS ck
+                  FROM cl JOIN sz USING (cluster_id)),
+            reps AS (SELECT ck, min(cluster_id) AS tgt
+                     FROM k WHERE csize > 1 GROUP BY 1)
+            SELECT k.record_id, k.cluster_id,
+                   CASE WHEN k.csize = 1 THEN reps.tgt END AS rematch_cluster_id
+            FROM k LEFT JOIN reps USING (ck)""",
     }
 
 

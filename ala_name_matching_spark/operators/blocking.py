@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ala_name_matching_spark.functions.normalize import (
-    canon_key_col,
-    canon_text_col,
+    canon_key_from_canon,
+    canon_text_from_norm,
     norm_text_col,
 )
 from ala_name_matching_spark.functions.phonetic import phonetic_struct_udf
@@ -60,11 +60,14 @@ def with_blocking_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     (ALANameIndexer.createALAIndexDocument, ALANameIndexer.java:786-981, B3).
     """
     c = F.col(text_col)
-    out = (
-        df.withColumn("norm_text", norm_text_col(c))
-        .withColumn("canon_text", canon_text_col(c))
+    # norm -> canon -> key as CHAINED column references: each regex pass runs
+    # once per row (three independent from-raw expressions tripled the regex
+    # work -- measured as p1's dominant JVM cost at 1.2M turns)
+    out = df.withColumn("norm_text", norm_text_col(c))
+    out = out.withColumn("canon_text", canon_text_from_norm(F.col("norm_text")))
+    out = out.withColumn(
+        "canon_key", canon_key_from_canon(F.col("canon_text"), F.col("record_id"))
     )
-    out = out.withColumn("canon_key", canon_key_col(c, F.col("record_id")))
     # single Arrow kernel producing both phonetic columns (memoized per batch)
     out = out.withColumn("_ph", phonetic_struct_udf(F.col("canon_text")))
     out = (
@@ -172,7 +175,22 @@ def canon_group_representatives(features: DataFrame) -> DataFrame:
             F.count("*").alias("group_size"),
         )
         .withColumnRenamed("_tool_c", "tool_c")
-        .drop("tool_c")
+    )
+
+
+def group_map_from_reps(features: DataFrame, reps: DataFrame) -> DataFrame:
+    """(record_id -> group_rep) derived from an already-materialized rep
+    table -- avoids repeating the canonical groupBy that built the reps
+    (canon_group_map ran the identical aggregation a second time)."""
+    lookup = reps.select(
+        "canon_key", "role", F.col("tool_c").alias("_tool_c"),
+        F.col("record_id").alias("group_rep"),
+    )
+    with_tool = features.withColumn(
+        "_tool_c", F.coalesce(F.col("tool"), F.lit("<null>"))
+    )
+    return with_tool.join(lookup, ["canon_key", "role", "_tool_c"]).select(
+        "record_id", "group_rep"
     )
 
 

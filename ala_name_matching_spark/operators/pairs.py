@@ -30,12 +30,15 @@ from ala_name_matching_spark.functions.similarity import (
 PAYLOAD_COLS = ["record_id", "canon_text", "role", "tool", "phonetic_tokens"]
 
 
-def candidate_pairs(salted_blocks: DataFrame) -> DataFrame:
+def candidate_pairs(salted_blocks: DataFrame, dedupe: bool = True) -> DataFrame:
     """Unordered candidate pairs from the salted block table.
 
     Shuffle profile: one hash-partitioned self-join on block_id (bounded per
-    block by the salting cap -> no quadratic straggler), then one distinct on
-    (record_id_l, record_id_r). Both shuffles move only id/key columns.
+    block by the salting cap -> no quadratic straggler), then -- only when
+    several tiers can propose the same pair -- one distinct on
+    (record_id_l, record_id_r). With a single blocking tier the salted
+    sub-blocks are disjoint, duplicates are impossible, and `dedupe=False`
+    skips a full pair-table shuffle.
     """
     left = salted_blocks.select(
         F.col("block_id"), F.col("record_id").alias("record_id_l")
@@ -46,7 +49,39 @@ def candidate_pairs(salted_blocks: DataFrame) -> DataFrame:
     pairs = left.join(right, "block_id").filter(
         F.col("record_id_l") < F.col("record_id_r")
     )
-    return pairs.select("record_id_l", "record_id_r").distinct()
+    pairs = pairs.select("record_id_l", "record_id_r")
+    return pairs.distinct() if dedupe else pairs
+
+
+def payload_pairs(
+    salted_blocks: DataFrame,
+    records: DataFrame,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Candidate pairs with both payloads attached in ONE shuffle join.
+
+    Joins the payload onto the block table first (|blocks| rows ~= |records|
+    x tiers -- small), then self-joins on block_id, so both sides' payloads
+    ride the block shuffle. Versus candidate_pairs + two id-joins this
+    removes two shuffles of the (much larger) pair table -- at 1.2M turns /
+    11M pairs that was the dominant non-scaling cost of the pipeline.
+
+    Requires a single-tier (or otherwise pair-disjoint) block table: no
+    pair-level distinct is applied.
+    """
+    payload_cols = payload_cols or PAYLOAD_COLS
+    keyed = salted_blocks.select("block_id", "record_id").join(
+        records.select(*payload_cols), "record_id"
+    )
+    l = keyed.select(
+        F.col("block_id"), *[F.col(c).alias(f"{c}_l") for c in payload_cols]
+    )
+    r = keyed.select(
+        F.col("block_id"), *[F.col(c).alias(f"{c}_r") for c in payload_cols]
+    )
+    return l.join(r, "block_id").filter(
+        F.col("record_id_l") < F.col("record_id_r")
+    ).drop("block_id")
 
 
 def score_pairs(
@@ -66,6 +101,24 @@ def score_pairs(
     l = payload.select([F.col(c).alias(f"{c}_l") for c in payload_cols])
     r = payload.select([F.col(c).alias(f"{c}_r") for c in payload_cols])
     joined = pairs.join(l, "record_id_l").join(r, "record_id_r")
+    return apply_pair_scores(joined, has_tokens="phonetic_tokens" in payload_cols)
+
+
+def apply_pair_scores(
+    joined: DataFrame, has_tokens: bool = True, min_partitions: int | None = None
+) -> DataFrame:
+    """A1 scoring + V5 gate over a pair frame that already carries payloads.
+
+    The scoring projection is CPU-bound (Arrow JW kernel), not byte-bound.
+    When AQE coalesces the upstream join output by shuffle BYTES it can
+    starve the UDF stage of tasks (observed: 8 tasks on 32 cores at 11M
+    pairs). Pass `min_partitions` to force a pre-scoring repartition in that
+    regime; with well-bounded pair volumes (narrow blocking keys) the extra
+    shuffle of the payload-heavy pair rows costs more than it saves, so the
+    default is no repartition.
+    """
+    if min_partitions:
+        joined = joined.repartition(min_partitions)
     cols = pair_score_cols(
         F.col("canon_text_l"),
         F.col("canon_text_r"),
@@ -73,8 +126,8 @@ def score_pairs(
         F.col("role_r"),
         F.col("tool_l"),
         F.col("tool_r"),
-        F.col("phonetic_tokens_l") if "phonetic_tokens" in payload_cols else None,
-        F.col("phonetic_tokens_r") if "phonetic_tokens" in payload_cols else None,
+        F.col("phonetic_tokens_l") if has_tokens else None,
+        F.col("phonetic_tokens_r") if has_tokens else None,
     )
     out = joined
     for name, col in cols.items():

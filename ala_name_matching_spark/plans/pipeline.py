@@ -29,6 +29,8 @@ stable (conv_id, turn_idx) ordering (BASELINE.json input_hint).
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -39,17 +41,17 @@ from ala_name_matching_spark.operators.blocking import (
     DEFAULT_BLOCK_CAP,
     TIER_PHONETIC,
     block_table,
-    canon_group_map,
     canon_group_representatives,
+    group_map_from_reps,
     salt_and_cap_blocks,
     with_blocking_columns,
     with_record_id,
 )
 from ala_name_matching_spark.operators.clustering import assign_clusters_contracted
 from ala_name_matching_spark.operators.pairs import (
-    candidate_pairs,
+    apply_pair_scores,
     match_edges,
-    score_pairs,
+    payload_pairs,
 )
 from ala_name_matching_spark.operators.representative import elect_representatives
 from ala_name_matching_spark.sources.checkpoints import CheckpointManager
@@ -62,10 +64,31 @@ class PipelineConfig:
     fuzzy_tiers: tuple[int, ...] = field(default=(TIER_PHONETIC,))
 
 
+_TIMING = os.environ.get("ALA_SPARK_PHASE_TIMING", "") == "1"
+
+
 def _phase(ckpt: CheckpointManager, name: str, build) -> DataFrame:
+    """Build-or-resume one pipeline phase.
+
+    With checkpoints disabled we still materialize the phase output
+    (executor-local storage via localCheckpoint, lineage truncated): every
+    phase output is consumed by >=2 downstream branches, and without
+    materialization each branch recomputes the full upstream DAG -- measured
+    369 s vs 49 s e2e at 150k turns / local[32]. This is the in-memory analog
+    of the Iceberg phase commit the production pipeline performs.
+    """
     if ckpt.exists(name):
         return ckpt.read(name)
-    return ckpt.materialize(name, build())
+    t0 = time.time()
+    try:
+        if not ckpt.enabled:
+            return build().localCheckpoint(eager=True)
+        return ckpt.materialize(name, build())
+    finally:
+        if _TIMING:
+            print(f"[phase] {name:16s} {time.time() - t0:7.2f}s", flush=True)
+
+
 
 
 def run_pipeline(
@@ -94,8 +117,12 @@ def run_pipeline(
     # net LOSS (102 s vs 83 s e2e) -- the phonetic_tokens arrays are heavy to
     # cache and the memoized Arrow kernel recomputes cheaply. With
     # checkpoints enabled the parquet read-back cuts lineage instead.
-    group_map = _phase(ckpt, "p2_group_map", lambda: canon_group_map(features))
     reps = _phase(ckpt, "p2_canon_reps", lambda: canon_group_representatives(features))
+    # group_map reuses the materialized reps (one canonical groupBy total,
+    # not two -- the map is just a join-back of features against reps)
+    group_map = _phase(
+        ckpt, "p2_group_map", lambda: group_map_from_reps(features, reps)
+    )
 
     def build_blocks():
         blocks = block_table(reps, tiers=cfg.fuzzy_tiers)
@@ -106,8 +133,11 @@ def run_pipeline(
     salted = _phase(ckpt, "p3_blocks", build_blocks)
 
     def build_edges():
-        pairs = candidate_pairs(salted)
-        scored = score_pairs(pairs, reps)
+        # single fuzzy tier -> salted sub-blocks are pair-disjoint, so the
+        # payload rides the one block self-join (no pair-level distinct, no
+        # id-joins of the pair table -- see payload_pairs docstring)
+        pairs = payload_pairs(salted, reps)
+        scored = apply_pair_scores(pairs)
         return match_edges(scored, threshold=cfg.match_threshold)
 
     fuzzy_edges = _phase(ckpt, "p4_edges", build_edges)

@@ -21,10 +21,16 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
+    executor_memory = None
     if shuffle_partitions is None:
-        # local[N] -> N; "local[*]"/yarn -> fall back to cpus
+        # local[N] -> N; local-cluster[e,c,m] -> e*c; "local[*]"/yarn -> cpus
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = cpus if inner in ("", "*") else int(inner)
+        if "," in inner:  # local-cluster[execs, cores_per_exec, mem_mb]
+            execs, cores_per, mem_mb = (int(x) for x in inner.split(","))
+            shuffle_partitions = execs * cores_per
+            executor_memory = f"{max(512, mem_mb - 512)}m"
+        else:
+            shuffle_partitions = cpus if inner in ("", "*") else int(inner)
 
     builder = (
         SparkSession.builder.master(master)
@@ -37,8 +43,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if executor_memory is not None:
+        builder = builder.config("spark.executor.memory", executor_memory)
+    if master.startswith("local-cluster"):
+        # Multi-JVM executors spawn their own python workers, which need the
+        # package importable (the spark-submit --py-files analog; plain
+        # local[N] shares the driver's sys.path so this is a no-op there).
+        import sys as _sys
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+            .config("spark.pyspark.python", _sys.executable)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

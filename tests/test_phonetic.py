@@ -64,11 +64,13 @@ def test_error_class_invariants():
 
 
 def test_phonetic_key_compound():
-    k = phonetic_key("The customer restarted the pod")
-    assert k is not None and k.count("|") == 3  # 4 slots joined by |
+    from ala_name_matching_spark.functions.phonetic import KEY_TOKENS
+
+    k = phonetic_key("The customer restarted the pod again today soon")
+    assert k is not None and k.count("|") == KEY_TOKENS - 1
     # fewer than max_tokens pads with the reference's "<null>" sentinel
     # (ALANameSearcher.java:1087)
-    assert phonetic_key("hello").endswith("|<null>|<null>|<null>")
+    assert phonetic_key("hello").endswith("|<null>" * (KEY_TOKENS - 1))
     assert phonetic_key("") is None
     assert phonetic_key("?!") is None
     # stable under the planted perturbations
