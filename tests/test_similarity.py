@@ -75,3 +75,37 @@ def test_jw_properties(a, b):
     assert 0.0 <= v <= 1.0
     assert math.isclose(v, jaro_winkler(b, a), abs_tol=1e-12) or True  # JW is symmetric in jaro; winkler prefix is symmetric too
     assert jaro_winkler(a, a) == 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(alphabet="abcdeXYZ é", max_size=20)),
+            st.one_of(st.none(), st.text(alphabet="abcdeXYZ é", max_size=20)),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_jw_batch_matches_scalar(pairs):
+    from ala_name_matching_spark.functions.jw_vectorized import jw_batch
+
+    a = pd.Series([p[0] for p in pairs], dtype="object")
+    b = pd.Series([p[1] for p in pairs], dtype="object")
+    got = jw_batch(a, b)
+    for i, (x, y) in enumerate(pairs):
+        want = jaro_winkler(x, y)
+        if want is None:
+            assert math.isnan(got[i])
+        else:
+            assert math.isclose(got[i], want, abs_tol=1e-12), (x, y, got[i], want)
+
+
+def test_jw_batch_long_strings_capped():
+    from ala_name_matching_spark.functions.similarity import JW_CAP
+    from ala_name_matching_spark.functions.jw_vectorized import jw_batch
+
+    a = pd.Series(["x" * (JW_CAP + 40)])
+    b = pd.Series(["x" * JW_CAP + "y" * 40])
+    got = jw_batch(a, b)
+    assert got[0] == jaro_winkler("x" * (JW_CAP + 40), "x" * JW_CAP + "y" * 40) == 1.0
