@@ -122,7 +122,23 @@ def phonetic_key(text: str | None, max_tokens: int = KEY_TOKENS) -> str | None:
     ]
     while len(parts) < max_tokens:
         parts.append("<null>")  # sentinel per ALANameSearcher.java:1087
+    parts.append(_digit_signature(text))
     return "|".join(p if p else "<null>" for p in parts)
+
+
+def _digit_signature(text: str, cap: int = 16) -> str:
+    """Concatenated digit runs of the raw text, or a sentinel.
+
+    The phonetic fold strips digits, but numbers carry identity in free text
+    exactly like the reference's voucher component of the phrase blocking key
+    (alphanumeric specimen codes kept verbatim in the key: voucher cleaning
+    at ALAParsedName.java:80-123, phrase-key join ALANameSearcher.java:
+    1022-1046). Without it, every "request NNNN" turn lands in one of a few
+    thousand phonetic blocks and fuzzy pair volume scales with block size
+    squared; with it, blocks collapse to near-entity granularity.
+    """
+    digs = "".join(ch for ch in text if ch.isdigit())
+    return digs[:cap] if digs else "<nodigits>"
 
 
 def phonetic_tokens(text: str | None, max_tokens: int = 64) -> list[str] | None:
@@ -188,6 +204,7 @@ def _phonetic_struct_series(s: pd.Series) -> pd.DataFrame:
             keys.append(None)
             continue
         parts = treated[:KEY_TOKENS] + ["<null>"] * max(0, KEY_TOKENS - len(treated))
+        parts.append(_digit_signature(text))  # voucher-analog component
         keys.append("|".join(parts))
     return pd.DataFrame({"phonetic_key": keys, "phonetic_tokens": toks_out})
 

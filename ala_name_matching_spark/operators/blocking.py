@@ -51,13 +51,22 @@ def with_record_id(df: DataFrame) -> DataFrame:
     )
 
 
-def with_blocking_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_blocking_columns(
+    df: DataFrame, text_col: str = "text", include_tokens: bool = True
+) -> DataFrame:
     """Adds norm_text / canon_text / canon_key / phonetic_key.
 
     All but phonetic_key are JVM expressions (whole-stage codegen); the
     phonetic key is the Arrow-vectorized Taxamatch kernel (functions/
     phonetic.py). Mirrors the index-time derived fields build
     (ALANameIndexer.createALAIndexDocument, ALANameIndexer.java:786-981, B3).
+
+    `include_tokens=False` omits the phonetic_tokens array column: the
+    pipeline only scores canonical-group REPRESENTATIVES, so carrying the
+    (heavy) token array on every record inflates the feature checkpoint and
+    every downstream shuffle for nothing -- reps recompute it post-agg
+    (canon_group_representatives). Point-query paths (ladder, streaming)
+    keep the default.
     """
     c = F.col(text_col)
     # norm -> canon -> key as CHAINED column references: each regex pass runs
@@ -70,12 +79,10 @@ def with_blocking_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # single Arrow kernel producing both phonetic columns (memoized per batch)
     out = out.withColumn("_ph", phonetic_struct_udf(F.col("canon_text")))
-    out = (
-        out.withColumn("phonetic_key", F.col("_ph.phonetic_key"))
-        .withColumn("phonetic_tokens", F.col("_ph.phonetic_tokens"))
-        .drop("_ph")
-    )
-    return out
+    out = out.withColumn("phonetic_key", F.col("_ph.phonetic_key"))
+    if include_tokens:
+        out = out.withColumn("phonetic_tokens", F.col("_ph.phonetic_tokens"))
+    return out.drop("_ph")
 
 
 def block_table(
@@ -161,37 +168,72 @@ def canon_group_representatives(features: DataFrame) -> DataFrame:
     from |block| to |distinct canonical groups in block|. This is the skew
     killer: a hot entity with millions of exact duplicates contributes a
     handful of representatives.
+
+    Shuffle design: the groupBy aggregates ONLY min(record_id) + count --
+    no first(payload) columns ride the shuffle. Every rep payload column is
+    reconstructed from the group key itself post-agg: canon_key IS the
+    canonical text for non-placeholder groups (canon_key_from_canon), role/
+    tool are group keys, and the phonetic columns are deterministic functions
+    of canon_text re-derived on the (orders-of-magnitude smaller) rep table.
+    At 6M turns this cut the p2 shuffle from ~4x text bytes per row to ~1x,
+    which is the difference between a disk-bound and a CPU-bound phase.
     """
     with_tool = features.withColumn("_tool_c", F.coalesce(F.col("tool"), F.lit("<null>")))
-    w_grp = ["canon_key", "role", "_tool_c"]
+    agg = with_tool.groupBy("canon_key", "role", "_tool_c").agg(
+        F.min("record_id").alias("record_id"),
+        F.count("*").alias("group_size"),
+    )
+    reps = agg.withColumn(
+        "canon_text",
+        F.when(F.col("canon_key").startswith("__ph__"), F.lit(None).cast("string"))
+        .otherwise(F.col("canon_key")),
+    ).withColumn(
+        "tool",
+        F.when(F.col("_tool_c") == "<null>", F.lit(None).cast("string"))
+        .otherwise(F.col("_tool_c")),
+    )
+    reps = reps.withColumn("_ph", phonetic_struct_udf(F.col("canon_text")))
     return (
-        with_tool.groupBy(*w_grp)
-        .agg(
-            F.min("record_id").alias("record_id"),
-            F.first("canon_text").alias("canon_text"),
-            F.first("phonetic_key").alias("phonetic_key"),
-            F.first("phonetic_tokens").alias("phonetic_tokens"),
-            F.first("tool").alias("tool"),
-            F.count("*").alias("group_size"),
-        )
+        reps.withColumn("phonetic_key", F.col("_ph.phonetic_key"))
+        .withColumn("phonetic_tokens", F.col("_ph.phonetic_tokens"))
+        .drop("_ph")
         .withColumnRenamed("_tool_c", "tool_c")
     )
+
+
+def _group_hash_cols(canon_key, role, tool_c) -> list:
+    """128-bit group hash as two xxhash64 columns with distinct salts.
+
+    Joining features->reps on the raw (canon_key, role, tool) triple shuffles
+    the full canonical text for every record; hashing first shuffles 16 bytes
+    instead. 64 bits alone would collide at 10^12 groups (birthday ~4x10^9);
+    two independently-salted 64-bit hashes push collision odds below 1e-14
+    at that scale. A collision could only over-merge two groups -- same
+    failure class the ~1e-14 makes negligible.
+    """
+    return [
+        F.xxhash64(canon_key, role, tool_c).alias("_g1"),
+        F.xxhash64(canon_key, role, tool_c, F.lit("salt2")).alias("_g2"),
+    ]
 
 
 def group_map_from_reps(features: DataFrame, reps: DataFrame) -> DataFrame:
     """(record_id -> group_rep) derived from an already-materialized rep
     table -- avoids repeating the canonical groupBy that built the reps
-    (canon_group_map ran the identical aggregation a second time)."""
+    (canon_group_map ran the identical aggregation a second time). The join
+    runs on the 128-bit group hash (16 bytes/row shuffled, not the text)."""
     lookup = reps.select(
-        "canon_key", "role", F.col("tool_c").alias("_tool_c"),
+        *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("tool_c")),
         F.col("record_id").alias("group_rep"),
     )
     with_tool = features.withColumn(
         "_tool_c", F.coalesce(F.col("tool"), F.lit("<null>"))
     )
-    return with_tool.join(lookup, ["canon_key", "role", "_tool_c"]).select(
-        "record_id", "group_rep"
+    keyed = with_tool.select(
+        *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("_tool_c")),
+        "record_id",
     )
+    return keyed.join(lookup, ["_g1", "_g2"]).select("record_id", "group_rep")
 
 
 def salt_and_cap_blocks(

@@ -28,14 +28,16 @@ def elect_representatives(
     One window shuffle partitioned by cluster_id.
     """
     prio = F.col(priority_col) if priority_col else F.length(F.col("canon_text"))
-    w = Window.partitionBy("cluster_id").orderBy(
-        prio.desc_nulls_last(), F.col("record_id").asc()
+    # ONE window pass: first record_id over the full ordered frame is the
+    # winner; is_representative falls out by equality (record_id is unique).
+    # The previous two-window form (row_number then unbounded first) cost a
+    # second WindowExec pass over the full output table.
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(prio.desc_nulls_last(), F.col("record_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    out = clustered.withColumn("_rn", F.row_number().over(w))
-    out = out.withColumn("is_representative", F.col("_rn") == 1)
-    wrep = Window.partitionBy("cluster_id")
-    out = out.withColumn(
-        "representative_id",
-        F.first(F.when(F.col("_rn") == 1, F.col("record_id")), ignorenulls=True).over(wrep),
-    ).drop("_rn")
-    return out
+    out = clustered.withColumn("representative_id", F.first("record_id").over(w))
+    return out.withColumn(
+        "is_representative", F.col("record_id") == F.col("representative_id")
+    )

@@ -111,7 +111,13 @@ def run_pipeline(
     ckpt = checkpoints or CheckpointManager(None, "", enabled=False)
 
     features = _phase(
-        ckpt, "p1_features", lambda: with_blocking_columns(with_record_id(transcripts))
+        ckpt,
+        "p1_features",
+        # token arrays excluded: only reps are scored, and reps re-derive
+        # them post-agg -- keeps the feature checkpoint + p2 shuffles narrow
+        lambda: with_blocking_columns(
+            with_record_id(transcripts), include_tokens=False
+        ),
     )
     # NOTE on caching: measured at 120k turns, persist()ing features is a
     # net LOSS (102 s vs 83 s e2e) -- the phonetic_tokens arrays are heavy to

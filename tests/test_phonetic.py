@@ -66,16 +66,25 @@ def test_error_class_invariants():
 def test_phonetic_key_compound():
     from ala_name_matching_spark.functions.phonetic import KEY_TOKENS
 
+    # KEY_TOKENS phonetic slots + the digit-signature (voucher-analog) slot
     k = phonetic_key("The customer restarted the pod again today soon")
-    assert k is not None and k.count("|") == KEY_TOKENS - 1
+    assert k is not None and k.count("|") == KEY_TOKENS
+    assert k.endswith("|<nodigits>")
     # fewer than max_tokens pads with the reference's "<null>" sentinel
     # (ALANameSearcher.java:1087)
-    assert phonetic_key("hello").endswith("|<null>" * (KEY_TOKENS - 1))
+    assert phonetic_key("hello").endswith(
+        "|<null>" * (KEY_TOKENS - 1) + "|<nodigits>"
+    )
     assert phonetic_key("") is None
     assert phonetic_key("?!") is None
     # stable under the planted perturbations
     assert phonetic_key("the customer restarted the pod") == phonetic_key(
         "THE CUSTOMER RESTARTED THE POD"
+    )
+    # digit runs split blocks (request numbers are identity-bearing)
+    assert phonetic_key("request 1234 reviewed").endswith("|1234")
+    assert phonetic_key("request 1234 reviewed") != phonetic_key(
+        "request 5678 reviewed"
     )
 
 

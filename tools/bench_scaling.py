@@ -41,37 +41,66 @@ import subprocess
 import sys
 
 CORES_PER_EXEC = 2
-EXEC_MEM_MB = 4096
+# Sized so a 6M-turn run's phase outputs stay in executor storage memory at
+# BOTH cluster sizes (spill-free): the scaling criterion should measure the
+# pipeline, not one config's disk. 8 execs x 12 GiB = 96 GiB < host RAM.
+EXEC_MEM_MB = 12288
 
 CHILD = r"""
-import json, sys, time
+import json, shutil, sys, tempfile, time
 sys.path.insert(0, ".")
 from ala_name_matching_spark.plans.pipeline import run_pipeline
 from ala_name_matching_spark.session import get_spark
+from ala_name_matching_spark.sources.checkpoints import CheckpointManager
 from ala_name_matching_spark.sources.transcripts import synthesize_transcripts
 
 n_turns, execs, cores_per, mem_mb = (int(x) for x in sys.argv[1:5])
 total_cores = execs * cores_per
 spark = get_spark(
-    "scalebench", master=f"local-cluster[{execs},{cores_per},{mem_mb}]"
+    "scalebench", master=f"local-cluster[{execs},{cores_per},{mem_mb}]",
+    # input files are ~25 MB each; a smaller split size keeps the scan wide
+    # enough to feed 16 cores (identical setting for both cluster sizes)
+    extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
 )
-t = synthesize_transcripts(spark, n_turns, partitions=total_cores * 2).cache()
-t.count()  # materialize input outside the timed window
+
+# Production shape: input read from a table on storage, every phase committed
+# as a parquet snapshot (the Iceberg-commit analog, sources/checkpoints.py)
+# and read back -- NOT held in executor storage memory. In-memory
+# localCheckpoint phase outputs (deserialized, 3-5x larger) thrash the
+# storage pool across repeated runs and the bench then measures eviction
+# churn, not the pipeline.
+work = tempfile.mkdtemp(prefix=f"scalebench_{execs}x{cores_per}_")
+inp = f"{work}/input"
+synthesize_transcripts(spark, n_turns, partitions=total_cores * 2).drop(
+    "entity_id"
+).write.mode("overwrite").parquet(inp)
+t = spark.read.parquet(inp)
+
+
+def one_run(tag):
+    ckdir = f"{work}/ck_{tag}"
+    ck = CheckpointManager(spark, ckdir, enabled=True)
+    t0 = time.time()
+    out = run_pipeline(t, checkpoints=ck)
+    n = out.count()
+    w = time.time() - t0
+    shutil.rmtree(ckdir, ignore_errors=True)
+    return n, w
+
 
 # Untimed warm-up: each executor JVM spends its first ~30-60 s of heavy work
 # interpreted while C2 compiles Spark codegen/shuffle/Arrow paths. On a
 # long-lived cluster that cost is paid once per executor and is irrelevant
 # to steady-state throughput, so the scaling criterion is evaluated warm.
-warm = run_pipeline(t.drop("entity_id"))
-warm.count()
+one_run("warm")
 
 walls = []
-for _ in range(2):
-    t0 = time.time()
-    out = run_pipeline(t.drop("entity_id"))
-    n = out.count()
-    walls.append(time.time() - t0)
+n = 0
+for i in range(2):
+    n, w = one_run(f"t{i}")
+    walls.append(w)
 wall = min(walls)
+shutil.rmtree(work, ignore_errors=True)
 print(json.dumps({"executors": execs, "cores_per_executor": cores_per,
                   "total_cores": total_cores, "rows": n,
                   "wall_sec": round(wall, 3),
