@@ -173,8 +173,10 @@ def canon_text_from_norm(norm: Column) -> Column:
     ~2.5x)."""
     c = F.lower(norm)
     c = F.regexp_replace(c, MARKER_PATTERN, " ")
-    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    # one pass: any run of non-alphanumerics (punctuation AND spaces)
+    # collapses to a single space -- equivalent to punct->space followed by
+    # \s+ collapse, at one regex scan instead of two (p1's hot cost)
+    return F.trim(F.regexp_replace(c, r"[^a-z0-9]+", " "))
 
 
 def canon_text_col(col: Column) -> Column:

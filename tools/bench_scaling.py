@@ -58,9 +58,17 @@ n_turns, execs, cores_per, mem_mb = (int(x) for x in sys.argv[1:5])
 total_cores = execs * cores_per
 spark = get_spark(
     "scalebench", master=f"local-cluster[{execs},{cores_per},{mem_mb}]",
-    # input files are ~25 MB each; a smaller split size keeps the scan wide
-    # enough to feed 16 cores (identical setting for both cluster sizes)
-    extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
+    extra_conf={
+        # input files are ~25 MB each; a smaller split size keeps the scan
+        # wide enough to feed 16 cores (identical for both cluster sizes)
+        "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+        # straggler/lost-task insurance: observed a local-cluster run whose
+        # write stage hung forever on a silently-vanished task; speculation
+        # re-launches it (and is standard production practice anyway)
+        "spark.speculation": "true",
+        "spark.speculation.multiplier": "3",
+        "spark.speculation.quantile": "0.9",
+    },
 )
 
 # Production shape: input read from a table on storage, every phase committed
@@ -110,19 +118,26 @@ spark.stop()
 """
 
 
-def run(n_turns: int, execs: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(n_turns), str(execs),
-         str(CORES_PER_EXEC), str(EXEC_MEM_MB)],
-        capture_output=True,
-        text=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=3600,
-    )
-    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    if not last:
-        raise RuntimeError(f"child failed (execs={execs}):\n{out.stderr[-3000:]}")
-    return json.loads(last[-1])
+def run(n_turns: int, execs: int, attempts: int = 2) -> dict:
+    last_err = None
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", CHILD, str(n_turns), str(execs),
+                 str(CORES_PER_EXEC), str(EXEC_MEM_MB)],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                timeout=3600,
+            )
+        except subprocess.TimeoutExpired as e:  # hung child -> retry once
+            last_err = f"timeout after 3600s (attempt {attempt + 1})"
+            continue
+        last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if last:
+            return json.loads(last[-1])
+        last_err = f"no result line (attempt {attempt + 1}):\n{out.stderr[-3000:]}"
+    raise RuntimeError(f"child failed (execs={execs}): {last_err}")
 
 
 def main():
