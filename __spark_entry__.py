@@ -538,6 +538,41 @@ def _q_alias_lookup(spark, sf_dir):
     ).select("alias_key", "target_id", "ambiguous")
 
 
+def _q_misapplied_resolution(spark, sf_dir):
+    # V3 -- misapplied-synonym resolution (checkForMisapplied analog):
+    # 'F'-status orders act as misapplied synonyms pointing at an accepted id
+    from ala_name_matching_spark.operators.validation import resolve_misapplied
+
+    o = _read(spark, sf_dir, "orders")
+    cand = o.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("index_id"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("MISAPPLIED")).alias("syn_type"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey") % 1000).alias(
+            "accepted_id"
+        ),
+    )
+    return resolve_misapplied(cand, query_col="o_custkey")
+
+
+def _q_synonym_enrich(spark, sf_dir):
+    # B4 -- synonym context enrichment: every 3rd customer is a "synonym" of
+    # its predecessor and inherits the missing segment from it
+    from ala_name_matching_spark.operators.validation import synonym_enrich
+
+    c = _read(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_custkey") - 1).alias(
+            "accepted_id"
+        ),
+        F.when(F.col("c_custkey") % 3 != 0, F.col("c_mktsegment")).alias("segment"),
+    )
+    return synonym_enrich(base, ["segment"], id_col="c_custkey").select(
+        "c_custkey", "accepted_id", "segment"
+    )
+
+
 def _q_rematch_stragglers(spark, sf_dir):
     # B10 -- second-pass straggler re-match: exact-hash clusters, then
     # singletons re-join the multi-record cluster reps on a coarser key
@@ -658,6 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_join": _q_phrase_join,
         "alias_lookup": _q_alias_lookup,
         "rematch_stragglers": _q_rematch_stragglers,
+        "misapplied_resolution": _q_misapplied_resolution,
+        "synonym_enrich": _q_synonym_enrich,
         # rows-only (no oracle_sql entry):
         "er_clusters": _q_er_clusters,
         "phonetic_keys": _q_phonetic_keys,
@@ -972,6 +1009,42 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN nt = 1 OR nb <= 1 THEN mt END AS target_id,
                    NOT (nt = 1 OR nb <= 1) AS ambiguous
             FROM per""",
+        "misapplied_resolution": """
+            WITH cand AS (
+              SELECT o_custkey, o_orderkey AS index_id,
+                     CASE WHEN o_orderstatus = 'F' THEN 'MISAPPLIED' END AS syn_type,
+                     CASE WHEN o_orderstatus = 'F' THEN o_orderkey % 1000 END AS accepted_id
+              FROM orders),
+            per AS (
+              SELECT o_custkey,
+                     sum(CASE WHEN syn_type = 'MISAPPLIED' THEN 1 ELSE 0 END) AS n_mis,
+                     count(*) AS n,
+                     min(CASE WHEN syn_type IS NULL THEN index_id END) AS first_accepted,
+                     count(DISTINCT CASE WHEN syn_type = 'MISAPPLIED'
+                                         THEN accepted_id END) AS n_targets,
+                     min(CASE WHEN syn_type = 'MISAPPLIED' THEN accepted_id END)
+                       AS common_target
+              FROM cand GROUP BY 1)
+            SELECT o_custkey,
+                   CASE WHEN n_mis = 0 THEN first_accepted
+                        WHEN first_accepted IS NOT NULL THEN first_accepted
+                        WHEN n_mis = n AND n_targets = 1 THEN common_target
+                   END AS resolved_id,
+                   CASE WHEN n_mis = 0 THEN NULL
+                        WHEN first_accepted IS NOT NULL THEN 'MISAPPLIED_PARTIAL'
+                        WHEN n_mis = n AND n_targets = 1 THEN 'MISAPPLIED_RESOLVED'
+                        ELSE 'MISAPPLIED' END AS misapplied_flag
+            FROM per""",
+        "synonym_enrich": """
+            WITH base AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 3 = 0 THEN c_custkey - 1 END AS accepted_id,
+                     CASE WHEN c_custkey % 3 <> 0 THEN c_mktsegment END AS segment
+              FROM customer)
+            SELECT b.c_custkey, b.accepted_id,
+                   CASE WHEN b.accepted_id IS NOT NULL AND b.segment IS NULL
+                        THEN t.segment ELSE b.segment END AS segment
+            FROM base b LEFT JOIN base t ON b.accepted_id = t.c_custkey""",
         "rematch_stragglers": f"""
             WITH d AS (SELECT doc_id AS record_id, {_CANON} AS canon_text FROM documents),
             cl AS (SELECT record_id, canon_text,

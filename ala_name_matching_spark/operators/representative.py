@@ -10,7 +10,7 @@ deterministic, as SURVEY.md §7 requires.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_PRIORITY = 1000  # MatchMetrics.DEFAULT_PRIORITY, MatchMetrics.java:33
@@ -28,16 +28,24 @@ def elect_representatives(
     One window shuffle partitioned by cluster_id.
     """
     prio = F.col(priority_col) if priority_col else F.length(F.col("canon_text"))
-    # ONE window pass: first record_id over the full ordered frame is the
-    # winner; is_representative falls out by equality (record_id is unique).
-    # The previous two-window form (row_number then unbounded first) cost a
-    # second WindowExec pass over the full output table.
-    w = (
-        Window.partitionBy("cluster_id")
-        .orderBy(prio.desc_nulls_last(), F.col("record_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # Aggregation, NOT a window: a window partitioned by cluster_id puts a
+    # hot cluster (the planted 5%-of-rows entity; at production scale, any
+    # mega-entity) into ONE sort task -- a serial tail that grows with data
+    # and caps scaling at high parallelism. groupBy gets map-side partial
+    # aggregation (skew-immune); the winner is min(struct(-priority,
+    # record_id)) -- lexicographic struct ordering = max priority, ties to
+    # smallest record_id, same total order as before. Labels then extend
+    # back with one hash join (AQE turns it into a broadcast when the winner
+    # table is small, and handles residual join skew otherwise).
+    winners = clustered.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.coalesce(prio.cast("long"), F.lit(-(1 << 40)))).alias("_np"),
+                F.col("record_id").alias("_rid"),
+            )
+        )["_rid"].alias("representative_id")
     )
-    out = clustered.withColumn("representative_id", F.first("record_id").over(w))
+    out = clustered.join(winners, "cluster_id")
     return out.withColumn(
         "is_representative", F.col("record_id") == F.col("representative_id")
     )

@@ -64,6 +64,80 @@ def common_accepted(candidates: DataFrame, query_col: str = "query_id") -> DataF
     ).drop("n_targets", "n")
 
 
+def resolve_misapplied(candidates: DataFrame, query_col: str = "query_id") -> DataFrame:
+    """V3 -- misapplied-synonym resolution (checkForMisapplied,
+    ALANameSearcher.java:1296-1313).
+
+    Candidates carry `index_id`, nullable `syn_type` ('MISAPPLIED' for
+    misapplied synonyms, null for accepted) and nullable `accepted_id`.
+    Per query, when any candidate is misapplied:
+      * an accepted (non-misapplied) sibling exists -> pick the first
+        accepted one (min index_id, deterministic) and flag
+        MISAPPLIED_PARTIAL;
+      * all misapplied but they share ONE accepted target -> resolve to that
+        target and flag MISAPPLIED_RESOLVED;
+      * otherwise no resolution -> null with flag MISAPPLIED.
+    Queries with no misapplied candidate keep their first candidate with no
+    flag. One aggregation per query -- no self-join.
+    """
+    is_mis = F.col("syn_type") == "MISAPPLIED"
+    per = candidates.groupBy(query_col).agg(
+        F.sum(F.coalesce(is_mis.cast("int"), F.lit(0))).alias("_n_mis"),
+        F.count("*").alias("_n"),
+        F.min(F.when(~is_mis | F.col("syn_type").isNull(), F.col("index_id"))).alias(
+            "_first_accepted"
+        ),
+        F.countDistinct(F.when(is_mis, F.col("accepted_id"))).alias("_n_targets"),
+        F.min(F.when(is_mis, F.col("accepted_id"))).alias("_common_target"),
+    )
+    has_accepted = F.col("_first_accepted").isNotNull()
+    all_mis = F.col("_n_mis") == F.col("_n")
+    return per.select(
+        F.col(query_col),
+        F.when(F.col("_n_mis") == 0, F.col("_first_accepted"))
+        .when(has_accepted, F.col("_first_accepted"))
+        .when(all_mis & (F.col("_n_targets") == 1), F.col("_common_target"))
+        .alias("resolved_id"),
+        F.when(F.col("_n_mis") == 0, F.lit(None).cast("string"))
+        .when(has_accepted, F.lit("MISAPPLIED_PARTIAL"))
+        .when(all_mis & (F.col("_n_targets") == 1), F.lit("MISAPPLIED_RESOLVED"))
+        .otherwise(F.lit("MISAPPLIED"))
+        .alias("misapplied_flag"),
+    )
+
+
+def synonym_enrich(
+    records: DataFrame,
+    copy_cols: list[str],
+    id_col: str = "record_id",
+    accepted_col: str = "accepted_id",
+) -> DataFrame:
+    """B4 -- synonym context enrichment (DwcaNameIndexer.java:879-935).
+
+    The reference copies the higher classification of the ACCEPTED taxon onto
+    each synonym document (fields above the synonym's own rank). Transcript
+    analog: rows pointing at an accepted target (`accepted_id` non-null)
+    inherit the target's context columns wherever their own value is null.
+
+    One hash join on the accepted id (the synonym side is typically a small
+    fraction of the table; at production scale bucket both sides on the id).
+    Non-synonym rows pass through untouched.
+    """
+    tgt = records.select(
+        F.col(id_col).alias(accepted_col),
+        *[F.col(c).alias(f"_t_{c}") for c in copy_cols],
+    )
+    out = records.join(tgt, accepted_col, "left")
+    for c in copy_cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(accepted_col).isNotNull() & F.col(c).isNull(), F.col(f"_t_{c}")
+            ).otherwise(F.col(c)),
+        )
+    return out.drop(*[f"_t_{c}" for c in copy_cols])
+
+
 def homonym_probe(
     df: DataFrame,
     levels: list[list[str]],

@@ -150,12 +150,18 @@ def run_pipeline(
 
     # CC on the contracted rep graph only; canonical membership extends the
     # labels back through group_map (identical labels, ~10x smaller CC input)
+    t5 = time.time()
     clustered = assign_clusters_contracted(
         features, group_map, fuzzy_edges.select("src", "dst")
     )
+    if _TIMING:
+        print(f"[phase] p5_cc           {time.time() - t5:7.2f}s", flush=True)
+    t6 = time.time()
     clustered = elect_representatives(clustered)
     clustered = ckpt.materialize("p6_clusters", clustered)
     ckpt.write_metrics()
+    if _TIMING:
+        print(f"[phase] p6_clusters     {time.time() - t6:7.2f}s", flush=True)
     return clustered
 
 

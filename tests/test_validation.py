@@ -61,6 +61,58 @@ def test_common_accepted(spark):
     assert not out[("q2", "c")] and not out[("q2", "d")]  # two targets
 
 
+def test_resolve_misapplied(spark):
+    from ala_name_matching_spark.operators.validation import resolve_misapplied
+
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # q1: accepted sibling exists -> pick it, PARTIAL
+                # q2: all misapplied, one common target -> RESOLVED
+                # q3: all misapplied, two targets -> unresolved
+                # q4: no misapplied -> first candidate, no flag
+                "query_id": ["q1", "q1", "q2", "q2", "q3", "q3", "q4"],
+                "index_id": [1, 2, 3, 4, 5, 6, 7],
+                "syn_type": [
+                    "MISAPPLIED", None, "MISAPPLIED", "MISAPPLIED",
+                    "MISAPPLIED", "MISAPPLIED", None,
+                ],
+                "accepted_id": [10.0, None, 30.0, 30.0, 50.0, 60.0, None],
+            }
+        )
+    )
+    out = {r["query_id"]: r for r in resolve_misapplied(cands).collect()}
+    assert out["q1"]["resolved_id"] == 2
+    assert out["q1"]["misapplied_flag"] == "MISAPPLIED_PARTIAL"
+    assert out["q2"]["resolved_id"] == 30
+    assert out["q2"]["misapplied_flag"] == "MISAPPLIED_RESOLVED"
+    assert out["q3"]["resolved_id"] is None
+    assert out["q3"]["misapplied_flag"] == "MISAPPLIED"
+    assert out["q4"]["resolved_id"] == 7
+    assert out["q4"]["misapplied_flag"] is None
+
+
+def test_synonym_enrich(spark):
+    from ala_name_matching_spark.operators.validation import synonym_enrich
+
+    recs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "record_id": ["a", "b", "c"],
+                "accepted_id": [None, "a", None],
+                "role": ["user", None, None],
+                "tool": ["sql", "calc", None],
+            }
+        )
+    )
+    out = {r["record_id"]: r for r in synonym_enrich(recs, ["role", "tool"]).collect()}
+    # synonym b inherits role from accepted a, keeps its own tool
+    assert out["b"]["role"] == "user" and out["b"]["tool"] == "calc"
+    # non-synonym c stays null (no accepted target)
+    assert out["c"]["role"] is None
+    assert out["a"]["role"] == "user"
+
+
 def test_homonym_probe_levels(spark):
     rows = [
         # brand A: unique at level 1
