@@ -183,6 +183,11 @@ def canon_group_representatives(features: DataFrame) -> DataFrame:
         F.min("record_id").alias("record_id"),
         F.count("*").alias("group_size"),
     )
+    # The rep table is byte-small post-agg, so AQE coalesces it to a handful
+    # of partitions -- which would serialize the (CPU-bound) phonetic UDF
+    # re-derivation below onto a few cores regardless of cluster size. Pin
+    # the rep table to cluster parallelism before the UDF projection.
+    agg = agg.repartition(features.sparkSession.sparkContext.defaultParallelism * 2)
     reps = agg.withColumn(
         "canon_text",
         F.when(F.col("canon_key").startswith("__ph__"), F.lit(None).cast("string"))

@@ -138,12 +138,17 @@ def run_pipeline(
 
     salted = _phase(ckpt, "p3_blocks", build_blocks)
 
+    par = transcripts.sparkSession.sparkContext.defaultParallelism
+
     def build_edges():
         # single fuzzy tier -> salted sub-blocks are pair-disjoint, so the
         # payload rides the one block self-join (no pair-level distinct, no
-        # id-joins of the pair table -- see payload_pairs docstring)
+        # id-joins of the pair table -- see payload_pairs docstring).
+        # min_partitions: the pair join's output is byte-small but CPU-heavy
+        # (Arrow JW kernel); AQE's byte-based coalescing would starve it of
+        # tasks (apply_pair_scores docstring), so pin 2x cluster parallelism.
         pairs = payload_pairs(salted, reps)
-        scored = apply_pair_scores(pairs)
+        scored = apply_pair_scores(pairs, min_partitions=par * 2)
         return match_edges(scored, threshold=cfg.match_threshold)
 
     fuzzy_edges = _phase(ckpt, "p4_edges", build_edges)
@@ -158,6 +163,10 @@ def run_pipeline(
         print(f"[phase] p5_cc           {time.time() - t5:7.2f}s", flush=True)
     t6 = time.time()
     clustered = elect_representatives(clustered)
+    # The label/winner joins leave the output on AQE-coalesced (byte-sized)
+    # partitions; parquet-encoding the full wide table is CPU-bound, so pin
+    # the write parallelism to the cluster, not to shuffle bytes.
+    clustered = clustered.repartition(par * 2)
     clustered = ckpt.materialize("p6_clusters", clustered)
     ckpt.write_metrics()
     if _TIMING:

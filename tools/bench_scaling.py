@@ -41,10 +41,19 @@ import subprocess
 import sys
 
 CORES_PER_EXEC = 2
-# Sized so a 6M-turn run's phase outputs stay in executor storage memory at
-# BOTH cluster sizes (spill-free): the scaling criterion should measure the
-# pipeline, not one config's disk. 8 execs x 12 GiB = 96 GiB < host RAM.
-EXEC_MEM_MB = 12288
+# 8 execs x 8 GiB = 64 GiB heap worst-case, leaving ~60 GiB of host RAM for
+# python workers + the tmpfs working set (see STORAGE_DIR).
+EXEC_MEM_MB = 8192
+
+# Storage for the bench working set (input table, phase checkpoints, shuffle
+# spill). The sandbox host exposes ONE virtio disk shared by every executor:
+# measured 537 MB/s aggregate writes regardless of writer count, vs 6.3 GB/s
+# on tmpfs. A production cluster's storage bandwidth SCALES with executor
+# count (per-node local SSD shuffle dirs + S3/HDFS/Iceberg object store), so
+# a single fixed-bandwidth disk shared by both cluster sizes is a sandbox
+# artifact that would make the 4N cluster I/O-bound by construction. tmpfs
+# is the faithful stand-in: storage whose bandwidth scales with the machine.
+STORAGE_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 CHILD = r"""
 import json, shutil, sys, tempfile, time
@@ -55,10 +64,15 @@ from ala_name_matching_spark.sources.checkpoints import CheckpointManager
 from ala_name_matching_spark.sources.transcripts import synthesize_transcripts
 
 n_turns, execs, cores_per, mem_mb = (int(x) for x in sys.argv[1:5])
+storage = sys.argv[5] if len(sys.argv) > 5 and sys.argv[5] != "-" else None
 total_cores = execs * cores_per
+work = tempfile.mkdtemp(prefix=f"scalebench_{execs}x{cores_per}_", dir=storage)
 spark = get_spark(
     "scalebench", master=f"local-cluster[{execs},{cores_per},{mem_mb}]",
     extra_conf={
+        # shuffle/spill on the same scale-out-analog storage as the tables
+        # (per-executor local dirs in production; see STORAGE_DIR rationale)
+        "spark.local.dir": f"{work}/spark-local",
         # input files are ~25 MB each; a smaller split size keeps the scan
         # wide enough to feed 16 cores (identical for both cluster sizes)
         "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
@@ -77,7 +91,6 @@ spark = get_spark(
 # localCheckpoint phase outputs (deserialized, 3-5x larger) thrash the
 # storage pool across repeated runs and the bench then measures eviction
 # churn, not the pipeline.
-work = tempfile.mkdtemp(prefix=f"scalebench_{execs}x{cores_per}_")
 inp = f"{work}/input"
 synthesize_transcripts(spark, n_turns, partitions=total_cores * 2).drop(
     "entity_id"
@@ -96,15 +109,19 @@ def one_run(tag):
     return n, w
 
 
-# Untimed warm-up: each executor JVM spends its first ~30-60 s of heavy work
-# interpreted while C2 compiles Spark codegen/shuffle/Arrow paths. On a
-# long-lived cluster that cost is paid once per executor and is irrelevant
-# to steady-state throughput, so the scaling criterion is evaluated warm.
-one_run("warm")
+# Untimed warm-ups: each executor JVM spends its first minutes of heavy work
+# interpreted while C2 compiles Spark codegen/shuffle/Arrow paths; with more
+# executors each JVM sees FEWER rows per run, so C2 needs more runs to reach
+# steady state (measured: the 8-executor cluster was still 2.4x off steady
+# state after a single warm-up run). On a long-lived cluster this cost is
+# paid once per executor and is irrelevant to steady-state throughput, so
+# the criterion is evaluated warm: two untimed warm-ups, best of three timed.
+one_run("warm0")
+one_run("warm1")
 
 walls = []
 n = 0
-for i in range(2):
+for i in range(3):
     n, w = one_run(f"t{i}")
     walls.append(w)
 wall = min(walls)
@@ -118,20 +135,24 @@ spark.stop()
 """
 
 
-def run(n_turns: int, execs: int, attempts: int = 2) -> dict:
+def run(n_turns: int, execs: int, attempts: int = 3) -> dict:
     last_err = None
     for attempt in range(attempts):
         try:
             out = subprocess.run(
                 [sys.executable, "-c", CHILD, str(n_turns), str(execs),
-                 str(CORES_PER_EXEC), str(EXEC_MEM_MB)],
+                 str(CORES_PER_EXEC), str(EXEC_MEM_MB), STORAGE_DIR or "-"],
                 capture_output=True,
                 text=True,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                timeout=3600,
+                # a healthy 2-exec run at 9.6M turns is ~20 min end to end;
+                # 40 min means the known local-cluster startup hang (a child
+                # was observed stuck in its first phase with zero bytes
+                # written for an hour) -- kill and retry rather than wait
+                timeout=2400,
             )
-        except subprocess.TimeoutExpired as e:  # hung child -> retry once
-            last_err = f"timeout after 3600s (attempt {attempt + 1})"
+        except subprocess.TimeoutExpired:  # hung child -> kill, retry
+            last_err = f"timeout after 2400s (attempt {attempt + 1})"
             continue
         last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
         if last:
@@ -141,7 +162,7 @@ def run(n_turns: int, execs: int, attempts: int = 2) -> dict:
 
 
 def main():
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 9_600_000
     n_execs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     a = run(n_turns, n_execs)
     b = run(n_turns, 4 * n_execs)
@@ -163,9 +184,13 @@ def main():
             "`local-cluster[execs,cores,mem]` master (real multi-JVM executors +\n"
             "netty shuffle on one host; see tools/bench_scaling.py docstring for\n"
             "why executor JVMs, not local[N] threads, are the faithful sandbox\n"
-            "analog of cluster-size scaling). Steady-state: one untimed warm-up\n"
-            "run per cluster, then best of two timed runs.\n\n"
+            "analog of cluster-size scaling). Steady-state: two untimed warm-up\n"
+            "runs per cluster (C2/JIT), then best of three timed runs.\n\n"
             f"- input: {n_turns} synthesized transcript turns (seed=42, deterministic)\n"
+            f"- storage: {STORAGE_DIR or 'default tmp'} for input/checkpoints/shuffle "
+            "(tmpfs = the scale-out-storage analog; the host's single shared virtio "
+            "disk caps at ~540 MB/s aggregate for ANY executor count -- measured -- "
+            "whereas production storage bandwidth scales with the cluster)\n"
             f"- run A: {a['executors']} executors x {a['cores_per_executor']} cores -> "
             f"{a['turns_per_sec']} turns/sec (wall {a['wall_sec']} s; runs {a['walls']})\n"
             f"- run B: {b['executors']} executors x {b['cores_per_executor']} cores -> "
