@@ -195,6 +195,81 @@ def assign_clusters(records: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def assign_clusters_via_groups(
+    records: DataFrame,
+    reps: DataFrame,
+    rep_edges: DataFrame,
+    broadcast_threshold_rows: int = 4_000_000,
+    n_groups: int | None = None,
+) -> DataFrame:
+    """Cluster assignment + representative election without shuffling records.
+
+    Everything cluster-shaped is a function of the canonical GROUP, not the
+    record: canon_text (hence election priority = its length) is constant
+    within a group, and the group rep's record_id is the min record of the
+    group, so the per-cluster winner under (max priority, ties to min
+    record_id) is decidable on the rep table alone. We therefore compute
+    (group -> cluster_id, representative_id) on the |groups|-sized rep table
+    and attach it to the record table with ONE join on the 128-bit group
+    hash -- broadcast when the group-label table is small (it is, by
+    construction: reps are the contraction of exact duplicates), so the wide
+    record table never shuffles at all. Beyond `broadcast_threshold_rows`
+    the join falls back to a hash join on (_g1,_g2) -- the same shuffle the
+    record-level formulation paid anyway.
+
+    Labels are identical to CC on the full record graph: group_rep is the
+    min record of its group and the component label is the min rep.
+    Representative election matches representative.elect_representatives
+    (B7, ALATaxonResolver.principals analog, deterministic tie-break).
+    """
+    from ala_name_matching_spark.operators.blocking import _group_hash_cols
+
+    comps = connected_components(rep_edges)
+    rep_label = comps.select(
+        F.col("record_id").alias("grp_rep"), F.col("cluster_id")
+    )
+    local_rows = getattr(comps, "_ala_local_rows", None)
+    if local_rows is not None and local_rows <= broadcast_threshold_rows:
+        rep_label = F.broadcast(rep_label)
+    groups = reps.select(
+        *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("tool_c")),
+        F.col("record_id").alias("grp_rep"),
+        F.length("canon_text").alias("_prio"),
+    )
+    labeled = groups.join(rep_label, "grp_rep", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("grp_rep"))
+    )
+    # B7 election on the group table: min(struct(-prio, rep)) = max priority,
+    # ties to smallest record_id -- the same total order as
+    # elect_representatives over all records, since prio is group-constant
+    # and grp_rep is the group's min record_id.
+    winners = labeled.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.coalesce(F.col("_prio").cast("long"), F.lit(-(1 << 40)))).alias("_np"),
+                F.col("grp_rep").alias("_rid"),
+            )
+        )["_rid"].alias("representative_id")
+    )
+    group_full = labeled.join(winners, "cluster_id").select(
+        "_g1", "_g2", "cluster_id", "representative_id"
+    )
+    if n_groups is not None and n_groups <= broadcast_threshold_rows:
+        group_full = F.broadcast(group_full)
+    keyed = records.select(
+        "*",
+        *_group_hash_cols(
+            F.col("canon_key"),
+            F.col("role"),
+            F.coalesce(F.col("tool"), F.lit("<null>")),
+        ),
+    )
+    out = keyed.join(group_full, ["_g1", "_g2"]).drop("_g1", "_g2")
+    return out.withColumn(
+        "is_representative", F.col("record_id") == F.col("representative_id")
+    )
+
+
 def assign_clusters_contracted(
     records: DataFrame, group_map: DataFrame, rep_edges: DataFrame
 ) -> DataFrame:

@@ -42,18 +42,16 @@ from ala_name_matching_spark.operators.blocking import (
     TIER_PHONETIC,
     block_table,
     canon_group_representatives,
-    group_map_from_reps,
     salt_and_cap_blocks,
     with_blocking_columns,
     with_record_id,
 )
-from ala_name_matching_spark.operators.clustering import assign_clusters_contracted
+from ala_name_matching_spark.operators.clustering import assign_clusters_via_groups
 from ala_name_matching_spark.operators.pairs import (
     apply_pair_scores,
     match_edges,
     payload_pairs,
 )
-from ala_name_matching_spark.operators.representative import elect_representatives
 from ala_name_matching_spark.sources.checkpoints import CheckpointManager
 
 
@@ -100,12 +98,13 @@ def run_pipeline(
 
     Shuffle inventory:
       P1 features     -- narrow map, zero shuffles (memoized Arrow kernel)
-      P2 canon groups -- one groupBy(canon_key, role, tool) + one join back
+      P2 canon groups -- one groupBy(canon_key, role, tool), no join back
       P3 fuzzy blocks -- block-size agg + size join (AQE) over REPS only
       P4 pairs+scores -- bounded self-join + two id joins + Arrow JW kernel
       P5 cc           -- O(log n) rounds x 2 shuffles, on the CONTRACTED rep
                          graph only (canonical groups pre-merged)
-      P6 clusters     -- two label joins + one window per cluster
+      P6 clusters     -- group-level label/election aggs + ONE broadcast
+                         join onto records (wide rows never shuffle)
     """
     cfg = config or PipelineConfig()
     ckpt = checkpoints or CheckpointManager(None, "", enabled=False)
@@ -124,11 +123,6 @@ def run_pipeline(
     # cache and the memoized Arrow kernel recomputes cheaply. With
     # checkpoints enabled the parquet read-back cuts lineage instead.
     reps = _phase(ckpt, "p2_canon_reps", lambda: canon_group_representatives(features))
-    # group_map reuses the materialized reps (one canonical groupBy total,
-    # not two -- the map is just a join-back of features against reps)
-    group_map = _phase(
-        ckpt, "p2_group_map", lambda: group_map_from_reps(features, reps)
-    )
 
     def build_blocks():
         blocks = block_table(reps, tiers=cfg.fuzzy_tiers)
@@ -153,20 +147,22 @@ def run_pipeline(
 
     fuzzy_edges = _phase(ckpt, "p4_edges", build_edges)
 
-    # CC on the contracted rep graph only; canonical membership extends the
-    # labels back through group_map (identical labels, ~10x smaller CC input)
+    # CC on the contracted rep graph only, then labels + representative
+    # election computed on the |groups|-sized rep table and attached to the
+    # record table via ONE broadcast join on the group hash -- the wide
+    # record rows never shuffle (assign_clusters_via_groups docstring). The
+    # output keeps the feature scan's partitioning (maxPartitionBytes-sized
+    # splits), which scales with data, so no explicit repartition needed
+    # before the wide parquet encode.
     t5 = time.time()
-    clustered = assign_clusters_contracted(
-        features, group_map, fuzzy_edges.select("src", "dst")
+    # reps is a materialized checkpoint -> count() is parquet-footer-only
+    n_groups = reps.count()
+    clustered = assign_clusters_via_groups(
+        features, reps, fuzzy_edges.select("src", "dst"), n_groups=n_groups
     )
     if _TIMING:
         print(f"[phase] p5_cc           {time.time() - t5:7.2f}s", flush=True)
     t6 = time.time()
-    clustered = elect_representatives(clustered)
-    # The label/winner joins leave the output on AQE-coalesced (byte-sized)
-    # partitions; parquet-encoding the full wide table is CPU-bound, so pin
-    # the write parallelism to the cluster, not to shuffle bytes.
-    clustered = clustered.repartition(par * 2)
     clustered = ckpt.materialize("p6_clusters", clustered)
     ckpt.write_metrics()
     if _TIMING:

@@ -59,6 +59,25 @@ def get_spark(
             builder.config("spark.executorEnv.PYTHONPATH", repo_root)
             .config("spark.pyspark.python", _sys.executable)
         )
+        # On a real cluster each executor is container/cgroup-limited to its
+        # granted cores; on one shared host every executor JVM sees ALL host
+        # CPUs and sizes its GC/JIT/netty pools host-wide, so a "2-core"
+        # executor quietly borrows extra cores -- which distorts any
+        # cluster-size scaling measurement. Cap the JVM's visible processor
+        # count (and the python workers' BLAS/OMP pools) at the granted
+        # cores, like the production container boundary does.
+        inner = master[master.find("[") + 1 : master.find("]")]
+        if "," in inner:
+            cores_per = int(inner.split(",")[1])
+            builder = (
+                builder.config(
+                    "spark.executor.extraJavaOptions",
+                    f"-XX:ActiveProcessorCount={cores_per}",
+                )
+                .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+                .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+                .config("spark.executorEnv.ARROW_CPU_COUNT", str(cores_per))
+            )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
