@@ -67,42 +67,40 @@ def _small_star(edges: DataFrame) -> DataFrame:
 _DRIVER_CC_MAX_EDGES = 5_000_000
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Small-graph fast path: collect edges, union-find on the driver.
+def _uf_core(pdf):
+    """Vectorized union-find over lexicographic node ranks.
 
-    Identical labels to the distributed algorithm (component label = min
-    node id). The contracted rep graph is usually orders of magnitude
-    smaller than the record table (canonical groups pre-merged), so below
-    `_DRIVER_CC_MAX_EDGES` a single collect beats 3-5 distributed rounds x 2
-    jobs each -- the same small-side reasoning as a broadcast join. At
-    10^12-turn scale the distributed path takes over automatically.
+    Returns (sorted_uniques, a, b, lab): `sorted_uniques[r]` is the node id
+    of rank r, `a`/`b` the per-edge endpoint ranks, `lab[r]` the component
+    root rank (= rank of the lexicographic-min member, so "label = min
+    record_id" survives the integer encoding).
+
+    Vectorized min-label propagation + pointer jumping (the numpy form of
+    large-star/small-star): labels are monotone non-increasing and bounded,
+    so this converges in O(log n) vectorized rounds -- measured ~10x faster
+    than a per-edge python union-find loop at 300k edges, which matters
+    because this runs on the driver and is a constant (non-scaling) cost
+    in the two-cluster-size criterion.
     """
     import numpy as np
     import pandas as pd
 
-    # Arrow-batched transfer (an order of magnitude faster than collect()'s
-    # row-object path for millions of edges), then integer union-find over
-    # lexicographic ranks so "label = min record_id" survives the encoding.
-    pdf = edges.select("src", "dst").toPandas()
-    spark = edges.sparkSession
-    if len(pdf) == 0:
-        return spark.createDataFrame([], "record_id string, cluster_id string")
     codes, uniques = pd.factorize(
         pd.concat([pdf["src"], pdf["dst"]], ignore_index=True), sort=False
     )
     uniques = np.asarray(uniques, dtype=object)
-    order = np.argsort(uniques)  # lex order of node ids
+    # lex order of node ids. UTF-8 byte order == code-point order, so sorting
+    # the fixed-width bytes view gives the same ranks ~10x faster than an
+    # object-dtype argsort; non-ASCII ids fall back to the object sort.
+    try:
+        order = np.argsort(uniques.astype("S"))
+    except (UnicodeEncodeError, SystemError):
+        order = np.argsort(uniques)
     rank = np.empty(len(uniques), dtype=np.int64)
     rank[order] = np.arange(len(uniques))
     n = len(pdf)
     a = rank[codes[:n]]
     b = rank[codes[n:]]
-    # Vectorized min-label propagation + pointer jumping (the numpy form of
-    # large-star/small-star): labels are monotone non-increasing and bounded,
-    # so this converges in O(log n) vectorized rounds -- measured ~10x faster
-    # than a per-edge python union-find loop at 300k edges, which matters
-    # because this runs on the driver and is a constant (non-scaling) cost
-    # in the two-cluster-size criterion.
     lab = np.arange(len(uniques), dtype=np.int64)
     while True:
         m = np.minimum(lab[a], lab[b])
@@ -115,18 +113,41 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             lab = nl
         if np.array_equal(lab[a], lab[b]):
             break
-    roots = lab
     sorted_uniques = uniques[order]
+    return sorted_uniques, rank, codes, a, b, lab
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect edges, union-find on the driver.
+
+    Identical labels to the distributed algorithm (component label = min
+    node id). The contracted rep graph is usually orders of magnitude
+    smaller than the record table (canonical groups pre-merged), so below
+    `_DRIVER_CC_MAX_EDGES` a single collect beats 3-5 distributed rounds x 2
+    jobs each -- the same small-side reasoning as a broadcast join. At
+    10^12-turn scale the distributed path takes over automatically.
+    """
+    import pandas as pd
+
+    # Arrow-batched transfer (an order of magnitude faster than collect()'s
+    # row-object path for millions of edges), then integer union-find over
+    # lexicographic ranks so "label = min record_id" survives the encoding.
+    pdf = edges.select("src", "dst").toPandas()
+    spark = edges.sparkSession
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "record_id string, cluster_id string")
+    sorted_uniques, rank, codes, a, b, lab = _uf_core(pdf)
+    n = len(pdf)
     out = pd.DataFrame(
         {
             "record_id": sorted_uniques[rank[codes[:n]]],
-            "cluster_id": sorted_uniques[roots[rank[codes[:n]]]],
+            "cluster_id": sorted_uniques[lab[rank[codes[:n]]]],
         }
     )
     out2 = pd.DataFrame(
         {
             "record_id": sorted_uniques[rank[codes[n:]]],
-            "cluster_id": sorted_uniques[roots[rank[codes[n:]]]],
+            "cluster_id": sorted_uniques[lab[rank[codes[n:]]]],
         }
     )
     out = pd.concat([out, out2], ignore_index=True).drop_duplicates("record_id")
@@ -137,10 +158,70 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     return sdf
 
 
+def _driver_labels_and_winners(edges: DataFrame):
+    """Driver fast path for label + representative election combined.
+
+    Returns a pandas frame (grp_rep, cluster_id, representative_id) covering
+    every NODE of the edge graph, or None when the edges lack prio columns.
+    Election semantics match the distributed groupBy form exactly: winner =
+    max priority, ties broken by lexicographic-min node id (B7,
+    ALATaxonResolver.principals analog with the documented tie
+    non-determinism removed). Every member group of a multi-group cluster is
+    an edge endpoint, so endpoint prios (carried on the edge table by
+    match_edges) cover exactly the groups that need election -- groups
+    outside the graph are singleton clusters and elect themselves via
+    coalesce, no aggregation anywhere.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if "src_prio" not in edges.columns or "dst_prio" not in edges.columns:
+        return None
+    t0 = time.time()
+    pdf = edges.select("src", "dst", "src_prio", "dst_prio").toPandas()
+    if _TIMING:
+        print(f"[cc] edges toPandas: {time.time() - t0:6.2f}s rows={len(pdf)}", flush=True)
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {"grp_rep": pd.Series(dtype=object),
+             "cluster_id": pd.Series(dtype=object),
+             "representative_id": pd.Series(dtype=object)}
+        )
+    t0 = time.time()
+    sorted_uniques, rank, codes, a, b, lab = _uf_core(pdf)
+    n_nodes = len(sorted_uniques)
+    # per-node priority (consistent across edges; last write wins is fine)
+    prio = np.zeros(n_nodes, dtype=np.int64)
+    prio[a] = pdf["src_prio"].to_numpy(dtype=np.int64)
+    prio[b] = pdf["dst_prio"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    roots = lab[nodes]
+    # winner per root: max prio, ties -> min rank. lexsort: last key primary.
+    order = np.lexsort((nodes, -prio[nodes], roots))
+    first = np.ones(len(order), dtype=bool)
+    sr = roots[order]
+    first[1:] = sr[1:] != sr[:-1]
+    win_rank = nodes[order][first]  # winner node rank per distinct root
+    win_root = sr[first]
+    winner_of = np.empty(n_nodes, dtype=np.int64)
+    winner_of[win_root] = win_rank
+    out = pd.DataFrame(
+        {
+            "grp_rep": sorted_uniques[nodes],
+            "cluster_id": sorted_uniques[roots],
+            "representative_id": sorted_uniques[winner_of[roots]],
+        }
+    )
+    if _TIMING:
+        print(f"[cc] driver UF+election: {time.time() - t0:6.2f}s nodes={len(nodes)}", flush=True)
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
     driver_max_edges: int = _DRIVER_CC_MAX_EDGES,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """(record_id, cluster_id) for every node appearing in `edges`.
 
@@ -148,13 +229,15 @@ def connected_components(
     large-star/small-star until the edge multiset is a stable star forest
     (signature: count + sum of xxhash64 of the sorted pair). Graphs under
     `driver_max_edges` use the driver union-find fast path (same labels).
+    `n_edges`, when known (checkpoint footer counts), skips the sizing job.
     """
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     if driver_max_edges > 0:
         # cheap narrow count (upstream edge phase is already materialized);
         # union-find tolerates duplicate edges, so no distinct() shuffle and
         # no extra localCheckpoint on the driver path
-        n_edges = cur.count()
+        if n_edges is None:
+            n_edges = cur.count()
         if n_edges <= driver_max_edges:
             if _TIMING:
                 print(f"[cc] driver union-find on {n_edges} edges", flush=True)
@@ -201,6 +284,7 @@ def assign_clusters_via_groups(
     rep_edges: DataFrame,
     broadcast_threshold_rows: int = 4_000_000,
     n_groups: int | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Cluster assignment + representative election without shuffling records.
 
@@ -224,37 +308,77 @@ def assign_clusters_via_groups(
     """
     from ala_name_matching_spark.operators.blocking import _group_hash_cols
 
-    comps = connected_components(rep_edges)
-    rep_label = comps.select(
-        F.col("record_id").alias("grp_rep"), F.col("cluster_id")
-    )
-    local_rows = getattr(comps, "_ala_local_rows", None)
-    if local_rows is not None and local_rows <= broadcast_threshold_rows:
-        rep_label = F.broadcast(rep_label)
-    groups = reps.select(
-        *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("tool_c")),
-        F.col("record_id").alias("grp_rep"),
-        F.length("canon_text").alias("_prio"),
-    )
-    labeled = groups.join(rep_label, "grp_rep", "left").withColumn(
-        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("grp_rep"))
-    )
-    # B7 election on the group table: min(struct(-prio, rep)) = max priority,
-    # ties to smallest record_id -- the same total order as
-    # elect_representatives over all records, since prio is group-constant
-    # and grp_rep is the group's min record_id.
-    winners = labeled.groupBy("cluster_id").agg(
-        F.min(
-            F.struct(
-                (-F.coalesce(F.col("_prio").cast("long"), F.lit(-(1 << 40)))).alias("_np"),
-                F.col("grp_rep").alias("_rid"),
+    spark = records.sparkSession
+    label_pdf = None
+    if n_edges is None:
+        n_edges = rep_edges.count()
+    if n_edges <= _DRIVER_CC_MAX_EDGES:
+        label_pdf = _driver_labels_and_winners(rep_edges)
+    if label_pdf is not None:
+        # driver fast path: labels AND winners in one pandas pass; the only
+        # distributed work left is one broadcast probe over the rep table.
+        if len(label_pdf):
+            t0 = time.time()
+            label_tbl = F.broadcast(spark.createDataFrame(label_pdf))
+            if _TIMING:
+                print(f"[cc] label createDataFrame: {time.time() - t0:6.2f}s", flush=True)
+        else:
+            label_tbl = F.broadcast(
+                spark.createDataFrame(
+                    [], "grp_rep string, cluster_id string, representative_id string"
+                )
             )
-        )["_rid"].alias("representative_id")
-    )
-    group_full = labeled.join(winners, "cluster_id").select(
-        "_g1", "_g2", "cluster_id", "representative_id"
-    )
-    if n_groups is not None and n_groups <= broadcast_threshold_rows:
+        groups = reps.select(
+            *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("tool_c")),
+            F.col("record_id").alias("grp_rep"),
+        )
+        group_full = (
+            groups.join(label_tbl, "grp_rep", "left")
+            .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("grp_rep")))
+            .withColumn(
+                "representative_id",
+                F.coalesce(F.col("representative_id"), F.col("grp_rep")),
+            )
+            .select("_g1", "_g2", "cluster_id", "representative_id")
+        )
+    else:
+        comps = connected_components(rep_edges, n_edges=n_edges)
+        rep_label = comps.select(
+            F.col("record_id").alias("grp_rep"), F.col("cluster_id")
+        )
+        local_rows = getattr(comps, "_ala_local_rows", None)
+        if local_rows is not None and local_rows <= broadcast_threshold_rows:
+            rep_label = F.broadcast(rep_label)
+        groups = reps.select(
+            *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("tool_c")),
+            F.col("record_id").alias("grp_rep"),
+            F.length("canon_text").alias("_prio"),
+        )
+        labeled = groups.join(rep_label, "grp_rep", "left").withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("grp_rep"))
+        )
+        # B7 election on the group table: min(struct(-prio, rep)) = max
+        # priority, ties to smallest record_id -- the same total order as
+        # elect_representatives over all records, since prio is
+        # group-constant and grp_rep is the group's min record_id.
+        winners = labeled.groupBy("cluster_id").agg(
+            F.min(
+                F.struct(
+                    (-F.coalesce(F.col("_prio").cast("long"), F.lit(-(1 << 40)))).alias("_np"),
+                    F.col("grp_rep").alias("_rid"),
+                )
+            )["_rid"].alias("representative_id")
+        )
+        group_full = labeled.join(winners, "cluster_id").select(
+            "_g1", "_g2", "cluster_id", "representative_id"
+        )
+    strategy = os.environ.get("ALA_SPARK_FINAL_JOIN", "")
+    if _TIMING:
+        print(f"[cc] final join: n_groups={n_groups} strategy={strategy or 'auto'}", flush=True)
+    if strategy != "shuffle" and (
+        strategy == "broadcast"
+        or (n_groups is not None and n_groups <= broadcast_threshold_rows)
+    ):
         group_full = F.broadcast(group_full)
     keyed = records.select(
         "*",

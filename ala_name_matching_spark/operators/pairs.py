@@ -165,6 +165,12 @@ def match_edges(
 
     Threshold is the MATCH_LIMIT analog (0.5 in the reference,
     ALANameSearcher.java:67), recalibrated for the JW+Lev+token blend.
+
+    Edges carry each endpoint's election priority (canon_text length, the
+    A6/B7 score analog) so the small-graph clustering path can elect cluster
+    representatives driver-side without a distributed groupBy -- every member
+    group of a multi-group cluster is an edge endpoint, so endpoint prios
+    cover exactly the groups that need election.
     """
     return scored.filter(
         (F.col("score") >= threshold) & ~F.col("homonym_conflict")
@@ -172,4 +178,6 @@ def match_edges(
         F.col("record_id_l").alias("src"),
         F.col("record_id_r").alias("dst"),
         "score",
+        F.length("canon_text_l").alias("src_prio"),
+        F.length("canon_text_r").alias("dst_prio"),
     )

@@ -155,10 +155,24 @@ def run_pipeline(
     # splits), which scales with data, so no explicit repartition needed
     # before the wide parquet encode.
     t5 = time.time()
-    # reps is a materialized checkpoint -> count() is parquet-footer-only
-    n_groups = reps.count()
+    # phase row counts come from checkpoint parquet footers (metadata-only,
+    # no Spark job -- driver actions are fixed, non-scaling costs); fall back
+    # to count() when checkpoints are off (tiny in-memory test runs)
+    n_groups = ckpt.row_count("p2_canon_reps")
+    if n_groups is None:
+        n_groups = reps.count()
+    n_edges = ckpt.row_count("p4_edges")
+    edge_cols = ["src", "dst"] + (
+        ["src_prio", "dst_prio"]
+        if "src_prio" in fuzzy_edges.columns
+        else []
+    )
     clustered = assign_clusters_via_groups(
-        features, reps, fuzzy_edges.select("src", "dst"), n_groups=n_groups
+        features,
+        reps,
+        fuzzy_edges.select(*edge_cols),
+        n_groups=n_groups,
+        n_edges=n_edges,
     )
     if _TIMING:
         print(f"[phase] p5_cc           {time.time() - t5:7.2f}s", flush=True)

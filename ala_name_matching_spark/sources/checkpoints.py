@@ -67,6 +67,8 @@ class CheckpointManager:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._path(phase))
+        if os.environ.get("ALA_SPARK_PHASE_TIMING", "") == "1":
+            print(f"[ckpt] {phase} write {time.time() - t0:6.2f}s", flush=True)
         out = self.read(phase)
         # Per-partition lineage rows (S5): one output file per write task, so
         # parquet footers carry the per-partition row counts -- metadata-only,
@@ -80,6 +82,19 @@ class CheckpointManager:
                 {"phase": phase, "partition": pid, "rows": rows, "wall_sec": wall}
             )
         return out
+
+    def row_count(self, phase: str) -> int | None:
+        """Exact row count of a committed phase from parquet footers only.
+
+        Metadata-only (no Spark job): the production analog is reading the
+        Iceberg snapshot manifest's record counts. Returns None when the
+        phase has not been committed, so callers fall back to a count().
+        Driver actions like this are a fixed, non-scaling cost in the
+        two-cluster-size criterion -- footers keep them off the job queue.
+        """
+        if not self.exists(phase):
+            return None
+        return sum(self._footer_counts(phase))
 
     def _footer_counts(self, phase: str) -> list[int]:
         import glob

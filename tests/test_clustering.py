@@ -57,3 +57,49 @@ def test_empty_edges(spark):
         for r in assign_clusters(records, edges).collect()
     }
     assert got == {"a": "a", "b": "b"}
+
+
+def test_distributed_matches_driver_path(spark):
+    """Large-star/small-star must produce identical labels to driver UF."""
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"),
+        ("m", "n"), ("n", "o"), ("o", "p"), ("p", "m"), ("q", "m"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    driver = {r["record_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    dist = {
+        r["record_id"]: r["cluster_id"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert driver == dist
+
+
+def test_via_groups_driver_vs_distributed_parity(spark):
+    """assign_clusters_via_groups: driver-side election == distributed election.
+
+    Runs the full pipeline on the synthetic fixture twice, forcing the
+    distributed groupBy-election path the second time, and asserts identical
+    (cluster_id, representative) assignments for every record.
+    """
+    from ala_name_matching_spark.operators import clustering as cl
+    from ala_name_matching_spark.plans.pipeline import run_pipeline
+    from ala_name_matching_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, 2000, partitions=4).drop("entity_id")
+
+    def snap(df):
+        return {
+            r["record_id"]: (r["cluster_id"], r["representative_id"], r["is_representative"])
+            for r in df.select(
+                "record_id", "cluster_id", "representative_id", "is_representative"
+            ).collect()
+        }
+
+    got_driver = snap(run_pipeline(t))
+    saved = cl._DRIVER_CC_MAX_EDGES
+    try:
+        cl._DRIVER_CC_MAX_EDGES = 0
+        got_dist = snap(run_pipeline(t))
+    finally:
+        cl._DRIVER_CC_MAX_EDGES = saved
+    assert got_driver == got_dist
