@@ -80,8 +80,9 @@ spark = get_spark(
         # write stage hung forever on a silently-vanished task; speculation
         # re-launches it (and is standard production practice anyway)
         "spark.speculation": "true",
-        "spark.speculation.multiplier": "3",
-        "spark.speculation.quantile": "0.9",
+        "spark.speculation.multiplier": "6",
+        "spark.speculation.quantile": "0.95",
+        "spark.speculation.minTaskRuntime": "10s",
     },
 )
 

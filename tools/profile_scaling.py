@@ -33,8 +33,9 @@ spark = get_spark(
         "spark.local.dir": f"{work}/spark-local",
         "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
         "spark.speculation": "true",
-        "spark.speculation.multiplier": "3",
-        "spark.speculation.quantile": "0.9",
+        "spark.speculation.multiplier": "6",
+        "spark.speculation.quantile": "0.95",
+        "spark.speculation.minTaskRuntime": "10s",
     },
 )
 inp = f"{work}/input"
