@@ -40,7 +40,7 @@ import os
 import subprocess
 import sys
 
-CORES_PER_EXEC = 2
+CORES_PER_EXEC = int(os.environ.get("ALA_SPARK_CORES_PER_EXEC", "2"))
 # 8 execs x 8 GiB = 64 GiB heap worst-case, leaving ~60 GiB of host RAM for
 # python workers + the tmpfs working set (see STORAGE_DIR).
 EXEC_MEM_MB = 8192
@@ -75,13 +75,13 @@ spark = get_spark(
         "spark.local.dir": f"{work}/spark-local",
         # input files are ~25 MB each; a smaller split size keeps the scan
         # wide enough to feed 16 cores (identical for both cluster sizes)
-        "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
         # straggler/lost-task insurance: observed a local-cluster run whose
         # write stage hung forever on a silently-vanished task; speculation
         # re-launches it (and is standard production practice anyway)
         "spark.speculation": "true",
-        "spark.speculation.multiplier": "6",
-        "spark.speculation.quantile": "0.95",
+        "spark.speculation.multiplier": "3",
+        "spark.speculation.quantile": "0.9",
         "spark.speculation.minTaskRuntime": "10s",
     },
 )

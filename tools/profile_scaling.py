@@ -31,10 +31,10 @@ spark = get_spark(
     "scaleprof", master=f"local-cluster[{execs},{cores_per},{mem_mb}]",
     extra_conf={
         "spark.local.dir": f"{work}/spark-local",
-        "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
         "spark.speculation": "true",
-        "spark.speculation.multiplier": "6",
-        "spark.speculation.quantile": "0.95",
+        "spark.speculation.multiplier": "3",
+        "spark.speculation.quantile": "0.9",
         "spark.speculation.minTaskRuntime": "10s",
     },
 )
