@@ -19,6 +19,8 @@ backstop (session.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -169,40 +171,67 @@ def canon_group_representatives(features: DataFrame) -> DataFrame:
     killer: a hot entity with millions of exact duplicates contributes a
     handful of representatives.
 
-    Shuffle design: the groupBy aggregates ONLY min(record_id) + count --
-    no first(payload) columns ride the shuffle. Every rep payload column is
-    reconstructed from the group key itself post-agg: canon_key IS the
-    canonical text for non-placeholder groups (canon_key_from_canon), role/
-    tool are group keys, and the phonetic columns are deterministic functions
-    of canon_text re-derived on the (orders-of-magnitude smaller) rep table.
-    At 6M turns this cut the p2 shuffle from ~4x text bytes per row to ~1x,
-    which is the difference between a disk-bound and a CPU-bound phase.
+    Shuffle design: the groupBy keys on the 128-bit group hash and
+    aggregates ONLY min(record_id) + count, so the shuffle carries ~40 bytes
+    per row -- no text, no payload. Rep payload columns come from the
+    feature rows of the winning ids (broadcast join back on record_id; the
+    feature side never shuffles), and the heavy phonetic_tokens arrays are
+    re-derived on the (orders-of-magnitude smaller) rep table. At 9.6M turns
+    this took p2 from the pipeline's worst-scaling phase (text-keyed shuffle)
+    to a fraction of p1.
     """
     with_tool = features.withColumn("_tool_c", F.coalesce(F.col("tool"), F.lit("<null>")))
-    agg = with_tool.groupBy("canon_key", "role", "_tool_c").agg(
+    # Aggregate on the 128-bit group hash, NOT the raw (canon_key, role,
+    # tool) strings: the groupBy shuffle then carries 16 bytes + id + count
+    # per row instead of the full canonical text (~6x fewer shuffle bytes at
+    # bench scale; at 10^12 turns the difference is petabytes). The rep's
+    # key/payload columns are recovered from the feature table itself by
+    # joining the (|groups|-sized) winner-id list back on record_id.
+    agg = with_tool.groupBy(
+        *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("_tool_c"))
+    ).agg(
         F.min("record_id").alias("record_id"),
         F.count("*").alias("group_size"),
+    ).select("record_id", "group_size", "_g1", "_g2")
+    # Broadcast the id list so the feature side never shuffles: the rep-id
+    # table is the contraction of exact duplicates, orders of magnitude
+    # smaller than the records. At 10^12-turn scale (group count too big to
+    # broadcast) flip ALA_SPARK_REP_JOIN=shuffle: the fallback is the same
+    # record_id hash join, and the production feature table is bucketed by
+    # record_id so it co-locates without a shuffle anyway.
+    if os.environ.get("ALA_SPARK_REP_JOIN", "") != "shuffle":
+        agg = F.broadcast(agg)
+    is_ph = F.col("canon_key").startswith("__ph__")
+    # _g1/_g2 stay in the rep table: downstream consumers (cluster labeling,
+    # group maps) reuse the persisted hash instead of recomputing it, and the
+    # driver fast path can read (group hash -> rep) straight from the
+    # checkpoint parquet without a Spark job.
+    reps = with_tool.join(agg, "record_id").select(
+        "record_id",
+        "group_size",
+        "_g1",
+        "_g2",
+        "canon_key",
+        "role",
+        F.col("_tool_c").alias("tool_c"),
+        "tool",
+        "norm_text",
+        # placeholder groups keep null canon/phonetic columns exactly like
+        # the key-derived rep build did (they must never block or score)
+        F.when(is_ph, F.lit(None).cast("string"))
+        .otherwise(F.col("canon_text"))
+        .alias("canon_text"),
     )
-    # The rep table is byte-small post-agg, so AQE coalesces it to a handful
-    # of partitions -- which would serialize the (CPU-bound) phonetic UDF
+    # The rep table is byte-small, so AQE coalesces it to a handful of
+    # partitions -- which would serialize the (CPU-bound) phonetic UDF
     # re-derivation below onto a few cores regardless of cluster size. Pin
     # the rep table to cluster parallelism before the UDF projection.
-    agg = agg.repartition(features.sparkSession.sparkContext.defaultParallelism * 2)
-    reps = agg.withColumn(
-        "canon_text",
-        F.when(F.col("canon_key").startswith("__ph__"), F.lit(None).cast("string"))
-        .otherwise(F.col("canon_key")),
-    ).withColumn(
-        "tool",
-        F.when(F.col("_tool_c") == "<null>", F.lit(None).cast("string"))
-        .otherwise(F.col("_tool_c")),
-    )
+    reps = reps.repartition(features.sparkSession.sparkContext.defaultParallelism * 2)
     reps = reps.withColumn("_ph", phonetic_struct_udf(F.col("canon_text")))
     return (
         reps.withColumn("phonetic_key", F.col("_ph.phonetic_key"))
         .withColumn("phonetic_tokens", F.col("_ph.phonetic_tokens"))
         .drop("_ph")
-        .withColumnRenamed("_tool_c", "tool_c")
     )
 
 
@@ -227,9 +256,13 @@ def group_map_from_reps(features: DataFrame, reps: DataFrame) -> DataFrame:
     table -- avoids repeating the canonical groupBy that built the reps
     (canon_group_map ran the identical aggregation a second time). The join
     runs on the 128-bit group hash (16 bytes/row shuffled, not the text)."""
-    lookup = reps.select(
-        *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("tool_c")),
-        F.col("record_id").alias("group_rep"),
+    lookup = (
+        reps.select("_g1", "_g2", F.col("record_id").alias("group_rep"))
+        if "_g1" in reps.columns
+        else reps.select(
+            *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("tool_c")),
+            F.col("record_id").alias("group_rep"),
+        )
     )
     with_tool = features.withColumn(
         "_tool_c", F.coalesce(F.col("tool"), F.lit("<null>"))

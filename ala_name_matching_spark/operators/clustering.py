@@ -158,7 +158,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     return sdf
 
 
-def _driver_labels_and_winners(edges: DataFrame):
+def _driver_labels_and_winners(edges: DataFrame, edges_pdf=None):
     """Driver fast path for label + representative election combined.
 
     Returns a pandas frame (grp_rep, cluster_id, representative_id) covering
@@ -178,9 +178,14 @@ def _driver_labels_and_winners(edges: DataFrame):
     if "src_prio" not in edges.columns or "dst_prio" not in edges.columns:
         return None
     t0 = time.time()
-    pdf = edges.select("src", "dst", "src_prio", "dst_prio").toPandas()
+    if edges_pdf is not None:
+        # edge list already read driver-side from the local phase checkpoint
+        # (pyarrow, no Spark job) -- see CheckpointManager.read_local_pandas
+        pdf = edges_pdf
+    else:
+        pdf = edges.select("src", "dst", "src_prio", "dst_prio").toPandas()
     if _TIMING:
-        print(f"[cc] edges toPandas: {time.time() - t0:6.2f}s rows={len(pdf)}", flush=True)
+        print(f"[cc] edges load: {time.time() - t0:6.2f}s rows={len(pdf)}", flush=True)
     if len(pdf) == 0:
         return pd.DataFrame(
             {"grp_rep": pd.Series(dtype=object),
@@ -282,9 +287,12 @@ def assign_clusters_via_groups(
     records: DataFrame,
     reps: DataFrame,
     rep_edges: DataFrame,
-    broadcast_threshold_rows: int = 4_000_000,
+    broadcast_threshold_rows: int = 8_000_000,
     n_groups: int | None = None,
     n_edges: int | None = None,
+    edges_pdf=None,
+    reps_hash_pdf=None,
+    table_writer=None,
 ) -> DataFrame:
     """Cluster assignment + representative election without shuffling records.
 
@@ -305,6 +313,13 @@ def assign_clusters_via_groups(
     min record of its group and the component label is the min rep.
     Representative election matches representative.elect_representatives
     (B7, ALATaxonResolver.principals analog, deterministic tie-break).
+
+    Fast-path inputs (all optional, all derived from local phase
+    checkpoints by the caller): `edges_pdf` (src, dst, src_prio, dst_prio),
+    `reps_hash_pdf` (_g1, _g2, record_id), `table_writer(name, pdf) -> path`
+    -- with all three present the entire label+election computation runs in
+    ONE driver pandas pass and re-enters the plan as a parquet scan, leaving
+    exactly one distributed operation: the broadcast probe of the records.
     """
     from ala_name_matching_spark.operators.blocking import _group_hash_cols
 
@@ -313,34 +328,64 @@ def assign_clusters_via_groups(
     if n_edges is None:
         n_edges = rep_edges.count()
     if n_edges <= _DRIVER_CC_MAX_EDGES:
-        label_pdf = _driver_labels_and_winners(rep_edges)
+        label_pdf = _driver_labels_and_winners(rep_edges, edges_pdf=edges_pdf)
     if label_pdf is not None:
-        # driver fast path: labels AND winners in one pandas pass; the only
-        # distributed work left is one broadcast probe over the rep table.
-        if len(label_pdf):
+        group_full = None
+        if reps_hash_pdf is not None and table_writer is not None:
+            # all-driver lane: merge labels onto the (group hash -> rep) map
+            # in pandas, persist via pyarrow, re-read as a parquet scan --
+            # no createDataFrame arrow conversion, no rep-table Spark job.
             t0 = time.time()
-            label_tbl = F.broadcast(spark.createDataFrame(label_pdf))
+            gf = reps_hash_pdf.merge(
+                label_pdf, left_on="record_id", right_on="grp_rep", how="left"
+            )
+            gf["cluster_id"] = gf["cluster_id"].where(
+                gf["cluster_id"].notna(), gf["record_id"]
+            )
+            gf["representative_id"] = gf["representative_id"].where(
+                gf["representative_id"].notna(), gf["record_id"]
+            )
+            gf = gf[["_g1", "_g2", "cluster_id", "representative_id"]]
+            path = table_writer("_driver_group_labels", gf)
+            if path is not None:
+                group_full = spark.read.parquet(path)
+                if n_groups is None:
+                    n_groups = len(gf)
             if _TIMING:
-                print(f"[cc] label createDataFrame: {time.time() - t0:6.2f}s", flush=True)
-        else:
-            label_tbl = F.broadcast(
-                spark.createDataFrame(
-                    [], "grp_rep string, cluster_id string, representative_id string"
+                print(f"[cc] driver label merge+write: {time.time() - t0:6.2f}s", flush=True)
+        if group_full is None:
+            # driver labels, distributed attach: broadcast the label table
+            # onto the rep table to build the group-label map.
+            if len(label_pdf):
+                t0 = time.time()
+                label_tbl = F.broadcast(spark.createDataFrame(label_pdf))
+                if _TIMING:
+                    print(f"[cc] label createDataFrame: {time.time() - t0:6.2f}s", flush=True)
+            else:
+                label_tbl = F.broadcast(
+                    spark.createDataFrame(
+                        [], "grp_rep string, cluster_id string, representative_id string"
+                    )
                 )
+            groups = reps.select(
+                *(
+                    [F.col("_g1"), F.col("_g2")]
+                    if "_g1" in reps.columns
+                    else _group_hash_cols(
+                        F.col("canon_key"), F.col("role"), F.col("tool_c")
+                    )
+                ),
+                F.col("record_id").alias("grp_rep"),
             )
-        groups = reps.select(
-            *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("tool_c")),
-            F.col("record_id").alias("grp_rep"),
-        )
-        group_full = (
-            groups.join(label_tbl, "grp_rep", "left")
-            .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("grp_rep")))
-            .withColumn(
-                "representative_id",
-                F.coalesce(F.col("representative_id"), F.col("grp_rep")),
+            group_full = (
+                groups.join(label_tbl, "grp_rep", "left")
+                .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("grp_rep")))
+                .withColumn(
+                    "representative_id",
+                    F.coalesce(F.col("representative_id"), F.col("grp_rep")),
+                )
+                .select("_g1", "_g2", "cluster_id", "representative_id")
             )
-            .select("_g1", "_g2", "cluster_id", "representative_id")
-        )
     else:
         comps = connected_components(rep_edges, n_edges=n_edges)
         rep_label = comps.select(
@@ -350,7 +395,13 @@ def assign_clusters_via_groups(
         if local_rows is not None and local_rows <= broadcast_threshold_rows:
             rep_label = F.broadcast(rep_label)
         groups = reps.select(
-            *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("tool_c")),
+            *(
+                [F.col("_g1"), F.col("_g2")]
+                if "_g1" in reps.columns
+                else _group_hash_cols(
+                    F.col("canon_key"), F.col("role"), F.col("tool_c")
+                )
+            ),
             F.col("record_id").alias("grp_rep"),
             F.length("canon_text").alias("_prio"),
         )

@@ -154,6 +154,10 @@ def run_pipeline(
     # output keeps the feature scan's partitioning (maxPartitionBytes-sized
     # splits), which scales with data, so no explicit repartition needed
     # before the wide parquet encode.
+    if ckpt.exists("p6_clusters"):
+        ckpt.write_metrics()
+        return ckpt.read("p6_clusters")
+
     t5 = time.time()
     # phase row counts come from checkpoint parquet footers (metadata-only,
     # no Spark job -- driver actions are fixed, non-scaling costs); fall back
@@ -167,12 +171,25 @@ def run_pipeline(
         if "src_prio" in fuzzy_edges.columns
         else []
     )
+    # driver fast-path inputs: local pyarrow reads of the committed phase
+    # parquet (no Spark collect jobs) -- None on remote storage or when
+    # checkpointing is off, in which case the distributed paths take over
+    edges_pdf = reps_hash_pdf = None
+    if len(edge_cols) == 4:
+        edges_pdf = ckpt.read_local_pandas("p4_edges", edge_cols)
+    if "_g1" in reps.columns:
+        reps_hash_pdf = ckpt.read_local_pandas(
+            "p2_canon_reps", ["_g1", "_g2", "record_id"]
+        )
     clustered = assign_clusters_via_groups(
         features,
         reps,
         fuzzy_edges.select(*edge_cols),
         n_groups=n_groups,
         n_edges=n_edges,
+        edges_pdf=edges_pdf,
+        reps_hash_pdf=reps_hash_pdf,
+        table_writer=ckpt.write_driver_table,
     )
     if _TIMING:
         print(f"[phase] p5_cc           {time.time() - t5:7.2f}s", flush=True)

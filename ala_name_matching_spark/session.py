@@ -13,6 +13,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def er_conf(shuffle_partitions: int | None = None) -> dict:
+    """The engine's standard Spark conf, master-agnostic.
+
+    These are exactly the `--conf` flags the production `spark-submit
+    --py-files` invocation passes (jobs/run_er.py); get_spark() applies the
+    same dict for in-process sessions so tests, benches, and cluster runs
+    execute under one configuration.
+    """
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    return conf
+
+
 def get_spark(
     app_name: str = "ala_name_matching_spark",
     master: str | None = None,
@@ -35,17 +56,12 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in er_conf(shuffle_partitions).items():
+        builder = builder.config(k, v)
     if executor_memory is not None:
         builder = builder.config("spark.executor.memory", executor_memory)
     if master.startswith("local-cluster"):

@@ -78,10 +78,13 @@ spark = get_spark(
         "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
         # straggler/lost-task insurance: observed a local-cluster run whose
         # write stage hung forever on a silently-vanished task; speculation
-        # re-launches it (and is standard production practice anyway)
+        # re-launches it. On a CPU-saturated host a lower multiplier
+        # duplicates healthy CPU-bound tasks and doubles load (measured 2x
+        # run variance at 8 executors), so it only fires for
+        # order-of-magnitude stragglers/hangs
         "spark.speculation": "true",
-        "spark.speculation.multiplier": "3",
-        "spark.speculation.quantile": "0.9",
+        "spark.speculation.multiplier": "6",
+        "spark.speculation.quantile": "0.95",
         "spark.speculation.minTaskRuntime": "10s",
     },
 )
