@@ -283,6 +283,219 @@ def assign_clusters(records: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def group_label_table(
+    reps: DataFrame,
+    rep_edges: DataFrame,
+    broadcast_threshold_rows: int = 8_000_000,
+    n_edges: int | None = None,
+    edges_pdf=None,
+    table_writer=None,
+) -> DataFrame:
+    """(group hash -> cluster_id, representative_id) for EVERY canonical group.
+
+    Everything cluster-shaped is a function of the canonical GROUP, not the
+    record: canon_text (hence election priority = its length) is constant
+    within a group, and the group rep's record_id is the min record of the
+    group, so the per-cluster winner under (max priority, ties to min
+    record_id) is decidable on the rep table alone. Labels are identical to
+    CC on the full record graph: group_rep is the min record of its group and
+    the component label is the min rep. Election matches
+    representative.elect_representatives (B7, ALATaxonResolver.principals
+    analog, deterministic tie-break).
+
+    Small graphs (the common case -- the rep graph is the contraction of
+    exact duplicates) take the driver lane: numpy union-find + election over
+    the edge list (`edges_pdf` lets the caller hand in a local pyarrow read
+    of the committed edge phase, skipping the collect job), then the
+    ~|nodes|-sized label frame re-enters the plan via `table_writer` as a
+    parquet scan (half the cost of createDataFrame's arrow conversion at
+    millions of rows) and broadcast-attaches to the rep table -- one small
+    distributed job, no driver-side pass over the |groups|-sized table.
+    Large graphs use distributed large-star/small-star + a groupBy election.
+    """
+    from ala_name_matching_spark.operators.blocking import _group_hash_cols
+
+    spark = reps.sparkSession
+    label_pdf = None
+    if n_edges is None:
+        n_edges = rep_edges.count()
+    if n_edges <= _DRIVER_CC_MAX_EDGES:
+        label_pdf = _driver_labels_and_winners(rep_edges, edges_pdf=edges_pdf)
+    hash_cols = (
+        [F.col("_g1"), F.col("_g2")]
+        if "_g1" in reps.columns
+        else _group_hash_cols(F.col("canon_key"), F.col("role"), F.col("tool_c"))
+    )
+    if label_pdf is not None:
+        label_tbl = None
+        if len(label_pdf) and table_writer is not None:
+            t0 = time.time()
+            path = table_writer("p5_labels", label_pdf)
+            if path is not None:
+                label_tbl = spark.read.parquet(path)
+            if _TIMING:
+                print(f"[cc] label pyarrow write: {time.time() - t0:6.2f}s", flush=True)
+        if label_tbl is None:
+            if len(label_pdf):
+                t0 = time.time()
+                label_tbl = spark.createDataFrame(label_pdf)
+                if _TIMING:
+                    print(f"[cc] label createDataFrame: {time.time() - t0:6.2f}s", flush=True)
+            else:
+                label_tbl = spark.createDataFrame(
+                    [], "grp_rep string, cluster_id string, representative_id string"
+                )
+        groups = reps.select(*hash_cols, F.col("record_id").alias("grp_rep"))
+        return (
+            groups.join(F.broadcast(label_tbl), "grp_rep", "left")
+            .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("grp_rep")))
+            .withColumn(
+                "representative_id",
+                F.coalesce(F.col("representative_id"), F.col("grp_rep")),
+            )
+            .select("_g1", "_g2", "cluster_id", "representative_id")
+        )
+    comps = connected_components(rep_edges, n_edges=n_edges)
+    rep_label = comps.select(F.col("record_id").alias("grp_rep"), F.col("cluster_id"))
+    local_rows = getattr(comps, "_ala_local_rows", None)
+    if local_rows is not None and local_rows <= broadcast_threshold_rows:
+        rep_label = F.broadcast(rep_label)
+    groups = reps.select(
+        *hash_cols,
+        F.col("record_id").alias("grp_rep"),
+        F.length("canon_text").alias("_prio"),
+    )
+    labeled = groups.join(rep_label, "grp_rep", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("grp_rep"))
+    )
+    # B7 election on the group table: min(struct(-prio, rep)) = max
+    # priority, ties to smallest record_id -- the same total order as
+    # elect_representatives over all records, since prio is
+    # group-constant and grp_rep is the group's min record_id.
+    winners = labeled.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.coalesce(F.col("_prio").cast("long"), F.lit(-(1 << 40)))).alias("_np"),
+                F.col("grp_rep").alias("_rid"),
+            )
+        )["_rid"].alias("representative_id")
+    )
+    return labeled.join(winners, "cluster_id").select(
+        "_g1", "_g2", "cluster_id", "representative_id"
+    )
+
+
+def label_attach_arrow(reps_tbl, label_pdf):
+    """Driver-side label attach: (group hash -> cluster/representative) as an
+    Arrow table, no Spark job and no python-object churn.
+
+    `reps_tbl` is the (_g1,_g2,record_id) pyarrow read of the committed rep
+    phase; `label_pdf` the _driver_labels_and_winners frame. The left join +
+    coalesce run in Arrow's multithreaded C++ kernels -- measured ~5x faster
+    than the equivalent pandas merge on a million object strings, and the
+    result streams straight to parquet (CheckpointManager.write_driver_table)
+    where the record probe scans it back broadcast-side.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if label_pdf is None or not len(label_pdf):
+        return pa.table(
+            {
+                "_g1": reps_tbl["_g1"],
+                "_g2": reps_tbl["_g2"],
+                "cluster_id": reps_tbl["record_id"],
+                "representative_id": reps_tbl["record_id"],
+            }
+        )
+    lbl = pa.Table.from_pandas(label_pdf, preserve_index=False)
+    joined = reps_tbl.join(
+        lbl, keys=["record_id"], right_keys=["grp_rep"], join_type="left outer"
+    )
+    return pa.table(
+        {
+            "_g1": joined["_g1"],
+            "_g2": joined["_g2"],
+            "cluster_id": pc.coalesce(joined["cluster_id"], joined["record_id"]),
+            "representative_id": pc.coalesce(
+                joined["representative_id"], joined["record_id"]
+            ),
+        }
+    )
+
+
+def _keyed_records(records: DataFrame) -> DataFrame:
+    from ala_name_matching_spark.operators.blocking import _group_hash_cols
+
+    return records.select(
+        "*",
+        *_group_hash_cols(
+            F.col("canon_key"),
+            F.col("role"),
+            F.coalesce(F.col("tool"), F.lit("<null>")),
+        ),
+    )
+
+
+def _maybe_broadcast(group_full: DataFrame, n_groups, threshold):
+    strategy = os.environ.get("ALA_SPARK_FINAL_JOIN", "")
+    if _TIMING:
+        print(f"[cc] final join: n_groups={n_groups} strategy={strategy or 'auto'}", flush=True)
+    if strategy != "shuffle" and (
+        strategy == "broadcast" or (n_groups is not None and n_groups <= threshold)
+    ):
+        return F.broadcast(group_full)
+    return group_full
+
+
+def attach_cluster_columns(
+    records: DataFrame,
+    group_full: DataFrame,
+    n_groups: int | None = None,
+    broadcast_threshold_rows: int = 8_000_000,
+) -> DataFrame:
+    """Wide clustered view: every record column + cluster/representative cols.
+
+    ONE join on the 128-bit group hash -- broadcast when the group-label
+    table is small (it is, by construction: groups are the contraction of
+    exact duplicates), so the wide record rows never shuffle. Beyond
+    `broadcast_threshold_rows` the join falls back to a hash join on
+    (_g1,_g2) -- the same shuffle the record-level formulation paid anyway.
+    """
+    gf = _maybe_broadcast(group_full, n_groups, broadcast_threshold_rows)
+    out = _keyed_records(records).join(gf, ["_g1", "_g2"]).drop("_g1", "_g2")
+    return out.withColumn(
+        "is_representative", F.col("record_id") == F.col("representative_id")
+    )
+
+
+def assignment_table(
+    records: DataFrame,
+    group_full: DataFrame,
+    n_groups: int | None = None,
+    broadcast_threshold_rows: int = 8_000_000,
+) -> DataFrame:
+    """Narrow record-level ER product: (record_id, cluster_id,
+    representative_id, is_representative).
+
+    This is the table a 100 TB job actually commits: the immutable input
+    corpus is never rewritten to carry a cluster column -- the assignment
+    keyed by record_id IS the deliverable (the reference likewise emits an
+    idmap, DwcaNameIndexer.writeIdMap, DwcaNameIndexer.java:1118-1128).
+    Catalyst prunes the probe scan to the four key columns, so the job never
+    reads the text payload at all.
+    """
+    gf = _maybe_broadcast(group_full, n_groups, broadcast_threshold_rows)
+    keyed = _keyed_records(records.select("record_id", "canon_key", "role", "tool"))
+    out = keyed.join(gf, ["_g1", "_g2"])
+    return out.select(
+        "record_id",
+        "cluster_id",
+        "representative_id",
+        (F.col("record_id") == F.col("representative_id")).alias("is_representative"),
+    )
+
+
 def assign_clusters_via_groups(
     records: DataFrame,
     reps: DataFrame,
@@ -291,157 +504,20 @@ def assign_clusters_via_groups(
     n_groups: int | None = None,
     n_edges: int | None = None,
     edges_pdf=None,
-    reps_hash_pdf=None,
     table_writer=None,
 ) -> DataFrame:
-    """Cluster assignment + representative election without shuffling records.
-
-    Everything cluster-shaped is a function of the canonical GROUP, not the
-    record: canon_text (hence election priority = its length) is constant
-    within a group, and the group rep's record_id is the min record of the
-    group, so the per-cluster winner under (max priority, ties to min
-    record_id) is decidable on the rep table alone. We therefore compute
-    (group -> cluster_id, representative_id) on the |groups|-sized rep table
-    and attach it to the record table with ONE join on the 128-bit group
-    hash -- broadcast when the group-label table is small (it is, by
-    construction: reps are the contraction of exact duplicates), so the wide
-    record table never shuffles at all. Beyond `broadcast_threshold_rows`
-    the join falls back to a hash join on (_g1,_g2) -- the same shuffle the
-    record-level formulation paid anyway.
-
-    Labels are identical to CC on the full record graph: group_rep is the
-    min record of its group and the component label is the min rep.
-    Representative election matches representative.elect_representatives
-    (B7, ALATaxonResolver.principals analog, deterministic tie-break).
-
-    Fast-path inputs (all optional, all derived from local phase
-    checkpoints by the caller): `edges_pdf` (src, dst, src_prio, dst_prio),
-    `reps_hash_pdf` (_g1, _g2, record_id), `table_writer(name, pdf) -> path`
-    -- with all three present the entire label+election computation runs in
-    ONE driver pandas pass and re-enters the plan as a parquet scan, leaving
-    exactly one distributed operation: the broadcast probe of the records.
-    """
-    from ala_name_matching_spark.operators.blocking import _group_hash_cols
-
-    spark = records.sparkSession
-    label_pdf = None
-    if n_edges is None:
-        n_edges = rep_edges.count()
-    if n_edges <= _DRIVER_CC_MAX_EDGES:
-        label_pdf = _driver_labels_and_winners(rep_edges, edges_pdf=edges_pdf)
-    if label_pdf is not None:
-        group_full = None
-        if reps_hash_pdf is not None and table_writer is not None:
-            # all-driver lane: merge labels onto the (group hash -> rep) map
-            # in pandas, persist via pyarrow, re-read as a parquet scan --
-            # no createDataFrame arrow conversion, no rep-table Spark job.
-            t0 = time.time()
-            gf = reps_hash_pdf.merge(
-                label_pdf, left_on="record_id", right_on="grp_rep", how="left"
-            )
-            gf["cluster_id"] = gf["cluster_id"].where(
-                gf["cluster_id"].notna(), gf["record_id"]
-            )
-            gf["representative_id"] = gf["representative_id"].where(
-                gf["representative_id"].notna(), gf["record_id"]
-            )
-            gf = gf[["_g1", "_g2", "cluster_id", "representative_id"]]
-            path = table_writer("_driver_group_labels", gf)
-            if path is not None:
-                group_full = spark.read.parquet(path)
-                if n_groups is None:
-                    n_groups = len(gf)
-            if _TIMING:
-                print(f"[cc] driver label merge+write: {time.time() - t0:6.2f}s", flush=True)
-        if group_full is None:
-            # driver labels, distributed attach: broadcast the label table
-            # onto the rep table to build the group-label map.
-            if len(label_pdf):
-                t0 = time.time()
-                label_tbl = F.broadcast(spark.createDataFrame(label_pdf))
-                if _TIMING:
-                    print(f"[cc] label createDataFrame: {time.time() - t0:6.2f}s", flush=True)
-            else:
-                label_tbl = F.broadcast(
-                    spark.createDataFrame(
-                        [], "grp_rep string, cluster_id string, representative_id string"
-                    )
-                )
-            groups = reps.select(
-                *(
-                    [F.col("_g1"), F.col("_g2")]
-                    if "_g1" in reps.columns
-                    else _group_hash_cols(
-                        F.col("canon_key"), F.col("role"), F.col("tool_c")
-                    )
-                ),
-                F.col("record_id").alias("grp_rep"),
-            )
-            group_full = (
-                groups.join(label_tbl, "grp_rep", "left")
-                .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("grp_rep")))
-                .withColumn(
-                    "representative_id",
-                    F.coalesce(F.col("representative_id"), F.col("grp_rep")),
-                )
-                .select("_g1", "_g2", "cluster_id", "representative_id")
-            )
-    else:
-        comps = connected_components(rep_edges, n_edges=n_edges)
-        rep_label = comps.select(
-            F.col("record_id").alias("grp_rep"), F.col("cluster_id")
-        )
-        local_rows = getattr(comps, "_ala_local_rows", None)
-        if local_rows is not None and local_rows <= broadcast_threshold_rows:
-            rep_label = F.broadcast(rep_label)
-        groups = reps.select(
-            *(
-                [F.col("_g1"), F.col("_g2")]
-                if "_g1" in reps.columns
-                else _group_hash_cols(
-                    F.col("canon_key"), F.col("role"), F.col("tool_c")
-                )
-            ),
-            F.col("record_id").alias("grp_rep"),
-            F.length("canon_text").alias("_prio"),
-        )
-        labeled = groups.join(rep_label, "grp_rep", "left").withColumn(
-            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("grp_rep"))
-        )
-        # B7 election on the group table: min(struct(-prio, rep)) = max
-        # priority, ties to smallest record_id -- the same total order as
-        # elect_representatives over all records, since prio is
-        # group-constant and grp_rep is the group's min record_id.
-        winners = labeled.groupBy("cluster_id").agg(
-            F.min(
-                F.struct(
-                    (-F.coalesce(F.col("_prio").cast("long"), F.lit(-(1 << 40)))).alias("_np"),
-                    F.col("grp_rep").alias("_rid"),
-                )
-            )["_rid"].alias("representative_id")
-        )
-        group_full = labeled.join(winners, "cluster_id").select(
-            "_g1", "_g2", "cluster_id", "representative_id"
-        )
-    strategy = os.environ.get("ALA_SPARK_FINAL_JOIN", "")
-    if _TIMING:
-        print(f"[cc] final join: n_groups={n_groups} strategy={strategy or 'auto'}", flush=True)
-    if strategy != "shuffle" and (
-        strategy == "broadcast"
-        or (n_groups is not None and n_groups <= broadcast_threshold_rows)
-    ):
-        group_full = F.broadcast(group_full)
-    keyed = records.select(
-        "*",
-        *_group_hash_cols(
-            F.col("canon_key"),
-            F.col("role"),
-            F.coalesce(F.col("tool"), F.lit("<null>")),
-        ),
+    """group_label_table + attach_cluster_columns in one call (compat API)."""
+    group_full = group_label_table(
+        reps,
+        rep_edges,
+        broadcast_threshold_rows=broadcast_threshold_rows,
+        n_edges=n_edges,
+        edges_pdf=edges_pdf,
+        table_writer=table_writer,
     )
-    out = keyed.join(group_full, ["_g1", "_g2"]).drop("_g1", "_g2")
-    return out.withColumn(
-        "is_representative", F.col("record_id") == F.col("representative_id")
+    return attach_cluster_columns(
+        records, group_full, n_groups=n_groups,
+        broadcast_threshold_rows=broadcast_threshold_rows,
     )
 
 

@@ -46,7 +46,14 @@ from ala_name_matching_spark.operators.blocking import (
     with_blocking_columns,
     with_record_id,
 )
-from ala_name_matching_spark.operators.clustering import assign_clusters_via_groups
+from ala_name_matching_spark.operators.clustering import (
+    _DRIVER_CC_MAX_EDGES,
+    _driver_labels_and_winners,
+    assignment_table,
+    attach_cluster_columns,
+    group_label_table,
+    label_attach_arrow,
+)
 from ala_name_matching_spark.operators.pairs import (
     apply_pair_scores,
     match_edges,
@@ -89,6 +96,43 @@ def _phase(ckpt: CheckpointManager, name: str, build) -> DataFrame:
 
 
 
+def _driver_label_artifact(ckpt: CheckpointManager, fuzzy_edges: DataFrame) -> bool:
+    """All-driver p5 lane: write p5_group_labels without any Spark job.
+
+    Eligible when the committed edge phase is small (< _DRIVER_CC_MAX_EDGES,
+    known from parquet footers) and on local storage: pyarrow-read the edges,
+    numpy union-find + election, Arrow-join the labels onto the (group hash
+    -> rep) map read from the committed rep phase, write the phase artifact
+    chunked. The two Spark jobs this replaces (label attach + group-table
+    write) were pure fixed cost in the two-cluster-size criterion. Returns
+    False when ineligible -- callers fall back to the distributed lane.
+    """
+    if not ckpt.enabled:
+        return False
+    n_edges = ckpt.row_count("p4_edges")
+    if n_edges is None or n_edges > _DRIVER_CC_MAX_EDGES:
+        return False
+    if not {"src", "dst", "src_prio", "dst_prio"} <= set(fuzzy_edges.columns):
+        return False
+    edges_pdf = ckpt.read_local_pandas(
+        "p4_edges", ["src", "dst", "src_prio", "dst_prio"]
+    )
+    if edges_pdf is None:
+        return False
+    reps_tbl = ckpt.read_local_arrow("p2_canon_reps", ["_g1", "_g2", "record_id"])
+    if reps_tbl is None:
+        return False
+    label_pdf = _driver_labels_and_winners(fuzzy_edges, edges_pdf=edges_pdf)
+    if label_pdf is None:
+        return False
+    t0 = time.time()
+    group_tbl = label_attach_arrow(reps_tbl, label_pdf)
+    ckpt.write_driver_table("p5_group_labels", group_tbl, n_files=16)
+    if _TIMING:
+        print(f"[cc] arrow label attach+write: {time.time() - t0:6.2f}s", flush=True)
+    return True
+
+
 def run_pipeline(
     transcripts: DataFrame,
     config: PipelineConfig | None = None,
@@ -101,10 +145,12 @@ def run_pipeline(
       P2 canon groups -- one groupBy(canon_key, role, tool), no join back
       P3 fuzzy blocks -- block-size agg + size join (AQE) over REPS only
       P4 pairs+scores -- bounded self-join + two id joins + Arrow JW kernel
-      P5 cc           -- O(log n) rounds x 2 shuffles, on the CONTRACTED rep
-                         graph only (canonical groups pre-merged)
-      P6 clusters     -- group-level label/election aggs + ONE broadcast
-                         join onto records (wide rows never shuffle)
+      P5 group labels -- driver UF on the CONTRACTED rep graph (distributed
+                         large-star/small-star beyond 5M edges) + one small
+                         broadcast attach onto the |groups|-sized rep table
+      P6 assignment   -- ONE broadcast probe of the records, scan pruned to
+                         the 4 key columns, narrow output -- the text payload
+                         is never read, shuffled, or rewritten
     """
     cfg = config or PipelineConfig()
     ckpt = checkpoints or CheckpointManager(None, "", enabled=False)
@@ -112,10 +158,11 @@ def run_pipeline(
     features = _phase(
         ckpt,
         "p1_features",
-        # token arrays excluded: only reps are scored, and reps re-derive
-        # them post-agg -- keeps the feature checkpoint + p2 shuffles narrow
+        # phonetic columns excluded: only the (orders-of-magnitude smaller)
+        # rep table blocks/scores, and it re-derives them post-agg -- p1 is
+        # then a pure JVM projection (no python workers, narrower checkpoint)
         lambda: with_blocking_columns(
-            with_record_id(transcripts), include_tokens=False
+            with_record_id(transcripts), include_phonetic=False
         ),
     )
     # NOTE on caching: measured at 120k turns, persist()ing features is a
@@ -128,7 +175,10 @@ def run_pipeline(
         blocks = block_table(reps, tiers=cfg.fuzzy_tiers)
         salted, stats = salt_and_cap_blocks(blocks, block_cap=cfg.block_cap)
         ckpt.materialize("p3_block_stats", stats)
-        return salted
+        # the pair join consumes only (block_id, record_id); the lost-pair
+        # accounting lives in p3_block_stats, so the committed block table
+        # stays two narrow columns (8-byte hashed block_id + id)
+        return salted.select("block_id", "record_id")
 
     salted = _phase(ckpt, "p3_blocks", build_blocks)
 
@@ -147,17 +197,14 @@ def run_pipeline(
 
     fuzzy_edges = _phase(ckpt, "p4_edges", build_edges)
 
-    # CC on the contracted rep graph only, then labels + representative
-    # election computed on the |groups|-sized rep table and attached to the
-    # record table via ONE broadcast join on the group hash -- the wide
-    # record rows never shuffle (assign_clusters_via_groups docstring). The
-    # output keeps the feature scan's partitioning (maxPartitionBytes-sized
-    # splits), which scales with data, so no explicit repartition needed
-    # before the wide parquet encode.
-    if ckpt.exists("p6_clusters"):
-        ckpt.write_metrics()
-        return ckpt.read("p6_clusters")
-
+    # CC on the contracted rep graph only; labels + representative election
+    # live on the |groups|-sized table (p5_group_labels -- the committed
+    # cluster map), and the record-level product is the NARROW assignment
+    # table (p6_clusters: record_id -> cluster/representative). The wide
+    # clustered view returned to callers is a lazy broadcast join of the
+    # group labels onto the feature table on the 128-bit group hash -- at
+    # 100 TB the input corpus is never rewritten to carry a cluster column,
+    # so no job in the pipeline ever shuffles or re-encodes the text payload.
     t5 = time.time()
     # phase row counts come from checkpoint parquet footers (metadata-only,
     # no Spark job -- driver actions are fixed, non-scaling costs); fall back
@@ -165,40 +212,49 @@ def run_pipeline(
     n_groups = ckpt.row_count("p2_canon_reps")
     if n_groups is None:
         n_groups = reps.count()
-    n_edges = ckpt.row_count("p4_edges")
-    edge_cols = ["src", "dst"] + (
-        ["src_prio", "dst_prio"]
-        if "src_prio" in fuzzy_edges.columns
-        else []
-    )
-    # driver fast-path inputs: local pyarrow reads of the committed phase
-    # parquet (no Spark collect jobs) -- None on remote storage or when
-    # checkpointing is off, in which case the distributed paths take over
-    edges_pdf = reps_hash_pdf = None
-    if len(edge_cols) == 4:
-        edges_pdf = ckpt.read_local_pandas("p4_edges", edge_cols)
-    if "_g1" in reps.columns:
-        reps_hash_pdf = ckpt.read_local_pandas(
-            "p2_canon_reps", ["_g1", "_g2", "record_id"]
+
+    def build_labels():
+        n_edges = ckpt.row_count("p4_edges")
+        edge_cols = ["src", "dst"] + (
+            ["src_prio", "dst_prio"]
+            if "src_prio" in fuzzy_edges.columns
+            else []
         )
-    clustered = assign_clusters_via_groups(
-        features,
-        reps,
-        fuzzy_edges.select(*edge_cols),
-        n_groups=n_groups,
-        n_edges=n_edges,
-        edges_pdf=edges_pdf,
-        reps_hash_pdf=reps_hash_pdf,
-        table_writer=ckpt.write_driver_table,
-    )
+        # driver fast-path input: local pyarrow read of the committed edge
+        # phase (no Spark collect job) -- None on remote storage or when
+        # checkpointing is off, in which case the collect path takes over
+        edges_pdf = (
+            ckpt.read_local_pandas("p4_edges", edge_cols)
+            if len(edge_cols) == 4
+            else None
+        )
+        return group_label_table(
+            reps,
+            fuzzy_edges.select(*edge_cols),
+            n_edges=n_edges,
+            edges_pdf=edges_pdf,
+            table_writer=ckpt.write_driver_table,
+        )
+
+    if ckpt.exists("p5_group_labels"):
+        labels = ckpt.read("p5_group_labels")
+    elif _driver_label_artifact(ckpt, fuzzy_edges):
+        # all-driver lane: numpy UF + Arrow join wrote the phase artifact
+        # directly (no Spark job at all); re-enter the plan as a parquet scan
+        labels = ckpt.read("p5_group_labels")
+    else:
+        labels = _phase(ckpt, "p5_group_labels", build_labels)
     if _TIMING:
         print(f"[phase] p5_cc           {time.time() - t5:7.2f}s", flush=True)
     t6 = time.time()
-    clustered = ckpt.materialize("p6_clusters", clustered)
+    if not ckpt.exists("p6_clusters"):
+        ckpt.materialize(
+            "p6_clusters", assignment_table(features, labels, n_groups=n_groups)
+        )
     ckpt.write_metrics()
     if _TIMING:
         print(f"[phase] p6_clusters     {time.time() - t6:7.2f}s", flush=True)
-    return clustered
+    return attach_cluster_columns(features, labels, n_groups=n_groups)
 
 
 def cluster_summary(clustered: DataFrame) -> DataFrame:

@@ -98,11 +98,18 @@ class CheckpointManager:
 
     def _footer_counts(self, phase: str) -> list[int]:
         import glob
+        from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
         files = sorted(glob.glob(os.path.join(self._path(phase), "part-*")))
-        return [pq.ParquetFile(f).metadata.num_rows for f in files]
+        if not files:
+            return []
+        # footer reads release the GIL in pyarrow; a phase can have hundreds
+        # of part files and this runs on the driver between jobs (a fixed,
+        # non-scaling cost in the two-cluster-size criterion), so parallelize
+        with ThreadPoolExecutor(min(16, len(files))) as ex:
+            return list(ex.map(lambda f: pq.read_metadata(f).num_rows, files))
 
     def _local_files(self, phase: str) -> list[str] | None:
         import glob
@@ -124,13 +131,27 @@ class CheckpointManager:
         files = self._local_files(phase)
         if files is None:
             return None
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pa.concat_tables(
-            [pq.read_table(f, columns=columns) for f in files]
-        )
-        return tbl.to_pandas()
+        tbl = self.read_local_arrow(phase, columns)
+        return tbl.to_pandas() if tbl is not None else None
+
+    def read_local_arrow(self, phase: str, columns: list[str] | None = None):
+        """Like read_local_pandas but stays in Arrow (no python objects)."""
+        files = self._local_files(phase)
+        if files is None:
+            return None
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with ThreadPoolExecutor(min(16, max(1, len(files)))) as ex:
+            parts = list(ex.map(lambda f: pq.read_table(f, columns=columns), files))
+        return pa.concat_tables(parts)
 
     def write_driver_table(self, name: str, pdf, n_files: int = 8) -> str | None:
         """Persist a driver-side pandas frame as a readable parquet phase.
@@ -153,9 +174,13 @@ class CheckpointManager:
         path = self._path(name)
         shutil.rmtree(path, ignore_errors=True)  # no stale parts on rewrite
         os.makedirs(path, exist_ok=True)
-        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-        n = max(1, min(n_files, len(pdf)))
-        step = (len(pdf) + n - 1) // n if len(pdf) else 1
+        tbl = (
+            pdf
+            if isinstance(pdf, pa.Table)
+            else pa.Table.from_pandas(pdf, preserve_index=False)
+        )
+        n = max(1, min(n_files, len(tbl)))
+        step = (len(tbl) + n - 1) // n if len(tbl) else 1
         for i in range(n):
             chunk = tbl.slice(i * step, step)
             pq.write_table(chunk, os.path.join(path, f"part-{i:05d}.parquet"))

@@ -96,7 +96,9 @@ spark = get_spark(
 # storage pool across repeated runs and the bench then measures eviction
 # churn, not the pipeline.
 inp = f"{work}/input"
-synthesize_transcripts(spark, n_turns, partitions=total_cores * 2).drop(
+# fixed file count for EVERY cluster size: "same job, same input" means the
+# same storage layout too -- the scan re-splits by maxPartitionBytes anyway
+synthesize_transcripts(spark, n_turns, partitions=64).drop(
     "entity_id"
 ).write.mode("overwrite").parquet(inp)
 t = spark.read.parquet(inp)
@@ -107,7 +109,12 @@ def one_run(tag):
     ck = CheckpointManager(spark, ckdir, enabled=True)
     t0 = time.time()
     out = run_pipeline(t, checkpoints=ck)
-    n = out.count()
+    # the job's committed product is the narrow assignment table
+    # (p6_clusters); count it from the parquet footers it just wrote --
+    # forcing the lazy wide view would re-run the record probe just to count
+    n = ck.row_count("p6_clusters")
+    if n is None:
+        n = out.count()
     w = time.time() - t0
     shutil.rmtree(ckdir, ignore_errors=True)
     return n, w

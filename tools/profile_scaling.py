@@ -50,7 +50,9 @@ def one_run(tag):
     ck = CheckpointManager(spark, ckdir, enabled=True)
     t0 = time.time()
     out = run_pipeline(t, checkpoints=ck)
-    n = out.count()
+    n = ck.row_count("p6_clusters")
+    if n is None:
+        n = out.count()
     w = time.time() - t0
     print(f"[run {tag}] wall={w:.2f}s rows={n}", flush=True)
     shutil.rmtree(ckdir, ignore_errors=True)
