@@ -19,8 +19,6 @@ backstop (session.py).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -92,6 +90,54 @@ def with_blocking_columns(
     if include_tokens:
         out = out.withColumn("phonetic_tokens", F.col("_ph.phonetic_tokens"))
     return out.drop("_ph")
+
+
+def pipeline_features(df: DataFrame) -> DataFrame:
+    """The committed P1 artifact: original columns + record_id + canon_key +
+    the 128-bit group hash (_g1,_g2).
+
+    norm_text / canon_text are NOT persisted: canon_key IS the canonical
+    text for every non-placeholder row (canon_key_from_canon), and the two
+    extra text columns doubled p1's parquet encode/write bytes -- the
+    dominant scalable cost of the phase -- while no committed-path consumer
+    read them. `restore_text_columns` re-derives both lazily for the wide
+    view. Precomputing the group hash here means p2's aggregation scan and
+    p6's assignment probe read ONLY fixed-width columns (no text, no
+    per-record hashing) -- Catalyst prunes the scan to (record_id,_g1,_g2).
+    """
+    out = with_blocking_columns(with_record_id(df), include_phonetic=False)
+    cols = [c for c in out.columns if c not in ("norm_text", "canon_text")]
+    return out.select(
+        *cols,
+        *_group_hash_cols(
+            F.col("canon_key"),
+            F.col("role"),
+            F.coalesce(F.col("tool"), F.lit("<null>")),
+        ),
+    )
+
+
+def restore_text_columns(df: DataFrame) -> DataFrame:
+    """Lazily re-add norm_text / canon_text to a narrow feature frame.
+
+    canon_text is recovered from canon_key (identity for non-placeholders;
+    recomputed from norm_text only in the per-row placeholder branch --
+    CaseWhen evaluates branches lazily, so the regex chain never runs for
+    the overwhelming non-placeholder majority). Pure projection: Catalyst
+    drops either column if no downstream consumer selects it.
+    """
+    out = df
+    if "norm_text" not in df.columns:
+        out = out.withColumn("norm_text", norm_text_col(F.col("text")))
+    if "canon_text" not in df.columns:
+        is_ph = F.col("canon_key").startswith("__ph__")
+        out = out.withColumn(
+            "canon_text",
+            F.when(is_ph, canon_text_from_norm(F.col("norm_text"))).otherwise(
+                F.col("canon_key")
+            ),
+        )
+    return out
 
 
 def block_table(
@@ -178,59 +224,47 @@ def canon_group_representatives(features: DataFrame) -> DataFrame:
     killer: a hot entity with millions of exact duplicates contributes a
     handful of representatives.
 
-    Shuffle design: the groupBy keys on the 128-bit group hash and
-    aggregates ONLY min(record_id) + count, so the shuffle carries ~40 bytes
-    per row -- no text, no payload. Rep payload columns come from the
-    feature rows of the winning ids (broadcast join back on record_id; the
-    feature side never shuffles), and the heavy phonetic_tokens arrays are
-    re-derived on the (orders-of-magnitude smaller) rep table. At 9.6M turns
-    this took p2 from the pipeline's worst-scaling phase (text-keyed shuffle)
-    to a fraction of p1.
+    Shuffle design: ONE partially-aggregated exchange keyed on the 128-bit
+    group hash; the group-constant payload columns (canon_key/role/tool)
+    ride it via min() and the heavy phonetic columns are derived AFTER the
+    agg on the (orders-of-magnitude smaller) rep table. No driver collect,
+    no broadcast, no second feature scan -- the phase is a pure
+    scan -> exchange -> project, every step of which scales with executors.
     """
     with_tool = features.withColumn("_tool_c", F.coalesce(F.col("tool"), F.lit("<null>")))
-    # Aggregate on the 128-bit group hash, NOT the raw (canon_key, role,
-    # tool) strings: the groupBy shuffle then carries 16 bytes + id + count
-    # per row instead of the full canonical text (~6x fewer shuffle bytes at
-    # bench scale; at 10^12 turns the difference is petabytes). The rep's
-    # key/payload columns are recovered from the feature table itself by
-    # joining the (|groups|-sized) winner-id list back on record_id.
-    agg = with_tool.groupBy(
-        *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("_tool_c"))
-    ).agg(
-        F.min("record_id").alias("record_id"),
-        F.count("*").alias("group_size"),
-    ).select("record_id", "group_size", "_g1", "_g2")
-    # Broadcast the id list so the feature side never shuffles: the rep-id
-    # table is the contraction of exact duplicates, orders of magnitude
-    # smaller than the records. At 10^12-turn scale (group count too big to
-    # broadcast) flip ALA_SPARK_REP_JOIN=shuffle: the fallback is the same
-    # record_id hash join, and the production feature table is bucketed by
-    # record_id so it co-locates without a shuffle anyway.
-    if os.environ.get("ALA_SPARK_REP_JOIN", "") != "shuffle":
-        agg = F.broadcast(agg)
+    if "_g1" not in with_tool.columns:
+        with_tool = with_tool.select(
+            "*",
+            *_group_hash_cols(F.col("canon_key"), F.col("role"), F.col("_tool_c")),
+        )
+    # ONE shuffle, no driver involvement: every rep column besides record_id/
+    # group_size is group-CONSTANT (canon_key/role/tool are the group key),
+    # so min() recovers them exactly and partial aggregation combines
+    # map-side. The previous formulation (narrow agg -> collect -> broadcast
+    # -> probe-join back onto the features) kept text off the shuffle but
+    # paid a driver collect + per-executor rebroadcast + a second feature
+    # scan -- fixed, non-scaling costs that dominated p2 at small cluster
+    # sizes; and at 10^12 groups (unbroadcastable) it degraded to TWO
+    # shuffles + two scans. One partially-aggregated exchange beats both at
+    # every scale.
     is_ph = F.col("canon_key").startswith("__ph__")
-    # _g1/_g2 stay in the rep table: downstream consumers (cluster labeling,
-    # group maps) reuse the persisted hash instead of recomputing it.
-    # The probe reads ONLY (record_id, canon_key, role, tool) from the
-    # feature table -- canon_text is recovered from canon_key itself
-    # (canon_key IS the canonical text for non-placeholder groups,
-    # normalize.canon_key_from_canon; placeholders keep null canon/phonetic
-    # columns exactly as before -- they must never block or score), and
-    # norm_text is not carried at all: no fuzzy-path consumer reads it
-    # (PAYLOAD_COLS, block_table's phonetic tier). Dropping the two text
-    # columns cut the probe scan bytes by ~60%.
-    reps = with_tool.join(agg, "record_id").select(
-        "record_id",
-        "group_size",
-        "_g1",
-        "_g2",
-        "canon_key",
-        "role",
-        F.col("_tool_c").alias("tool_c"),
-        "tool",
-        F.when(is_ph, F.lit(None).cast("string"))
-        .otherwise(F.col("canon_key"))
-        .alias("canon_text"),
+    reps = (
+        with_tool.groupBy("_g1", "_g2")
+        .agg(
+            F.min("record_id").alias("record_id"),
+            F.count("*").alias("group_size"),
+            F.min("canon_key").alias("canon_key"),
+            F.min("role").alias("role"),
+            F.min("_tool_c").alias("tool_c"),
+            F.min("tool").alias("tool"),
+        )
+        .withColumn(
+            # canon_key IS the canonical text for non-placeholder groups
+            # (normalize.canon_key_from_canon); placeholders keep null
+            # canon/phonetic columns -- they must never block or score
+            "canon_text",
+            F.when(is_ph, F.lit(None).cast("string")).otherwise(F.col("canon_key")),
+        )
     )
     # The rep table is byte-small, so AQE coalesces it to a handful of
     # partitions -- which would serialize the (CPU-bound) phonetic UDF

@@ -427,6 +427,8 @@ def label_attach_arrow(reps_tbl, label_pdf):
 def _keyed_records(records: DataFrame) -> DataFrame:
     from ala_name_matching_spark.operators.blocking import _group_hash_cols
 
+    if "_g1" in records.columns:  # hash precomputed in the P1 artifact
+        return records
     return records.select(
         "*",
         *_group_hash_cols(
@@ -482,11 +484,15 @@ def assignment_table(
     corpus is never rewritten to carry a cluster column -- the assignment
     keyed by record_id IS the deliverable (the reference likewise emits an
     idmap, DwcaNameIndexer.writeIdMap, DwcaNameIndexer.java:1118-1128).
-    Catalyst prunes the probe scan to the four key columns, so the job never
-    reads the text payload at all.
+    With the hash precomputed in the P1 artifact the probe scan reads ONLY
+    (record_id, _g1, _g2) -- three fixed-width columns, no text, no hashing.
     """
     gf = _maybe_broadcast(group_full, n_groups, broadcast_threshold_rows)
-    keyed = _keyed_records(records.select("record_id", "canon_key", "role", "tool"))
+    keyed = (
+        records.select("record_id", "_g1", "_g2")
+        if "_g1" in records.columns
+        else _keyed_records(records.select("record_id", "canon_key", "role", "tool"))
+    )
     out = keyed.join(gf, ["_g1", "_g2"])
     return out.select(
         "record_id",

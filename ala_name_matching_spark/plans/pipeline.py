@@ -42,9 +42,9 @@ from ala_name_matching_spark.operators.blocking import (
     TIER_PHONETIC,
     block_table,
     canon_group_representatives,
+    pipeline_features,
+    restore_text_columns,
     salt_and_cap_blocks,
-    with_blocking_columns,
-    with_record_id,
 )
 from ala_name_matching_spark.operators.clustering import (
     _DRIVER_CC_MAX_EDGES,
@@ -158,12 +158,11 @@ def run_pipeline(
     features = _phase(
         ckpt,
         "p1_features",
-        # phonetic columns excluded: only the (orders-of-magnitude smaller)
-        # rep table blocks/scores, and it re-derives them post-agg -- p1 is
-        # then a pure JVM projection (no python workers, narrower checkpoint)
-        lambda: with_blocking_columns(
-            with_record_id(transcripts), include_phonetic=False
-        ),
+        # narrow artifact: originals + record_id + canon_key + group hash.
+        # No phonetic kernel (reps re-derive it post-agg), no norm/canon
+        # text (restored lazily below) -- p1 is a pure JVM projection and
+        # its write bytes are ~halved (pipeline_features docstring).
+        lambda: pipeline_features(transcripts),
     )
     # NOTE on caching: measured at 120k turns, persist()ing features is a
     # net LOSS (102 s vs 83 s e2e) -- the phonetic_tokens arrays are heavy to
@@ -254,7 +253,11 @@ def run_pipeline(
     ckpt.write_metrics()
     if _TIMING:
         print(f"[phase] p6_clusters     {time.time() - t6:7.2f}s", flush=True)
-    return attach_cluster_columns(features, labels, n_groups=n_groups)
+    # lazy wide view: norm/canon text re-derived as projections (dropped by
+    # Catalyst unless a consumer actually selects them)
+    return restore_text_columns(
+        attach_cluster_columns(features, labels, n_groups=n_groups)
+    )
 
 
 def cluster_summary(clustered: DataFrame) -> DataFrame:

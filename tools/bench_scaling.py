@@ -146,13 +146,35 @@ spark.stop()
 """
 
 
+def _cpu_budget_prefix(execs: int) -> list[str]:
+    """Pin the whole cluster (driver + executors + python workers) to a CPU
+    set proportional to its size: execs x cores x 2 (one python worker per
+    task slot), so N and 4N executors see N and 4N worth of host CPU.
+
+    Without this the small cluster silently borrows the idle host cores --
+    JVM GC/JIT/compression threads and python workers are not bounded by
+    task slots -- and the measured "4-core" run is really an ~10-core run
+    (measured: 2x2 executors at 105 s vs 71 s for 8x2, a 1.46x ratio where
+    the CPU ratio is 4x). On a real cluster each executor lives inside a
+    container/cgroup sized to its core count; taskset is the host analog.
+    """
+    import shutil as _sh
+
+    if _sh.which("taskset") is None:
+        return []
+    n_cpus = os.cpu_count() or 32
+    budget = min(n_cpus, execs * CORES_PER_EXEC * 2)
+    return ["taskset", "-c", f"0-{budget - 1}"]
+
+
 def run(n_turns: int, execs: int, attempts: int = 3) -> dict:
     last_err = None
     for attempt in range(attempts):
         try:
             out = subprocess.run(
-                [sys.executable, "-c", CHILD, str(n_turns), str(execs),
-                 str(CORES_PER_EXEC), str(EXEC_MEM_MB), STORAGE_DIR or "-"],
+                _cpu_budget_prefix(execs)
+                + [sys.executable, "-c", CHILD, str(n_turns), str(execs),
+                   str(CORES_PER_EXEC), str(EXEC_MEM_MB), STORAGE_DIR or "-"],
                 capture_output=True,
                 text=True,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -73,11 +73,14 @@ def main():
     execs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_warm = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n_timed = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    from bench_scaling import _cpu_budget_prefix
+
     env = dict(os.environ, ALA_SPARK_PHASE_TIMING="1")
     proc = subprocess.Popen(
-        [sys.executable, "-c", CHILD, str(n_turns), str(execs),
-         str(CORES_PER_EXEC), str(EXEC_MEM_MB), str(n_warm), str(n_timed),
-         STORAGE_DIR or "-"],
+        _cpu_budget_prefix(execs)
+        + [sys.executable, "-c", CHILD, str(n_turns), str(execs),
+           str(CORES_PER_EXEC), str(EXEC_MEM_MB), str(n_warm), str(n_timed),
+           STORAGE_DIR or "-"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env,
         stdout=subprocess.PIPE,
@@ -85,7 +88,7 @@ def main():
         text=True,
     )
     for line in proc.stdout:
-        if line.startswith(("[phase]", "[cc]", "[run")):
+        if line.startswith(("[phase]", "[cc]", "[run", "[ckpt]")):
             print(line, end="", flush=True)
     proc.wait()
     return proc.returncode
