@@ -31,7 +31,13 @@ _TIMING = os.environ.get("ALA_SPARK_PHASE_TIMING", "") == "1"
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """For every node, connect strictly-larger neighbors to its min neighbor."""
+    """For every node, connect strictly-larger neighbors to its min neighbor.
+
+    No distinct() here: this output feeds straight into _small_star, whose
+    own aggregation + final distinct absorbs duplicates -- deduping the
+    intermediate was a full extra shuffle per round for nothing (union-find
+    semantics tolerate duplicate edges).
+    """
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = und.groupBy("src").agg(F.min("dst").alias("min_nbr"))
     mins = mins.withColumn("m", F.least(F.col("src"), F.col("min_nbr"))).drop("min_nbr")
@@ -40,7 +46,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
     return out
 
@@ -64,7 +69,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
-_DRIVER_CC_MAX_EDGES = 5_000_000
+# Driver union-find takes over below this edge count; env-tunable so the
+# scaling bench can force the distributed lane (the driver lane's cost grows
+# with |edges| and does NOT scale with executors -- fast in absolute terms at
+# small graphs, but a non-scaling component of the two-cluster-size ratio).
+_DRIVER_CC_MAX_EDGES = int(
+    os.environ.get("ALA_SPARK_DRIVER_CC_MAX_EDGES", str(5_000_000))
+)
 
 
 def _uf_core(pdf):
@@ -193,6 +204,21 @@ def _driver_labels_and_winners(edges: DataFrame, edges_pdf=None):
              "representative_id": pd.Series(dtype=object)}
         )
     t0 = time.time()
+    out = _labels_and_winners_pdf(pdf)
+    if _TIMING:
+        print(f"[cc] driver UF+election: {time.time() - t0:6.2f}s nodes={len(out)}", flush=True)
+    return out
+
+
+def _labels_and_winners_pdf(pdf):
+    """UF + election over an edge pandas frame (src, dst, src_prio, dst_prio).
+
+    Pure pandas/numpy; shared by the driver fast lane and the block-local
+    mapInPandas kernel. Winner = max priority, ties -> lexicographic-min
+    node id (B7 semantics, deterministic)."""
+    import numpy as np
+    import pandas as pd
+
     sorted_uniques, rank, codes, a, b, lab = _uf_core(pdf)
     n_nodes = len(sorted_uniques)
     # per-node priority (consistent across edges; last write wins is fine)
@@ -210,16 +236,50 @@ def _driver_labels_and_winners(edges: DataFrame, edges_pdf=None):
     win_root = sr[first]
     winner_of = np.empty(n_nodes, dtype=np.int64)
     winner_of[win_root] = win_rank
-    out = pd.DataFrame(
+    return pd.DataFrame(
         {
             "grp_rep": sorted_uniques[nodes],
             "cluster_id": sorted_uniques[roots],
             "representative_id": sorted_uniques[winner_of[roots]],
         }
     )
-    if _TIMING:
-        print(f"[cc] driver UF+election: {time.time() - t0:6.2f}s nodes={len(nodes)}", flush=True)
-    return out
+
+
+def block_local_labels(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(grp_rep, cluster_id, representative_id) for every edge node, computed
+    with ONE exchange -- no iterative star rounds.
+
+    Exploits single-tier block-locality: every record belongs to exactly one
+    salted sub-block (blocking.salt_and_cap_blocks), edges exist only within
+    a sub-block, so connected components NEVER cross block_id. Repartition
+    the edge table by block_id (all edges of any component co-located), then
+    a partition-local vectorized union-find + election over each partition's
+    subgraph -- identical labels to the global algorithm because the
+    partition contains every edge of every component it touches. Scales with
+    executors (pure narrow work after one hash exchange); at 10^12 turns the
+    edge table is the contracted rep graph, orders of magnitude smaller than
+    the corpus. Multi-tier configurations (components may cross tiers) must
+    use connected_components instead -- callers gate on tier count.
+    """
+    import pandas as pd
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+
+    def per_partition(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf):
+            yield _labels_and_winners_pdf(pdf)
+
+    return (
+        edges.select("src", "dst", "src_prio", "dst_prio", "block_id")
+        .repartition(num_partitions, "block_id")
+        .mapInPandas(
+            per_partition,
+            "grp_rep string, cluster_id string, representative_id string",
+        )
+    )
 
 
 def connected_components(
@@ -247,7 +307,9 @@ def connected_components(
             if _TIMING:
                 print(f"[cc] driver union-find on {n_edges} edges", flush=True)
             return _driver_union_find(cur)
-    cur = cur.distinct().localCheckpoint(eager=True)
+    # no input distinct/materialization: the edge phase arrives committed
+    # (a parquet scan) and already pair-unique (salted sub-blocks are
+    # pair-disjoint); round 1's small-star distinct dedupes anything else
     prev_sig = None
     for _round in range(max_iterations):
         t0 = time.time()
@@ -290,6 +352,7 @@ def group_label_table(
     n_edges: int | None = None,
     edges_pdf=None,
     table_writer=None,
+    block_local: bool = False,
 ) -> DataFrame:
     """(group hash -> cluster_id, representative_id) for EVERY canonical group.
 
@@ -311,7 +374,10 @@ def group_label_table(
     parquet scan (half the cost of createDataFrame's arrow conversion at
     millions of rows) and broadcast-attaches to the rep table -- one small
     distributed job, no driver-side pass over the |groups|-sized table.
-    Large graphs use distributed large-star/small-star + a groupBy election.
+    Large graphs go distributed: with `block_local=True` (single blocking
+    tier -- components provably confined to one salted sub-block) one
+    repartition + partition-local union-find (block_local_labels); otherwise
+    iterated large-star/small-star + a groupBy election.
     """
     from ala_name_matching_spark.operators.blocking import _group_hash_cols
 
@@ -348,6 +414,20 @@ def group_label_table(
         groups = reps.select(*hash_cols, F.col("record_id").alias("grp_rep"))
         return (
             groups.join(F.broadcast(label_tbl), "grp_rep", "left")
+            .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("grp_rep")))
+            .withColumn(
+                "representative_id",
+                F.coalesce(F.col("representative_id"), F.col("grp_rep")),
+            )
+            .select("_g1", "_g2", "cluster_id", "representative_id")
+        )
+    if block_local and {"src", "dst", "src_prio", "dst_prio", "block_id"} <= set(
+        rep_edges.columns
+    ):
+        labels = block_local_labels(rep_edges)
+        groups = reps.select(*hash_cols, F.col("record_id").alias("grp_rep"))
+        return (
+            groups.join(labels, "grp_rep", "left")
             .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("grp_rep")))
             .withColumn(
                 "representative_id",

@@ -79,9 +79,14 @@ def payload_pairs(
     r = keyed.select(
         F.col("block_id"), *[F.col(c).alias(f"{c}_r") for c in payload_cols]
     )
+    # block_id stays on the pair: with a single tier every record lives in
+    # exactly ONE salted sub-block, so accepted-edge components are
+    # block-local and the clustering phase can run a partition-local
+    # union-find after one repartition("block_id") instead of iterated
+    # global star rounds (clustering.block_local_labels).
     return l.join(r, "block_id").filter(
         F.col("record_id_l") < F.col("record_id_r")
-    ).drop("block_id")
+    )
 
 
 def score_pairs(
@@ -172,12 +177,17 @@ def match_edges(
     group of a multi-group cluster is an edge endpoint, so endpoint prios
     cover exactly the groups that need election.
     """
-    return scored.filter(
-        (F.col("score") >= threshold) & ~F.col("homonym_conflict")
-    ).select(
+    cols = [
         F.col("record_id_l").alias("src"),
         F.col("record_id_r").alias("dst"),
-        "score",
+        F.col("score"),
         F.length("canon_text_l").alias("src_prio"),
         F.length("canon_text_r").alias("dst_prio"),
-    )
+    ]
+    if "block_id" in scored.columns:
+        # carried through so clustering can exploit block-locality (see
+        # payload_pairs) -- 8 bytes/row on an already-narrow table
+        cols.append(F.col("block_id"))
+    return scored.filter(
+        (F.col("score") >= threshold) & ~F.col("homonym_conflict")
+    ).select(*cols)

@@ -227,12 +227,19 @@ def run_pipeline(
             if len(edge_cols) == 4
             else None
         )
+        keep = edge_cols + (
+            ["block_id"] if "block_id" in fuzzy_edges.columns else []
+        )
         return group_label_table(
             reps,
-            fuzzy_edges.select(*edge_cols),
+            fuzzy_edges.select(*keep),
             n_edges=n_edges,
             edges_pdf=edges_pdf,
             table_writer=ckpt.write_driver_table,
+            # single blocking tier -> components are provably confined to one
+            # salted sub-block; the distributed lane is one repartition +
+            # partition-local UF instead of iterated star rounds
+            block_local=len(cfg.fuzzy_tiers) == 1,
         )
 
     if ckpt.exists("p5_group_labels"):

@@ -85,10 +85,18 @@ def get_spark(
         inner = master[master.find("[") + 1 : master.find("]")]
         if "," in inner:
             cores_per = int(inner.split(",")[1])
+            # ParallelGC: with ActiveProcessorCount=2 G1's concurrent cycles
+            # fall behind on allocation-heavy batch stages and degenerate
+            # into multi-second mixed pauses (observed as 2-4x run-to-run
+            # variance); the throughput collector is the standard choice for
+            # small-core batch executors. Bigger code cache: Spark codegen
+            # churns JIT-compiled classes and a full code cache silently
+            # disables compilation mid-run.
             builder = (
                 builder.config(
                     "spark.executor.extraJavaOptions",
-                    f"-XX:ActiveProcessorCount={cores_per}",
+                    f"-XX:ActiveProcessorCount={cores_per} "
+                    "-XX:+UseParallelGC -XX:ReservedCodeCacheSize=512m",
                 )
                 .config("spark.executorEnv.OMP_NUM_THREADS", "1")
                 .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")

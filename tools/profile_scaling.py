@@ -32,9 +32,12 @@ spark = get_spark(
     extra_conf={
         "spark.local.dir": f"{work}/spark-local",
         "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        # identical to bench_scaling: only fire for order-of-magnitude
+        # stragglers/hangs (lower multipliers duplicated healthy CPU-bound
+        # tasks on the saturated host and doubled p4's wall time)
         "spark.speculation": "true",
-        "spark.speculation.multiplier": "3",
-        "spark.speculation.quantile": "0.9",
+        "spark.speculation.multiplier": "6",
+        "spark.speculation.quantile": "0.95",
         "spark.speculation.minTaskRuntime": "10s",
     },
 )
