@@ -143,8 +143,10 @@ def run_pipeline(
     Shuffle inventory:
       P1 features     -- narrow map, zero shuffles (memoized Arrow kernel)
       P2 canon groups -- one groupBy(canon_key, role, tool), no join back
-      P3 fuzzy blocks -- block-size agg + size join (AQE) over REPS only
-      P4 pairs+scores -- bounded self-join + two id joins + Arrow JW kernel
+      P3 fuzzy blocks -- block-size agg + size join (AQE) over REPS only,
+                         fused into the edge phase (stats table committed)
+      P4 pairs+scores -- bounded self-join + Arrow JW kernel, payloads ride
+                         the one block shuffle
       P5 group labels -- driver UF on the CONTRACTED rep graph (distributed
                          large-star/small-star beyond 5M edges) + one small
                          broadcast attach onto the |groups|-sized rep table
@@ -170,27 +172,26 @@ def run_pipeline(
     # checkpoints enabled the parquet read-back cuts lineage instead.
     reps = _phase(ckpt, "p2_canon_reps", lambda: canon_group_representatives(features))
 
-    def build_blocks():
-        blocks = block_table(reps, tiers=cfg.fuzzy_tiers)
-        salted, stats = salt_and_cap_blocks(blocks, block_cap=cfg.block_cap)
-        ckpt.materialize("p3_block_stats", stats)
-        # the pair join consumes only (block_id, record_id); the lost-pair
-        # accounting lives in p3_block_stats, so the committed block table
-        # stays two narrow columns (8-byte hashed block_id + id)
-        return salted.select("block_id", "record_id")
-
-    salted = _phase(ckpt, "p3_blocks", build_blocks)
-
     par = transcripts.sparkSession.sparkContext.defaultParallelism
 
     def build_edges():
+        # p3 (block table + salting) is FUSED into the edge phase: it is a
+        # pure function of the committed rep table, recomputable in one
+        # narrow pass, so a separate write+read-back cycle bought no
+        # resumability worth its cost (a fixed ~2 s per run at every cluster
+        # size). Only the block STATS are committed -- the lost-pair
+        # accounting is the metrics contract (north_rule), not a dataflow
+        # input: the pair join consumes just (block_id, record_id).
+        blocks = block_table(reps, tiers=cfg.fuzzy_tiers)
+        salted, stats = salt_and_cap_blocks(blocks, block_cap=cfg.block_cap)
+        ckpt.materialize("p3_block_stats", stats)
         # single fuzzy tier -> salted sub-blocks are pair-disjoint, so the
         # payload rides the one block self-join (no pair-level distinct, no
         # id-joins of the pair table -- see payload_pairs docstring).
         # min_partitions: the pair join's output is byte-small but CPU-heavy
         # (Arrow JW kernel); AQE's byte-based coalescing would starve it of
         # tasks (apply_pair_scores docstring), so pin 2x cluster parallelism.
-        pairs = payload_pairs(salted, reps)
+        pairs = payload_pairs(salted.select("block_id", "record_id"), reps)
         scored = apply_pair_scores(pairs, min_partitions=par * 2)
         return match_edges(scored, threshold=cfg.match_threshold)
 

@@ -54,6 +54,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint-dir", default=None,
                    help="durable phase-checkpoint dir (enables resume)")
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument("--output-mode", default="assignment",
+                   choices=["assignment", "wide"],
+                   help="assignment (default): the narrow record_id -> "
+                        "cluster/representative table -- the committed "
+                        "product at scale (the corpus is never rewritten; "
+                        "the reference likewise emits an idmap, "
+                        "DwcaNameIndexer.writeIdMap). wide: every input "
+                        "column + cluster columns, re-encoding the text "
+                        "payload -- for small extracts and smoke runs.")
     p.add_argument("--block-cap", type=int, default=None)
     p.add_argument("--match-threshold", type=float, default=None)
     p.add_argument("--synthesize", type=int, default=0, metavar="N_TURNS",
@@ -100,6 +109,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     t0 = time.time()
     clustered = run_pipeline(transcripts, config=cfg, checkpoints=ckpt)
+    if args.output_mode == "assignment":
+        # narrow deliverable; Catalyst prunes the probe scan to the id/hash
+        # columns, so this job never reads the text payload
+        clustered = clustered.select(
+            "record_id", "cluster_id", "representative_id", "is_representative"
+        )
     if args.format == "iceberg":
         clustered.writeTo(args.output).createOrReplace()
     else:

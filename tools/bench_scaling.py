@@ -186,14 +186,14 @@ def run(n_turns: int, execs: int, attempts: int = 3) -> dict:
                 capture_output=True,
                 text=True,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                # a healthy 2-exec run at 9.6M turns is ~20 min end to end;
-                # 40 min means the known local-cluster startup hang (a child
-                # was observed stuck in its first phase with zero bytes
-                # written for an hour) -- kill and retry rather than wait
-                timeout=3600,
+                # budget for the slowest healthy child (1x2 at 38.4M turns:
+                # synth + 2 warm-ups + 3 timed runs ~= 60 min); beyond that
+                # it's the known local-cluster hang (a child was observed
+                # stuck with zero bytes written for an hour) -- kill + retry
+                timeout=7200,
             )
         except subprocess.TimeoutExpired:  # hung child -> kill, retry
-            last_err = f"timeout after 3600s (attempt {attempt + 1})"
+            last_err = f"timeout after 7200s (attempt {attempt + 1})"
             continue
         last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
         if last:
