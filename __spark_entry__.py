@@ -332,9 +332,11 @@ def _q_sessionization(spark, sf_dir):
     # B2 stable-ordering analog: gap-based sessionization via lag + cumsum
     e = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")  # parquet ts is NTZ
-    gap = epoch - F.lag(epoch).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # integer microseconds: events carry sub-second timestamps, so whole-second
+    # truncation splits sessions differently from the oracle near the boundary
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet ts is NTZ
+    gap = epoch_us - F.lag(epoch_us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = F.sum(new_sess).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -871,8 +873,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": """
             WITH g AS (
               SELECT user_id, ts, event_id,
-                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                            OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

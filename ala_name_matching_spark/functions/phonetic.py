@@ -99,6 +99,42 @@ def treat_word(word: str | None, word_type: str = "normal") -> str | None:
     return temp
 
 
+def _species_fold(key: str) -> str:
+    """Final treatWord step for the specific/infra slots
+    (TaxonNameSoundEx.java:146-156): IS/IM/AS suffix -> A. Applied AFTER the
+    normal fold+squeeze, so `_species_fold(treat_word(t, "normal"))` is
+    byte-identical to `treat_word(t, "species")` -- which lets the batch
+    kernels memoize one "normal" treatment per distinct token and fold only
+    at the key slot.
+    """
+    if key.endswith(("IS", "IM", "AS")):
+        return key[:-2] + "A"
+    return key
+
+
+def _key_from_treated(
+    treated: list[str], text: str, max_tokens: int = KEY_TOKENS
+) -> str | None:
+    """THE compound-key builder -- the single shared code path for both the
+    scalar `phonetic_key` (published operator) and the pipeline's batch
+    struct kernel, so the published key and the engine's actual blocking key
+    cannot diverge (round-1 verdict: two kernels disagreed on the species
+    fold and opened a silent recall hole).
+
+    Slot 1 keeps the "normal" treatment (the reference's genus_ex); slots
+    2..max_tokens get the species-suffix fold (specific_ex/infra_ex,
+    ALANameIndexer.java:953-977); "<null>" pads absent slots
+    (ALANameSearcher.java:1087); the digit signature is the voucher-analog
+    component.
+    """
+    if not treated:
+        return None
+    parts = [treated[0]] + [_species_fold(t) for t in treated[1:max_tokens]]
+    parts += ["<null>"] * (max_tokens - len(parts))
+    parts.append(_digit_signature(text))
+    return "|".join(parts)
+
+
 def phonetic_key(text: str | None, max_tokens: int = KEY_TOKENS) -> str | None:
     """Compound phonetic blocking key for a transcript turn.
 
@@ -108,22 +144,14 @@ def phonetic_key(text: str | None, max_tokens: int = KEY_TOKENS) -> str | None:
     (ALANameSearcher.java:1080-1093, ALANameIndexer.java:953-977). For free
     text we take treatWord of the first `max_tokens` alphabetic tokens,
     joined with "|", with the same "<null>" padding sentinel -- identical
-    join-key semantics, generalized token count.
+    join-key semantics, generalized token count. Shares `_key_from_treated`
+    with the pipeline's batch kernel (parity-tested).
     """
-    norm = soundex_normalize(text)
-    if not norm:
+    if text is None:
         return None
-    tokens = [t for t in norm.replace(".", " ").split() if t]
-    if not tokens:
-        return None
-    parts = [
-        treat_word(t, "species" if i > 0 else "normal")
-        for i, t in enumerate(tokens[:max_tokens])
-    ]
-    while len(parts) < max_tokens:
-        parts.append("<null>")  # sentinel per ALANameSearcher.java:1087
-    parts.append(_digit_signature(text))
-    return "|".join(p if p else "<null>" for p in parts)
+    raw = text.replace(".", " ").split()[:64]
+    treated = [t for t in (treat_word(x, "normal") for x in raw) if t]
+    return _key_from_treated(treated, text, max_tokens)
 
 
 def _digit_signature(text: str, cap: int = 16) -> str:
@@ -177,9 +205,12 @@ def _phonetic_key_series(s: pd.Series) -> pd.Series:
 def _phonetic_struct_series(s: pd.Series) -> pd.DataFrame:
     """One pass producing BOTH the compound key and the token array.
 
-    key = first `max_tokens` phonetic tokens joined with "|" and padded with
-    the "<null>" sentinel (ALANameSearcher.java:1087); tokens = treat_word of
-    every token (capped). Shared memo across the whole Arrow batch.
+    key = `_key_from_treated` over the first `max_tokens` phonetic tokens --
+    the SAME builder as the scalar `phonetic_key`, so the pipeline's blocking
+    key and the published operator agree by construction (incl. the species
+    fold on slots 2..N); tokens = treat_word of every token (capped), normal
+    treatment -- the scorer's token-set slot must not suffix-fold. Shared
+    memo across the whole Arrow batch.
     """
     memo: dict[str, str | None] = {}
 
@@ -200,12 +231,7 @@ def _phonetic_struct_series(s: pd.Series) -> pd.DataFrame:
         raw = text.replace(".", " ").split()[:64]
         treated = [t for t in (tw(x) for x in raw) if t]
         toks_out.append(treated)
-        if not treated:
-            keys.append(None)
-            continue
-        parts = treated[:KEY_TOKENS] + ["<null>"] * max(0, KEY_TOKENS - len(treated))
-        parts.append(_digit_signature(text))  # voucher-analog component
-        keys.append("|".join(parts))
+        keys.append(_key_from_treated(treated, text))
     return pd.DataFrame({"phonetic_key": keys, "phonetic_tokens": toks_out})
 
 

@@ -268,7 +268,12 @@ def block_local_labels(edges: DataFrame, num_partitions: int | None = None) -> D
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
     def per_partition(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        batches = list(batches)
+        # empty partitions are routine after a hash repartition on few /
+        # skewed block_ids; pd.concat([]) raises, so bail out first
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
         if len(pdf):
             yield _labels_and_winners_pdf(pdf)
 
@@ -285,7 +290,7 @@ def block_local_labels(edges: DataFrame, num_partitions: int | None = None) -> D
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
-    driver_max_edges: int = _DRIVER_CC_MAX_EDGES,
+    driver_max_edges: int | None = None,
     n_edges: int | None = None,
 ) -> DataFrame:
     """(record_id, cluster_id) for every node appearing in `edges`.
@@ -296,6 +301,10 @@ def connected_components(
     `driver_max_edges` use the driver union-find fast path (same labels).
     `n_edges`, when known (checkpoint footer counts), skips the sizing job.
     """
+    # resolve at call time so runtime overrides of the module global (tests,
+    # env flips) switch this gate and group_label_table's gate together
+    if driver_max_edges is None:
+        driver_max_edges = _DRIVER_CC_MAX_EDGES
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     if driver_max_edges > 0:
         # cheap narrow count (upstream edge phase is already materialized);

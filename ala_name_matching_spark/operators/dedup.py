@@ -25,6 +25,21 @@ from pyspark.sql import types as T
 from ala_name_matching_spark.functions.normalize import norm_text_col
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin small scans up to cluster parallelism before CPU-heavy
+    stages (hash kernels, per-shingle md5 fan-out).
+
+    A small parquet file arrives as ONE input partition, serializing the
+    whole kernel onto one core (measured: the entire sf0.1 documents table is
+    a single split). At 100 TB the scan already has >= parallelism splits and
+    this is a no-op -- the partition check is plan-side only, no job.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: groups of byte-identical normalized text (size >= 2).
 
@@ -100,7 +115,7 @@ def minhash_lsh_candidates(
     # column-per-hash formulation re-evaluates the shingle expression K
     # times per row (measured 109 s vs ~5 s at sf0.1); the explode+groupBy
     # shape gets map-side partial aggregation and a single narrow shuffle.
-    exploded = docs.select(
+    exploded = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(token_shingles_col(F.col(text_col), shingle_n)).alias("sh"),
     )
@@ -121,6 +136,13 @@ def minhash_lsh_candidates(
         "doc_id",
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
     )
+    # persist the NARROW banded table (doc_id, band_key -- rows x bands, tiny
+    # vs the corpus): a self-join otherwise re-evaluates the whole
+    # shingle-explode + K-min-agg subtree once per side (measured 2x cost at
+    # bench scale; at 100 TB it is 2 full corpus scans + shuffles)
+    from pyspark import StorageLevel
+
+    stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
     left = stacked.select(F.col("band_key"), F.col("doc_id").alias("doc_id_l"))
     right = stacked.select(F.col("band_key"), F.col("doc_id").alias("doc_id_r"))
     return (
@@ -144,7 +166,16 @@ def ngram_jaccard_pairs(
     Two id joins + one JVM expression (array_intersect/union); only candidate
     pairs pay the cost -- the LSH stage bounded their number.
     """
-    sh = docs.select(
+    # semi-join prune BEFORE shingling: only docs that appear in a candidate
+    # pair pay the shingle cost. The LSH stage guarantees candidates <<
+    # corpus, so at 100 TB this turns two corpus-wide shingle builds into two
+    # candidate-sized ones.
+    cand_ids = (
+        candidates.select(F.col("doc_id_l").alias(id_col))
+        .union(candidates.select(F.col("doc_id_r").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col).alias("doc_id"),
         token_shingles_col(F.col(text_col), shingle_n).alias("sh"),
     )
@@ -168,27 +199,62 @@ def _simhash_series(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-vectorized kernel).
 
     Per token a deterministic 64-bit hash (blake2b) votes +-1 per bit;
-    fingerprint = sign vector. Returned as int64 (two's complement).
+    fingerprint = sign vector (bit b set iff the batch-summed vote > 0).
+    Returned as int64 (two's complement). Vectorized batch shape (round-2
+    verdict item 4 -- the old per-row python loop with a 64-iteration inner
+    loop per token was the slowest kernel in BENCH_r01):
+
+      1. factorize the batch's flattened token stream -- each DISTINCT token
+         is blake2b-hashed exactly once (natural text is token-repetitive);
+      2. one numpy shift unpacks all 64 bits of every distinct hash at once;
+      3. per-doc vote sums via np.add.reduceat over the flat (token, 64)
+         vote matrix -- no per-doc python loop;
+      4. bits -> uint64 with a 64-step array OR, two's complement via view.
     """
     import hashlib
 
-    def one(t):
-        if t is None:
-            return None
-        acc = [0] * 64
-        for tok in t.lower().split():
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            )
-            for b in range(64):
-                acc[b] += 1 if (h >> b) & 1 else -1
-        v = 0
-        for b in range(64):
-            if acc[b] > 0:
-                v |= 1 << b
-        return v - (1 << 64) if v >= 1 << 63 else v
+    import numpy as np
 
-    return texts.map(one)
+    vals = texts.tolist()
+    tok_lists = [t.lower().split() if t is not None else None for t in vals]
+    lens = np.array([len(tl) if tl else 0 for tl in tok_lists], dtype=np.int64)
+    out = np.zeros(len(vals), dtype=np.uint64)
+    flat = [tok for tl in tok_lists if tl for tok in tl]
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(u.encode(), digest_size=8).digest(), "big"
+                )
+                for u in uniques
+            ),
+            dtype=np.uint64,
+            count=len(uniques),
+        )
+        bit_idx = np.arange(64, dtype=np.uint64)
+        # bit-major (64, n_unique) 0/1 matrix: the per-bit rows are
+        # contiguous, so the segment sum (reduceat axis=1) runs at memory
+        # bandwidth; int32 keeps sums overflow-safe for huge docs. The +-1
+        # vote sum is recovered as 2*S - n_tokens (S = count of set bits).
+        bitsT = np.ascontiguousarray(
+            ((hs[None, :] >> bit_idx[:, None]) & np.uint64(1)).astype(np.int32)
+        )
+        nz = lens > 0
+        ends = np.cumsum(lens[nz])
+        starts = np.concatenate(([0], ends[:-1]))
+        rows = bitsT[:, codes]  # (64, n_tokens)
+        S = np.add.reduceat(rows, starts, axis=1)  # (64, n_docs_nonzero)
+        fp_bits = (2 * S.astype(np.int64) > lens[nz][None, :]).astype(np.uint64)
+        v = np.zeros(len(starts), dtype=np.uint64)
+        for b in range(64):  # 64 array-wide ORs, not per-row work
+            v |= fp_bits[b] << np.uint64(b)
+        out[nz] = v
+    res = pd.Series(out.view(np.int64)).astype("Int64")
+    null_mask = np.array([t is None for t in vals])
+    if null_mask.any():
+        res[null_mask] = pd.NA
+    return res
 
 
 simhash_udf = F.pandas_udf(_simhash_series, T.LongType())
@@ -211,7 +277,7 @@ def simhash_near_duplicates(
     """
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
-    fp = docs.select(
+    fp = _spread(docs).select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("fp")
     )
     bands = F.array(
@@ -225,6 +291,12 @@ def simhash_near_duplicates(
         ]
     )
     blocked = fp.select("doc_id", "fp", F.explode(bands).alias("bucket"))
+    # persist the narrow (doc_id, fp, bucket) table: the self-join otherwise
+    # evaluates the fingerprint kernel + scan twice (measured 5.4 s -> 2.4 s
+    # at bench scale); rows x bands x ~24 bytes is negligible vs the corpus
+    from pyspark import StorageLevel
+
+    blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
     left = blocked.select("bucket", F.col("doc_id").alias("doc_id_l"), F.col("fp").alias("fp_l"))
     right = blocked.select("bucket", F.col("doc_id").alias("doc_id_r"), F.col("fp").alias("fp_r"))
     return (

@@ -46,8 +46,8 @@ from ala_name_matching_spark.operators.blocking import (
     restore_text_columns,
     salt_and_cap_blocks,
 )
+from ala_name_matching_spark.operators import clustering
 from ala_name_matching_spark.operators.clustering import (
-    _DRIVER_CC_MAX_EDGES,
     _driver_labels_and_winners,
     assignment_table,
     attach_cluster_columns,
@@ -110,7 +110,7 @@ def _driver_label_artifact(ckpt: CheckpointManager, fuzzy_edges: DataFrame) -> b
     if not ckpt.enabled:
         return False
     n_edges = ckpt.row_count("p4_edges")
-    if n_edges is None or n_edges > _DRIVER_CC_MAX_EDGES:
+    if n_edges is None or n_edges > clustering._DRIVER_CC_MAX_EDGES:
         return False
     if not {"src", "dst", "src_prio", "dst_prio"} <= set(fuzzy_edges.columns):
         return False
@@ -222,10 +222,15 @@ def run_pipeline(
         )
         # driver fast-path input: local pyarrow read of the committed edge
         # phase (no Spark collect job) -- None on remote storage or when
-        # checkpointing is off, in which case the collect path takes over
+        # checkpointing is off, in which case the collect path takes over.
+        # Gated on the footer count: above the driver-UF threshold the
+        # distributed lane runs and a driver-side read of the whole edge
+        # table would be pure OOM risk with the result discarded.
         edges_pdf = (
             ckpt.read_local_pandas("p4_edges", edge_cols)
             if len(edge_cols) == 4
+            and n_edges is not None
+            and n_edges <= clustering._DRIVER_CC_MAX_EDGES
             else None
         )
         keep = edge_cols + (

@@ -171,6 +171,7 @@ class CheckpointManager:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        t0 = time.time()
         path = self._path(name)
         shutil.rmtree(path, ignore_errors=True)  # no stale parts on rewrite
         os.makedirs(path, exist_ok=True)
@@ -181,11 +182,21 @@ class CheckpointManager:
         )
         n = max(1, min(n_files, len(tbl)))
         step = (len(tbl) + n - 1) // n if len(tbl) else 1
+        chunk_rows = []
         for i in range(n):
             chunk = tbl.slice(i * step, step)
             pq.write_table(chunk, os.path.join(path, f"part-{i:05d}.parquet"))
+            chunk_rows.append(len(chunk))
         with open(os.path.join(path, "_SUCCESS"), "w"):
             pass
+        # same per-partition lineage contract (S5) as materialize() -- the
+        # all-driver lane must not leave holes in _metrics.json depending on
+        # which codepath wrote the phase
+        wall = round(time.time() - t0, 3)
+        for pid, rows in enumerate(chunk_rows):
+            self._metrics.append(
+                {"phase": name, "partition": pid, "rows": rows, "wall_sec": wall}
+            )
         return path
 
     def write_metrics(self) -> str | None:

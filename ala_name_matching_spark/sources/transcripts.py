@@ -11,6 +11,11 @@ TaxonNameSoundEx.java:82-159; CleanedScientificName.java:42-161):
                                      doubled letters)
   (d) marker-token insertion        (re:, fwd: -- cf./aff./sp. analogs)
   (e) author-style suffixes
+  (f) species-suffix-class swaps    (status->statas: IS/US/AS all key to A
+                                     ONLY under the species fold on key
+                                     slots 2..N, TaxonNameSoundEx.java:
+                                     146-156 -- the F1 gate catches a
+                                     regression of that fold)
 
 plus singleton negatives, adversarial homonym groups (identical text, a
 conflicting role/tool -- must NOT merge), one hot entity holding ~5% of all
@@ -42,7 +47,7 @@ HOMONYM_ENTITIES = 5    # first k non-hot entities are homonym groups
 _SUBJECTS = [
     "customer", "agent", "deploy", "invoice", "cluster", "pipeline", "ticket",
     "release", "database", "metric", "schema", "payment", "vendor", "account",
-    "session", "token", "backup", "replica", "shard", "webhook",
+    "session", "token", "backup", "replica", "shard", "status",
 ]
 _VERBS = [
     "restarted", "escalated", "reconciled", "migrated", "flagged", "resolved",
@@ -82,7 +87,14 @@ def _base_text(entity: int) -> str:
 def _perturb(text: str, variant: int, entity: int) -> str:
     """Apply one of the planted error classes, chosen by variant index."""
     r = _rng_int(SEED, "perturb", entity, variant)
-    kind = variant % 6
+    kind = variant % 7
+    if kind == 6:  # (f) species-suffix-class swap on a key slot 2..6 token
+        words = text.split()
+        for idx in range(1, min(6, len(words))):
+            if words[idx].lower().endswith(("us", "is")):
+                words[idx] = words[idx][:-2] + "as"
+                return " ".join(words)
+        return text.upper()  # no eligible token: fall back to class (a)
     if kind == 0:
         return text  # pristine copy
     if kind == 1:  # (a) case change
@@ -123,12 +135,12 @@ def _row_for_index(i: int, n_entities: int, hot_rows: int) -> dict:
         tool = None
     elif i < hot_rows:
         entity = 0  # the hot entity (~5% of rows in one block)
-        text = _perturb(_base_text(0), (i % 6), 0)
+        text = _perturb(_base_text(0), (i % 7), 0)
         role = "assistant"
         tool = "sql"
     else:
         entity = 1 + (r % (n_entities - 1))
-        variant = (r >> 16) % 6
+        variant = (r >> 16) % 7
         text = _perturb(_base_text(entity), variant, entity)
         if entity <= HOMONYM_ENTITIES:
             # adversarial homonym: identical text, conflicting role subgroup.

@@ -110,11 +110,17 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     clustered = run_pipeline(transcripts, config=cfg, checkpoints=ckpt)
     if args.output_mode == "assignment":
-        # narrow deliverable; Catalyst prunes the probe scan to the id/hash
-        # columns, so this job never reads the text payload
-        clustered = clustered.select(
-            "record_id", "cluster_id", "representative_id", "is_representative"
-        )
+        # narrow deliverable. run_pipeline just committed the identical table
+        # as the p6_clusters phase -- write --output from that scan instead of
+        # re-executing the record probe join (the heaviest final job) twice.
+        if ckpt.exists("p6_clusters"):
+            clustered = ckpt.read("p6_clusters")
+        else:
+            # checkpointing off: Catalyst prunes the probe scan to the
+            # id/hash columns, so this job never reads the text payload
+            clustered = clustered.select(
+                "record_id", "cluster_id", "representative_id", "is_representative"
+            )
     if args.format == "iceberg":
         clustered.writeTo(args.output).createOrReplace()
     else:

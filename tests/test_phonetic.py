@@ -99,3 +99,54 @@ def test_treat_word_total_and_idempotent_shape(s):
         for a, b in zip(out, out[1:]):
             if a.isalpha():
                 assert not (a == b)
+
+
+def test_species_fold_and_kernel_unification():
+    """Round-2 verdict item 3: one key semantics for both kernels.
+
+    The species-suffix fold (IS/IM/AS -> A, TaxonNameSoundEx.java:146-156)
+    applies to key slots 2..N (specific_ex/infra_ex analog); slot 1 keeps the
+    normal treatment (genus_ex). `_species_fold(normal)` must equal the
+    reference's "species" treatWord so the memoized batch kernel can fold at
+    the slot level.
+    """
+    from ala_name_matching_spark.functions.phonetic import _species_fold
+
+    for w in ["status", "ocellatus", "brachyphylla", "request", "maximum"]:
+        assert _species_fold(treat_word(w, "normal")) == treat_word(w, "species")
+    # suffix-class misspellings collapse ONLY via the fold on slots 2..N
+    assert treat_word("status") != treat_word("statas")
+    assert phonetic_key("the status was checked") == phonetic_key(
+        "the statas was checked"
+    )
+    # slot 1 is NOT folded: differing first tokens stay distinct
+    assert phonetic_key("status checked") != phonetic_key("statas checked")
+
+
+def test_struct_kernel_parity_with_scalar_key():
+    """The pipeline's batch kernel and the published phonetic_key operator
+    must produce byte-identical keys on a representative corpus sample
+    (they share _key_from_treated; this guards the seam)."""
+    import pandas as pd
+
+    from ala_name_matching_spark.functions.phonetic import (
+        _phonetic_struct_series,
+        phonetic_tokens,
+    )
+    from ala_name_matching_spark.sources.transcripts import (
+        _base_text,
+        _perturb,
+    )
+
+    texts = [None, "", "?!", "the status was checked", "the statas was checked"]
+    for e in range(40):
+        for v in range(7):
+            texts.append(_perturb(_base_text(e), v, e))
+    out = _phonetic_struct_series(pd.Series(texts, dtype=object))
+    for text, got_key, got_toks in zip(
+        texts, out["phonetic_key"], out["phonetic_tokens"]
+    ):
+        want = phonetic_key(text) if text is not None else None
+        assert got_key == want, (text, got_key, want)
+        if text is not None:
+            assert list(got_toks) == (phonetic_tokens(text) or [])
