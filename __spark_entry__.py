@@ -637,11 +637,16 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
+    # multi-table + 1-probe config: recall@5 = 0.82 vs cosine_topk on this
+    # fixture (uniform random vectors, ANN's worst case; floor asserted in
+    # tests/test_similarity_search.py)
+    return lsh_topk(emb, queries, dim=64, k=5, n_planes=8, n_tables=16, multiprobe=1)
 
 
 def _q_spelling_collision_qa(spark, sf_dir):
-    # B9 -- per-parent phonetic spelling-collision QA (phonetic UDF)
+    # B9 -- per-parent spelling-collision QA keyed on the F6 full-name
+    # soundEx (alphabetize-after-first-letter, TaxonNameSoundEx.java:168-238
+    # via Taxonomy.validateSpeciesSpelling)
     from ala_name_matching_spark.operators.blocking import (
         with_blocking_columns,
         with_record_id,
@@ -652,7 +657,7 @@ def _q_spelling_collision_qa(spark, sf_dir):
     t = transcripts_from_documents(spark, sf_dir)
     feats = with_blocking_columns(with_record_id(t))
     return spelling_collision_qa(feats, group_col="role").select(
-        "role", "phonetic_key", "n_variants"
+        "role", "soundex_key", "n_variants"
     )
 
 
@@ -697,11 +702,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rematch_stragglers": _q_rematch_stragglers,
         "misapplied_resolution": _q_misapplied_resolution,
         "synonym_enrich": _q_synonym_enrich,
+        # oracle-checked since round 2 (exact-Jaccard all-pairs oracle):
+        "minhash_lsh_neardups": _q_minhash_lsh_neardups,
         # rows-only (no oracle_sql entry):
         "er_clusters": _q_er_clusters,
         "phonetic_keys": _q_phonetic_keys,
         "simhash_neardups": _q_simhash_neardups,
-        "minhash_lsh_neardups": _q_minhash_lsh_neardups,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "spelling_collision_qa": _q_spelling_collision_qa,
     }
@@ -1047,6 +1053,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.accepted_id IS NOT NULL AND b.segment IS NULL
                         THEN t.segment ELSE b.segment END AS segment
             FROM base b LEFT JOIN base t ON b.accepted_id = t.c_custkey""",
+        # exact token-3-gram Jaccard over ALL pairs >= 0.4: valid as the LSH
+        # query's oracle because at 16 hashes / 8 bands the planted near-dup
+        # pairs (J > 0.9) have candidate probability ~1 -- verified
+        # empirically equal at the driver's sf0.01 gate (deterministic data +
+        # hashes, so equal once = equal always)
+        "minhash_lsh_neardups": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(lower({_NORM}), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                     )) AS sh
+              FROM t
+            )
+            SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r,
+                   round(len(list_intersect(a.sh, b.sh))::double
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::double
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4""",
         "rematch_stragglers": f"""
             WITH d AS (SELECT doc_id AS record_id, {_CANON} AS canon_text FROM documents),
             cl AS (SELECT record_id, canon_text,

@@ -169,6 +169,73 @@ def _digit_signature(text: str, cap: int = 16) -> str:
     return digs[:cap] if digs else "<nodigits>"
 
 
+# F6 first-char digraph table: selectiveReplaceFirstChar
+# (TaxonNameSoundEx.java:242-295) -- treatWord's leading table minus MC->MAC
+# (which soundEx applies in the TAIL pass instead) plus the AE-ligature.
+_F6_LEADING = [
+    ("Æ", "E"), ("AE", "E"), ("CN", "N"), ("CT", "T"), ("CZ", "C"),
+    ("DJ", "J"), ("EA", "E"), ("EU", "U"), ("GN", "N"), ("KN", "N"),
+    ("MN", "N"), ("OE", "E"), ("QU", "Q"), ("PS", "S"), ("PT", "T"),
+    ("TS", "S"), ("X", "Z"),
+]
+
+# F6 tail folds: selectiveReplaceWithoutFirstChar (TaxonNameSoundEx.java:
+# 221-239), sequential. NOTE the reference's per-char vowel fold is
+# `replaceAll("EOUYKZH", "IAIICS")` -- a regex matching the LITERAL 7-char
+# string, i.e. a no-op on real names -- so unlike treatWord, soundEx does NOT
+# fold vowel classes; we mirror the effective behavior.
+_F6_TAIL = [
+    ("AE", "I"), ("IA", "A"), ("OE", "I"), ("OI", "A"), ("MC", "MAC"),
+    ("SC", "S"),
+]
+
+
+def full_soundex(name: str | None) -> str | None:
+    """F6 -- the full-name soundEx (TaxonNameSoundEx.soundEx,
+    TaxonNameSoundEx.java:168-238), used by the builder's spelling-collision
+    QA (Taxonomy.validateSpeciesSpelling, Taxonomy.java:619-677).
+
+    upper-case -> first-char digraph rewrite (whole string, once) -> tail
+    digraph folds -> squeeze consecutive repeats (any char, across the whole
+    string) -> per word keep the first letter and SORT the remaining letters.
+    The alphabetize step makes the key invariant under within-word
+    transpositions ("zebra"/"zerba" -> "ZABER") -- the misspelling class
+    treatWord's ordered folds cannot collapse.
+    """
+    if name is None:
+        return None
+    temp = name.upper()
+    for src, dst in _F6_LEADING:
+        if temp.startswith(src):
+            temp = dst + temp[len(src):]
+            break
+    if len(temp) > 1:
+        head, tail = temp[0], temp[1:]
+        for src, dst in _F6_TAIL:
+            tail = tail.replace(src, dst)
+        temp = head + tail
+    # consecutive-repeat squeeze over ANY character (the reference's
+    # removeRepeatedChars is not \w-restricted, unlike treatWord's squeeze)
+    out = []
+    prev = None
+    for ch in temp:
+        if ch != prev:
+            out.append(ch)
+        prev = ch
+    temp = "".join(out)
+    words = [
+        (w[0] + "".join(sorted(w[1:]))) if w else w for w in temp.split(" ")
+    ]
+    return " ".join(words)
+
+
+def _full_soundex_series(s: pd.Series) -> pd.Series:
+    return s.map(full_soundex, na_action="ignore")
+
+
+full_soundex_udf = F.pandas_udf(_full_soundex_series, T.StringType())
+
+
 def phonetic_tokens(text: str | None, max_tokens: int = 64) -> list[str] | None:
     """treatWord applied per token -- the phonetic token multiset.
 

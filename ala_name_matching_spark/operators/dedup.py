@@ -25,6 +25,62 @@ from pyspark.sql import types as T
 from ala_name_matching_spark.functions.normalize import norm_text_col
 
 
+DEFAULT_BUCKET_CAP = 2000
+
+
+def cap_lsh_buckets(
+    entries: DataFrame,
+    bucket_col: str,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Salt oversized LSH buckets (boilerplate text -> mega-buckets) with
+    lost-pair accounting -- the blocking-layer salt_and_cap_blocks contract
+    (operators/blocking.py:329) applied to band/bit buckets.
+
+    An uncapped bucket of n rows self-joins into n^2/2 candidate pairs; a
+    boilerplate-heavy corpus at 100 TB routinely produces 10^6-row buckets
+    (10^12 pairs from ONE bucket). Splitting into ceil(n/cap) salted
+    sub-buckets bounds the per-bucket join at cap^2/2 and total pair volume
+    at ~n*cap/2, at a quantified recall cost: lost pairs per split bucket =
+    C(n,2) - sum_s C(n_s,2), reported per bucket in the stats frame
+    (bucket, bucket_size, n_salts, lost_pairs) -- the same metrics contract
+    as the ER blocking tier. Returns (salted_entries, stats); salted entries
+    replace `bucket_col` with a 64-bit salted hash id.
+    """
+    sizes = entries.groupBy(bucket_col).agg(F.count("*").alias("bucket_size"))
+    sizes = sizes.withColumn(
+        "n_salts",
+        F.when(F.col("bucket_size") <= bucket_cap, F.lit(1)).otherwise(
+            F.ceil(F.col("bucket_size") / bucket_cap).cast("int")
+        ),
+    )
+    # pairs lost to the split: C(n,2) minus sub-bucket pairs, computed with
+    # the balanced-split identity (sizes differ by <= 1 across salts)
+    n, k = F.col("bucket_size"), F.col("n_salts")
+    base, rem = (n / k).cast("long"), F.pmod(n, k)
+    sub_pairs = (k - rem) * base * (base - 1) / 2 + rem * (base + 1) * base / 2
+    stats = sizes.select(
+        F.col(bucket_col).alias("bucket"),
+        "bucket_size",
+        "n_salts",
+        (n * (n - 1) / 2 - sub_pairs).cast("long").alias("lost_pairs"),
+    )
+    salted = (
+        entries.join(sizes.filter(F.col("bucket_size") >= 2), bucket_col)
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts") == 1, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(id_col), F.col("n_salts")).cast("int")
+            ),
+        )
+        .withColumn("_bkt", F.xxhash64(F.col(bucket_col), F.col("salt")))
+        .drop(bucket_col, "bucket_size", "n_salts", "salt")
+        .withColumnRenamed("_bkt", bucket_col)
+    )
+    return salted, stats
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin small scans up to cluster parallelism before CPU-heavy
     stages (hash kernels, per-shingle md5 fan-out).
@@ -100,15 +156,18 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    return_stats: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing >= 1 band of their MinHash signature.
 
     rows/bands tradeoff: P(candidate) = 1-(1-J^r)^b with r=num_hashes/bands.
     Shuffle profile: one map to build signatures (no shuffle), one explode to
     (band_key, doc) -- linear -- one self-join per band bucket. Hot buckets
-    (boilerplate text) are bounded the same way as blocking: callers should
-    cap bucket sizes for adversarial corpora; at 16/4 defaults buckets stay
-    small on natural text.
+    (boilerplate text at 100 TB) are bounded by `bucket_cap` via
+    cap_lsh_buckets -- salted sub-buckets with per-bucket lost-pair
+    accounting (pass return_stats=True for (pairs, stats)); bucket_cap=None
+    disables capping (oracle-exactness mode for small corpora).
     """
     r = num_hashes // bands
     # Compute shingles ONCE and explode, then K min-aggregates: the
@@ -142,15 +201,27 @@ def minhash_lsh_candidates(
     # bench scale; at 100 TB it is 2 full corpus scans + shuffles)
     from pyspark import StorageLevel
 
+    stats = None
+    if bucket_cap:
+        stacked, stats = cap_lsh_buckets(stacked, "band_key", bucket_cap)
     stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
     left = stacked.select(F.col("band_key"), F.col("doc_id").alias("doc_id_l"))
     right = stacked.select(F.col("band_key"), F.col("doc_id").alias("doc_id_r"))
-    return (
+    pairs = (
         left.join(right, "band_key")
         .filter(F.col("doc_id_l") < F.col("doc_id_r"))
         .select("doc_id_l", "doc_id_r")
         .distinct()
     )
+    if return_stats:
+        if stats is None:
+            stats = stacked.groupBy(F.col("band_key").alias("bucket")).agg(
+                F.count("*").alias("bucket_size"),
+                F.lit(1).alias("n_salts"),
+                F.lit(0).cast("long").alias("lost_pairs"),
+            )
+        return pairs, stats
+    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -266,13 +337,17 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     n_bands: int = 4,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    return_stats: bool = False,
 ) -> DataFrame:
     """Near-dups by SimHash hamming distance <= max_hamming.
 
     Banded candidate generation (Charikar/Manku-style): the 64-bit
     fingerprint is split into `n_bands` equal bit-bands; candidates are
     pairs agreeing on >= 1 band. Pigeonhole guarantee: every pair with
-    hamming <= n_bands - 1 is found. Hamming verification is JVM
+    hamming <= n_bands - 1 is found (a bucket SPLIT by the cap weakens this
+    to within-sub-bucket pairs -- the lost-pair count is reported in the
+    stats frame; pass return_stats=True). Hamming verification is JVM
     bit_count(xor); the explode is linear in rows x bands.
     """
     band_bits = 64 // n_bands
@@ -291,6 +366,9 @@ def simhash_near_duplicates(
         ]
     )
     blocked = fp.select("doc_id", "fp", F.explode(bands).alias("bucket"))
+    stats = None
+    if bucket_cap:
+        blocked, stats = cap_lsh_buckets(blocked, "bucket", bucket_cap)
     # persist the narrow (doc_id, fp, bucket) table: the self-join otherwise
     # evaluates the fingerprint kernel + scan twice (measured 5.4 s -> 2.4 s
     # at bench scale); rows x bands x ~24 bytes is negligible vs the corpus
@@ -299,7 +377,7 @@ def simhash_near_duplicates(
     blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
     left = blocked.select("bucket", F.col("doc_id").alias("doc_id_l"), F.col("fp").alias("fp_l"))
     right = blocked.select("bucket", F.col("doc_id").alias("doc_id_r"), F.col("fp").alias("fp_r"))
-    return (
+    pairs = (
         left.join(right, "bucket")
         .filter(F.col("doc_id_l") < F.col("doc_id_r"))
         .withColumn("hamming", F.bit_count(F.col("fp_l").bitwiseXOR(F.col("fp_r"))))
@@ -307,3 +385,12 @@ def simhash_near_duplicates(
         .select("doc_id_l", "doc_id_r", "hamming")
         .distinct()
     )
+    if return_stats:
+        if stats is None:
+            stats = blocked.groupBy("bucket").agg(
+                F.count("*").alias("bucket_size"),
+                F.lit(1).alias("n_salts"),
+                F.lit(0).cast("long").alias("lost_pairs"),
+            )
+        return pairs, stats
+    return pairs

@@ -23,11 +23,17 @@ from pyspark.sql import functions as F
 
 from ala_name_matching_spark.functions.similarity import (
     DEFAULT_MATCH_THRESHOLD,
+    jaro_winkler_udf,
     pair_score_cols,
 )
 
 # Payload columns carried into scoring.
 PAYLOAD_COLS = ["record_id", "canon_text", "role", "tool", "phonetic_tokens"]
+
+# A4 analog: validateHomonymByAuthor accepts a homonym candidate when
+# SWG(author, author) >= 0.8 (ALANameSearcher.java:1377-1391); same
+# threshold, JW kernel over the prepared tool field.
+AUTHOR_SIM_THRESHOLD = 0.8
 
 
 def candidate_pairs(salted_blocks: DataFrame, dedupe: bool = True) -> DataFrame:
@@ -146,10 +152,21 @@ def apply_pair_scores(
         & F.col("role_r").isNotNull()
         & (F.col("role_l") != F.col("role_r"))
     )
+    # A4 analog -- soft author gate: a tool-field disagreement is WAIVED when
+    # the prepared strings (punctuation/whitespace stripped, the
+    # prepareAuthor analog) are >= 0.8 similar by the JW kernel -- mirroring
+    # validateHomonymByAuthor's SWG(author, author) >= 0.8 acceptance
+    # (ALANameSearcher.java:1377-1391). Near-equal variants ("sql" vs
+    # "sql2") merge; genuinely different tools ("sql" vs "browser") stay a
+    # hard conflict. role remains hard: it is the structural homonym axis.
+    prep_l = F.regexp_replace(F.col("tool_l"), r"[\p{P}\s]", "")
+    prep_r = F.regexp_replace(F.col("tool_r"), r"[\p{P}\s]", "")
+    author_similar = jaro_winkler_udf(prep_l, prep_r) >= AUTHOR_SIM_THRESHOLD
     tool_conflict = (
         F.col("tool_l").isNotNull()
         & F.col("tool_r").isNotNull()
         & (F.col("tool_l") != F.col("tool_r"))
+        & ~F.coalesce(author_similar, F.lit(False))
     )
     out = out.withColumn("homonym_conflict", role_conflict | tool_conflict)
     # V7 analog: error codes accumulate instead of aborting

@@ -197,12 +197,19 @@ def spelling_collision_qa(
     features: DataFrame, group_col: str = "conv_id"
 ) -> DataFrame:
     """B9 -- spelling-collision QA: within a parent group, >1 distinct
-    canonical text sharing one phonetic key is a suspected misspelling
-    cluster (validateSpeciesSpelling, Taxonomy.java:619-677). Emits the QA
-    metrics table (group, phonetic_key, n_variants, variants)."""
+    canonical text sharing one F6 full-name soundEx key is a suspected
+    misspelling cluster (validateSpeciesSpelling, Taxonomy.java:619-677,
+    which keys on TaxonNameSoundEx.soundEx -- the alphabetize-after-first-
+    letter form, NOT treatWord; the sorted-letters key additionally catches
+    within-word transpositions). Emits the QA metrics table
+    (group, soundex_key, n_variants, variants)."""
+    from ala_name_matching_spark.functions.phonetic import full_soundex_udf
+
     return (
-        features.filter(F.col("phonetic_key").isNotNull())
-        .groupBy(group_col, "phonetic_key")
+        features.filter(F.col("canon_text").isNotNull())
+        .withColumn("soundex_key", full_soundex_udf(F.col("canon_text")))
+        .filter(F.col("soundex_key") != "")
+        .groupBy(group_col, "soundex_key")
         .agg(
             F.countDistinct("canon_text").alias("n_variants"),
             F.array_sort(F.collect_set("canon_text")).alias("variants"),

@@ -150,3 +150,75 @@ def test_struct_kernel_parity_with_scalar_key():
         assert got_key == want, (text, got_key, want)
         if text is not None:
             assert list(got_toks) == (phonetic_tokens(text) or [])
+
+
+def test_phonetic_keys_golden_file(spark):
+    """Golden-file regression check for the published phonetic_keys operator
+    (round-2 verdict item 5): keys for the first 40 driver documents plus
+    adversarial literals, generated from the unified kernel and frozen.
+    A change to the fold tables / key layout must update the goldens
+    consciously."""
+    import json
+    import os
+
+    here = os.path.dirname(__file__)
+    with open(os.path.join(here, "golden_phonetic_keys.json")) as fh:
+        golden = json.load(fh)
+    # scalar path on the adversarial literals
+    literals = {
+        "-1": "The status was checked after request 1234",
+        "-2": "the statas was checked after request 1234",
+        "-3": "Re: THE CUSTOMER restarted   the pod",
+        "-4": "?",
+        "-5": "Señor número 42 <b>bold</b> &AMP; done",
+    }
+    for k, text in literals.items():
+        assert phonetic_key(text) == golden[k], (text, phonetic_key(text), golden[k])
+    # Spark path (the published queries() entry) on the document sample
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        return
+    import sys
+
+    sys.path.insert(0, os.path.dirname(here))
+    import __spark_entry__ as entry
+
+    from pyspark.sql import functions as F
+
+    out = (
+        entry.queries()["phonetic_keys"](spark, sf_dir)
+        .filter(F.col("doc_id") < 40)
+        .collect()
+    )
+    assert len(out) == 40
+    for r in out:
+        assert r["phonetic_key"] == golden[str(r["doc_id"])], r["doc_id"]
+
+
+def test_full_soundex_f6_goldens():
+    """F6 -- TaxonNameSoundEx.soundEx (TaxonNameSoundEx.java:168-238),
+    hand-derived goldens. Key property: the per-word alphabetize step makes
+    the key invariant under within-word transpositions, the misspelling
+    class treatWord cannot collapse."""
+    from ala_name_matching_spark.functions.phonetic import full_soundex
+
+    # ZEBRA: no digraph, no tail fold, no repeat; Z + sorted(EBRA) = ZABER
+    assert full_soundex("zebra") == "ZABER"
+    # transposition class collapses (treatWord keys differ: ZIBRA vs ZIRBA)
+    assert full_soundex("zebra") == full_soundex("zerba")
+    assert treat_word("zebra") != treat_word("zerba")
+    # first-char digraph: PSITTACUS -> SITTACUS; squeeze TT -> SITACUS;
+    # alphabetize: S + sorted(ITACUS) = SACISTU
+    assert full_soundex("Psittacus") == "SACISTU"
+    # tail digraph fold before alphabetize: OCELLATUS: no leading rewrite
+    # (OE rule needs prefix OE); tail 'CELLATUS' has no AE/IA/OE/OI/MC/SC;
+    # squeeze LL -> OCELATUS -> O + sorted(CELATUS) = OACELSTU
+    assert full_soundex("ocellatus") == "OACELSTU"
+    # soundEx does NOT vowel-fold (the reference's EOUYKZH replaceAll is a
+    # literal-string no-op, TaxonNameSoundEx.java:230): E stays E
+    assert "E" in full_soundex("zebra")
+    # multi-word: per-word alphabetize, space-squeeze across the string
+    assert full_soundex("the  cluster") == full_soundex("the clusster")
+    # null/empty totality
+    assert full_soundex(None) is None
+    assert full_soundex("") == ""

@@ -109,3 +109,37 @@ def test_jw_batch_long_strings_capped():
     b = pd.Series(["x" * JW_CAP + "y" * 40])
     got = jw_batch(a, b)
     assert got[0] == jaro_winkler("x" * (JW_CAP + 40), "x" * JW_CAP + "y" * 40) == 1.0
+
+
+def test_author_soft_gate_a4(spark):
+    """A4 analog (round-2 verdict item 8): a tool-field disagreement is
+    waived when the prepared strings are JW-similar >= 0.8
+    (validateHomonymByAuthor's SWG >= 0.8, ALANameSearcher.java:1377-1391);
+    genuinely different tools stay a hard conflict; role conflicts are
+    always hard."""
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.pairs import apply_pair_scores
+
+    rows = [
+        # near-equal tool variants: "sql" vs "sql2." (punct stripped) -> waived
+        ("a1", "a2", "the cluster restarted", "the cluster restarted",
+         "user", "user", "sql", "sql2."),
+        # different tools -> hard conflict
+        ("b1", "b2", "the cluster restarted", "the cluster restarted",
+         "user", "user", "sql", "browser"),
+        # role conflict -> always hard, even with equal tools
+        ("c1", "c2", "the cluster restarted", "the cluster restarted",
+         "user", "tool", "sql", "sql"),
+        # null tool on one side -> no conflict (reference: missing author
+        # falls through to the probe, not a rejection)
+        ("d1", "d2", "the cluster restarted", "the cluster restarted",
+         "user", "user", "sql", None),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "record_id_l", "record_id_r", "canon_text_l", "canon_text_r",
+        "role_l", "role_r", "tool_l", "tool_r",
+    ])
+    out = apply_pair_scores(spark.createDataFrame(pdf), has_tokens=False)
+    got = {r["record_id_l"]: r["homonym_conflict"] for r in out.collect()}
+    assert got == {"a1": False, "b1": True, "c1": True, "d1": False}

