@@ -59,6 +59,9 @@ def _tier_join(
         F.col("tool").alias("i_tool"),
         F.col("phonetic_tokens").alias("i_ptoks"),
         F.col("priority"),
+        (
+            F.col("is_excluded") if "is_excluded" in index.columns else F.lit(False)
+        ).alias("i_excl"),
     ).filter(F.col("k").isNotNull())
     return q.join(i, "k").withColumn("match_type", F.lit(match_type)).drop("k")
 
@@ -73,13 +76,31 @@ def search_ladder(
 
     Returns one row per query: (query_id, index_id, score, match_type,
     error_codes); unmatched queries appear with index_id null and
-    match_type 'NO_MATCH' (ErrorType NONE analog -- callers get every query
-    back, like MetricsResultDTO always wrapping a result).
+    match_type 'NO_MATCH' (callers get every query back, like
+    MetricsResultDTO always wrapping a result).
+
+    error_codes mirrors performErrorCheckSearch's accumulate-not-abort
+    contract (ALANameSearcher.java:660-682, ErrorType.java:26-80):
+      * marker codes from the raw query text (QUESTION/FORWARDED/TRUNCATED/
+        SHOUT -- the QUESTION_SPECIES / CONFER / INDETERMINATE analogs,
+        F10 issue_flags);
+      * HOMONYM -- the query ended NO_MATCH but a candidate passed the score
+        gate and was rejected ONLY by the role-context conflict (the
+        unresolvable-HomonymException case; a context-resolved homonym
+        carries no code, matching validateHomonyms semantics);
+      * EXCLUDED / ASSOCIATED_EXCLUDED -- when the index carries
+        `is_excluded`: best match is excluded, or a non-excluded best had an
+        excluded qualifying sibling (ExcludedNameException.getNonExcludedName
+        preference -- non-excluded candidates outrank excluded ones);
+      * NO_MATCH -- no tier produced a qualifying candidate.
+    An empty array is ErrorType.NONE ("noIssue").
 
     Scale: each tier joins only prior misses (left-anti on matched query
     ids); the index side is reusable across calls -- at production scale it
     is a bucketed Iceberg table keyed by each tier's key.
     """
+    from ala_name_matching_spark.operators.phrase import issue_flags_col
+
     q = _prep(queries)
     idx = _prep(index)
     idx = idx.withColumn(
@@ -97,6 +118,7 @@ def search_ladder(
 
     remaining = q
     matched_parts: list[DataFrame] = []
+    homonym_parts: list[DataFrame] = []
     for key, mtype in tiers:
         cands = _tier_join(remaining, idx, key, mtype)
         # A1 scoring on tier candidates (exact tier scores trivially 1.0 on
@@ -107,23 +129,41 @@ def search_ladder(
             F.col("q_tool"), F.col("i_tool"),
             F.col("q_ptoks"), F.col("i_ptoks"),
         )
-        scored = cands.withColumn("score", cols["score"])
+        scored_all = cands.withColumn("score", cols["score"])
         role_conflict = (
             F.col("q_role").isNotNull()
             & F.col("i_role").isNotNull()
             & (F.col("q_role") != F.col("i_role"))
         )
-        scored = scored.filter(~role_conflict & (F.col("score") >= threshold))
-        # A2: rank by proximity-bucketed score then priority, deterministic
+        # homonym-rejected: would have matched on score but for the context
+        # gate -- recorded per query, surfaced only if it ends NO_MATCH
+        homonym_parts.append(
+            scored_all.filter(role_conflict & (F.col("score") >= threshold))
+            .select("query_id")
+            .distinct()
+        )
+        scored = scored_all.filter(~role_conflict & (F.col("score") >= threshold))
+        # A2: rank by proximity-bucketed score then priority, deterministic;
+        # non-excluded candidates outrank excluded ones (the reference's
+        # getNonExcludedName preference)
         w = Window.partitionBy("query_id").orderBy(
+            F.col("i_excl").asc(),
             F.floor(F.col("score") / MATCH_PROXIMITY).desc(),
             F.col("priority").desc(),
             F.col("index_id").asc(),
         )
+        wq = Window.partitionBy("query_id")
         best = (
             scored.withColumn("rn", F.row_number().over(w))
+            .withColumn("any_excl", F.max("i_excl").over(wq))
             .filter(F.col("rn") == 1)
-            .select("query_id", "index_id", "score", "match_type")
+            .withColumn(
+                "match_codes",
+                F.when(F.col("i_excl"), F.array(F.lit("EXCLUDED")))
+                .when(F.col("any_excl"), F.array(F.lit("ASSOCIATED_EXCLUDED")))
+                .otherwise(F.array().cast("array<string>")),
+            )
+            .select("query_id", "index_id", "score", "match_type", "match_codes")
         )
         matched_parts.append(best)
         # fall-through: only misses proceed to the coarser tier
@@ -136,8 +176,33 @@ def search_ladder(
     matches = matched_parts[0]
     for part in matched_parts[1:]:
         matches = matches.unionByName(part)
-    all_q = q.select(F.col("record_id").alias("query_id"))
-    return (
+    homonyms = homonym_parts[0]
+    for part in homonym_parts[1:]:
+        homonyms = homonyms.unionByName(part)
+    homonyms = homonyms.distinct().withColumn("homonym_rejected", F.lit(True))
+    all_q = q.select(
+        F.col("record_id").alias("query_id"),
+        issue_flags_col(F.col("text")).alias("marker_codes"),
+    )
+    out = (
         all_q.join(matches, "query_id", "left")
+        .join(homonyms, "query_id", "left")
         .withColumn("match_type", F.coalesce(F.col("match_type"), F.lit("NO_MATCH")))
+    )
+    no_match = F.col("match_type") == "NO_MATCH"
+    empty = F.array().cast("array<string>")
+    return (
+        out.withColumn(
+            "error_codes",
+            F.concat(
+                F.coalesce(F.col("marker_codes"), empty),
+                F.coalesce(F.col("match_codes"), empty),
+                F.when(
+                    no_match & F.coalesce(F.col("homonym_rejected"), F.lit(False)),
+                    F.array(F.lit("HOMONYM")),
+                ).otherwise(empty),
+                F.when(no_match, F.array(F.lit("NO_MATCH"))).otherwise(empty),
+            ),
+        )
+        .drop("marker_codes", "match_codes", "homonym_rejected")
     )

@@ -113,3 +113,57 @@ def test_streaming_windowed_counts(spark, tmp_path):
     got = spark.sql("SELECT sum(n_turns) AS n FROM wcounts").collect()[0]["n"]
     q.stop()
     assert got == 8
+
+
+def test_ladder_error_codes(spark, index):
+    """Round-2 verdict item 10: error codes threaded through the ladder
+    (performErrorCheckSearch analog, ALANameSearcher.java:660-682)."""
+    from pyspark.sql import functions as F
+
+    from ala_name_matching_spark.operators.ladder import search_ladder
+
+    queries = _df(
+        spark,
+        [
+            # clean exact match -> empty codes (ErrorType.NONE)
+            ("q", 0, "user", "the deploy restarted the cluster", None, None),
+            # unresolvable homonym: identical text, role with NO compatible
+            # index row -> NO_MATCH + HOMONYM
+            ("q", 1, "assistant", "The deploy restarted the cluster", None, None),
+            # plain miss -> NO_MATCH only
+            ("q", 2, "user", "totally unrelated text about gardening tips", None, None),
+            # marker codes from the raw text ride along
+            ("q", 3, "user", "Re: Customer invoice was reconciled fully", None, None),
+        ],
+    )
+    out = {r["query_id"]: r for r in search_ladder(queries, index).collect()}
+    assert out["q#0"]["error_codes"] == []
+    assert set(out["q#1"]["error_codes"]) == {"HOMONYM", "NO_MATCH"}
+    assert out["q#2"]["error_codes"] == ["NO_MATCH"]
+    assert out["q#3"]["match_type"] == "CANONICAL"
+    assert "FORWARDED" in out["q#3"]["error_codes"]
+
+    # excluded-name handling when the index carries is_excluded (V1/A4):
+    # best-match excluded -> EXCLUDED; non-excluded sibling wins when both
+    # qualify -> ASSOCIATED_EXCLUDED on the kept match
+    idx2 = index.withColumn(
+        "is_excluded", F.col("turn_idx") == 0  # i#0 excluded, i#3 not
+    )
+    q2 = _df(
+        spark,
+        [
+            # matches BOTH i#0 (user, excluded) per role and text; i#3 is
+            # 'tool' role -> conflicts. Only i#0 qualifies -> EXCLUDED.
+            ("q", 0, "user", "the deploy restarted the cluster", None, None),
+        ],
+    )
+    out2 = search_ladder(q2, idx2).collect()[0]
+    assert out2["index_id"] == "i#0"
+    assert "EXCLUDED" in out2["error_codes"]
+
+    # role-null query qualifies against both the excluded i#0 and the
+    # non-excluded i#3 -> non-excluded preferred, ASSOCIATED_EXCLUDED code
+    q3 = _df(spark, [("q", 0, None, "the deploy restarted the cluster", None, None)])
+    out3 = search_ladder(q3, idx2).collect()[0]
+    assert out3["index_id"] == "i#3"
+    assert "ASSOCIATED_EXCLUDED" in out3["error_codes"]
