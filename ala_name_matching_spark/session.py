@@ -34,6 +34,31 @@ def er_conf(shuffle_partitions: int | None = None) -> dict:
     return conf
 
 
+def iceberg_conf(
+    catalog: str = "er",
+    warehouse: str = "/tmp/er_warehouse",
+    jars_package: str = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0",
+) -> dict:
+    """Spark conf for the production Iceberg deployment (north_rule input).
+
+    This container ships no Iceberg runtime jar (verified by
+    tests/test_iceberg_plumbing.py), so these keys are exercised only as
+    configuration plumbing here; on a cluster with the runtime jar the same
+    dict makes `--format iceberg` in jobs/run_er.py read/write real Iceberg
+    tables and CheckpointManager's parquet+_SUCCESS phases become snapshot
+    commits (sources/checkpoints.py module docstring maps each method).
+    """
+    return {
+        "spark.jars.packages": jars_package,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
 def get_spark(
     app_name: str = "ala_name_matching_spark",
     master: str | None = None,

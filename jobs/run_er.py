@@ -81,6 +81,14 @@ def main(argv: list[str] | None = None) -> int:
     # not override values already set in the submitted SparkConf).
     for k, v in er_conf().items():
         builder = builder.config(k, v)
+    if args.format == "iceberg":
+        # catalog plumbing for the snapshot path; needs the runtime jar on
+        # the cluster (absent in the test image -- tests/test_iceberg_plumbing.py
+        # asserts the branch still reaches datasource resolution)
+        from ala_name_matching_spark.session import iceberg_conf
+
+        for k, v in iceberg_conf().items():
+            builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
