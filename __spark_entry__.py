@@ -407,6 +407,29 @@ def _q_autocomplete(spark, sf_dir):
     )
 
 
+def _q_nested_set_intervals(spark, sf_dir):
+    # B2 -- hierarchy walk + nested-set left/right encoding
+    # (DwcaNameIndexer.java:654-854): region -> nation -> customer as the
+    # taxonomy-tree analog; the oracle recomputes the same intervals with a
+    # closed-form window-sum formulation (two independent algorithms, one
+    # answer). Deterministic child order: lexicographic node_id.
+    from ala_name_matching_spark.operators.hierarchy import nested_set_encode
+
+    r = _read(spark, sf_dir, "region").select(
+        F.concat(F.lit("r"), F.col("r_regionkey")).alias("node_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+    )
+    n = _read(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("node_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("parent_id"),
+    )
+    c = _read(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("node_id"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("parent_id"),
+    )
+    return nested_set_encode(r.unionByName(n).unionByName(c))
+
+
 def _q_interval_containment(spark, sf_dir):
     # V2 -- nested-interval containment (checkForSpeciesSplit left/right
     # nesting, ALANameSearcher.java:1315-1358): order pairs of one customer
@@ -693,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "homonym_probe": _q_homonym_probe,
         "autocomplete": _q_autocomplete,
         "interval_containment": _q_interval_containment,
+        "nested_set_intervals": _q_nested_set_intervals,
         "json_extract": _q_json_extract,
         "cosine_neardups_exact": _q_cosine_neardups_exact,
         "issue_flags": _q_issue_flags,
@@ -1053,6 +1077,50 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.accepted_id IS NOT NULL AND b.segment IS NULL
                         THEN t.segment ELSE b.segment END AS segment
             FROM base b LEFT JOIN base t ON b.accepted_id = t.c_custkey""",
+        # closed-form nested-set intervals for the fixed 3-level hierarchy:
+        # size(c)=1, size(n)=1+#customers, size(r)=1+sum(nation sizes);
+        # lft = parent lft + 1 + 2*sum(earlier-sibling sizes), siblings
+        # ordered by the STRING node id (matching the DFS child order);
+        # rgt = lft + 2*size - 1
+        "nested_set_intervals": """
+            WITH c AS (SELECT 'c' || c_custkey AS id, 'n' || c_nationkey AS pid
+                       FROM customer),
+            n AS (SELECT 'n' || n_nationkey AS id, 'r' || n_regionkey AS pid
+                  FROM nation),
+            r AS (SELECT 'r' || r_regionkey AS id FROM region),
+            nsz AS (
+              SELECT n.id, n.pid,
+                     1 + 2 * coalesce(cc.n_child, 0) AS twice_free,
+                     1 + coalesce(cc.n_child, 0) AS size
+              FROM n LEFT JOIN (SELECT pid, count(*) AS n_child FROM c GROUP BY 1) cc
+                ON n.id = cc.pid),
+            rsz AS (
+              SELECT r.id, 1 + coalesce(sum(nsz.size), 0) AS size
+              FROM r LEFT JOIN nsz ON nsz.pid = r.id GROUP BY r.id),
+            rpos AS (
+              SELECT id, size,
+                     1 + 2 * coalesce(sum(size) OVER (ORDER BY id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS lft
+              FROM rsz),
+            npos AS (
+              SELECT nsz.id, nsz.size, rpos.lft + 1
+                     + 2 * coalesce(sum(nsz.size) OVER (PARTITION BY nsz.pid
+                         ORDER BY nsz.id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS lft
+              FROM nsz JOIN rpos ON nsz.pid = rpos.id),
+            cpos AS (
+              SELECT c.id, 1 AS size, npos.lft
+                     + 2 * row_number() OVER (PARTITION BY c.pid ORDER BY c.id)
+                     - 1 AS lft
+              FROM c JOIN npos ON c.pid = npos.id)
+            SELECT id AS node_id, lft, lft + 2 * size - 1 AS rgt, 0 AS depth
+            FROM rpos
+            UNION ALL
+            SELECT id, lft, lft + 2 * size - 1, 1 FROM npos
+            UNION ALL
+            SELECT id, lft, lft + 1, 2 FROM cpos""",
         # exact token-3-gram Jaccard over ALL pairs >= 0.4: valid as the LSH
         # query's oracle because at 16 hashes / 8 bands the planted near-dup
         # pairs (J > 0.9) have candidate probability ~1 -- verified
