@@ -149,14 +149,29 @@ def homonym_probe(
     prefixes until exactly one remains (resolveIRMNGHomonym,
     ALANameSearcher.java:1541-1595). Here: per row, `resolve_level` = the
     first level (1-based) whose prefix-partition holds exactly one distinct
-    target; 0 = unresolved at every level. Precomputed as window counts --
-    one shuffle per level over narrow columns, no iteration.
+    target; 0 = unresolved at every level.
+
+    Shape: per level, one countDistinct PRE-AGGREGATION joined back on
+    null-safe keys -- the aggregate table is level-cardinality-sized (tiny,
+    AQE broadcasts it), unlike collect_set-over-window which materializes
+    the distinct SET per input row (round-1 verdict: the window form is a
+    per-row set build; the pre-agg is a partial-aggregated shuffle of narrow
+    key columns only).
     """
     out = df
     conds = []
     for i, cols in enumerate(levels, start=1):
-        w = Window.partitionBy(*[F.col(c) for c in cols])
-        out = out.withColumn(f"_n{i}", F.size(F.collect_set(target_col).over(w)))
+        keyed = [F.col(c).alias(f"_k{i}_{j}") for j, c in enumerate(cols)]
+        agg = df.groupBy(*keyed).agg(
+            F.countDistinct(target_col).alias(f"_n{i}")
+        )
+        cond = None
+        for j, c in enumerate(cols):
+            piece = out[c].eqNullSafe(agg[f"_k{i}_{j}"])
+            cond = piece if cond is None else (cond & piece)
+        out = out.join(agg, cond, "left").drop(
+            *[f"_k{i}_{j}" for j in range(len(cols))]
+        )
         conds.append((i, F.col(f"_n{i}") == 1))
     expr = F.lit(0)
     for i, c in reversed(conds):  # lowest level wins (first-one semantics)
