@@ -197,22 +197,30 @@ def embedding_near_duplicates(
     n_planes: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets + exact verify."""
+    """Embedding-cosine near-dup pairs via multi-table LSH + exact verify.
+
+    Recall for a pair at angle theta: 1 - (1 - p^b)^L with
+    p = 1 - theta/pi. Single-table b=10 at cosine 0.95 finds only ~1/3 of
+    true pairs; 8 tables lift that to ~0.96 at the standard index-size
+    tradeoff (L narrow (bucket, id, vec) entries per vector). Candidates
+    are deduped on ids before the exact cosine verify.
+    """
     if dim is None:
         first = vectors.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
-    sig = lsh_signature_udf(dim, n_planes)
+    sig = lsh_multitable_udf(dim, n_planes, n_tables)
     v = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", sig(F.col("v")))
+    ).withColumn("bucket", F.explode(sig(F.col("v"))))
     left = v.select("bucket", F.col("vec_id").alias("vec_id_l"), F.col("v").alias("v_l"))
     right = v.select("bucket", F.col("vec_id").alias("vec_id_r"), F.col("v").alias("v_r"))
     return (
         left.join(right, "bucket")
         .filter(F.col("vec_id_l") < F.col("vec_id_r"))
+        .dropDuplicates(["vec_id_l", "vec_id_r"])
         .withColumn("cosine", cosine_col(F.col("v_l"), F.col("v_r")))
         .filter(F.col("cosine") >= threshold)
         .select("vec_id_l", "vec_id_r", F.round("cosine", 6).alias("cosine"))
-        .distinct()
     )
