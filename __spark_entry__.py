@@ -430,6 +430,29 @@ def _q_nested_set_intervals(spark, sf_dir):
     return nested_set_encode(r.unionByName(n).unionByName(c))
 
 
+def _q_species_split_containment(spark, sf_dir):
+    # V2 -- species-split check over REAL nested-set intervals
+    # (ALANameSearcher.java:1315-1358): synthetic synonym rows (every 7th
+    # customer "split" to customer+1) are contained iff the target customer
+    # sits under the same nation interval.
+    from ala_name_matching_spark.operators.hierarchy import (
+        nested_set_encode,
+        species_split_check,
+    )
+
+    intervals = _q_nested_set_intervals(spark, sf_dir)
+    c = _read(spark, sf_dir, "customer")
+    syn = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("child_id"),
+        F.concat(F.lit("c"), F.col("c_custkey") + 1).alias("accepted_id"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("parent_id"),
+    )
+    out = species_split_check(syn, intervals)
+    # drop synonyms whose accepted target does not exist (custkey+1 past the
+    # table end) -- species_split_check's inner join already does
+    return out
+
+
 def _q_interval_containment(spark, sf_dir):
     # V2 -- nested-interval containment (checkForSpeciesSplit left/right
     # nesting, ALANameSearcher.java:1315-1358): order pairs of one customer
@@ -717,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete": _q_autocomplete,
         "interval_containment": _q_interval_containment,
         "nested_set_intervals": _q_nested_set_intervals,
+        "species_split_containment": _q_species_split_containment,
         "json_extract": _q_json_extract,
         "cosine_neardups_exact": _q_cosine_neardups_exact,
         "issue_flags": _q_issue_flags,
@@ -1077,6 +1101,51 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.accepted_id IS NOT NULL AND b.segment IS NULL
                         THEN t.segment ELSE b.segment END AS segment
             FROM base b LEFT JOIN base t ON b.accepted_id = t.c_custkey""",
+        "species_split_containment": """
+            WITH iv AS (SELECT * FROM (
+            WITH c AS (SELECT 'c' || c_custkey AS id, 'n' || c_nationkey AS pid
+                       FROM customer),
+            n AS (SELECT 'n' || n_nationkey AS id, 'r' || n_regionkey AS pid
+                  FROM nation),
+            r AS (SELECT 'r' || r_regionkey AS id FROM region),
+            nsz AS (
+              SELECT n.id, n.pid, 1 + coalesce(cc.n_child, 0) AS size
+              FROM n LEFT JOIN (SELECT pid, count(*) AS n_child FROM c GROUP BY 1) cc
+                ON n.id = cc.pid),
+            rsz AS (
+              SELECT r.id, 1 + coalesce(sum(nsz.size), 0) AS size
+              FROM r LEFT JOIN nsz ON nsz.pid = r.id GROUP BY r.id),
+            rpos AS (
+              SELECT id, size,
+                     1 + 2 * coalesce(sum(size) OVER (ORDER BY id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS lft
+              FROM rsz),
+            npos AS (
+              SELECT nsz.id, nsz.size, rpos.lft + 1
+                     + 2 * coalesce(sum(nsz.size) OVER (PARTITION BY nsz.pid
+                         ORDER BY nsz.id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS lft
+              FROM nsz JOIN rpos ON nsz.pid = rpos.id),
+            cpos AS (
+              SELECT c.id, 1 AS size, npos.lft
+                     + 2 * row_number() OVER (PARTITION BY c.pid ORDER BY c.id)
+                     - 1 AS lft
+              FROM c JOIN npos ON c.pid = npos.id)
+            SELECT id AS node_id, lft, lft + 2 * size - 1 AS rgt FROM rpos
+            UNION ALL SELECT id, lft, lft + 2 * size - 1 FROM npos
+            UNION ALL SELECT id, lft, lft + 1 FROM cpos)),
+            syn AS (
+              SELECT 'c' || c_custkey AS child_id,
+                     'c' || (c_custkey + 1) AS accepted_id,
+                     'n' || c_nationkey AS parent_id
+              FROM customer WHERE c_custkey % 7 = 0)
+            SELECT syn.child_id, syn.accepted_id, syn.parent_id,
+                   p.lft < a.lft AND a.rgt < p.rgt AS contained
+            FROM syn
+            JOIN iv a ON a.node_id = syn.accepted_id
+            JOIN iv p ON p.node_id = syn.parent_id""",
         # closed-form nested-set intervals for the fixed 3-level hierarchy:
         # size(c)=1, size(n)=1+#customers, size(r)=1+sum(nation sizes);
         # lft = parent lft + 1 + 2*sum(earlier-sibling sizes), siblings
