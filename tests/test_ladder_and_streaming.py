@@ -167,3 +167,52 @@ def test_ladder_error_codes(spark, index):
     out3 = search_ladder(q3, idx2).collect()[0]
     assert out3["index_id"] == "i#3"
     assert "ASSOCIATED_EXCLUDED" in out3["error_codes"]
+
+
+def test_stateful_conversation_sessions(spark, tmp_path):
+    """applyInPandasWithState gap-sessionization: in-batch gaps close
+    sessions immediately; the trailing open session stays in state."""
+    import pandas as pd
+
+    from ala_name_matching_spark.streaming.incremental import (
+        read_transcript_stream,
+        stateful_conversation_sessions,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    # conv A: two sessions split by a 2h gap; conv B: one open session
+    for i in range(3):
+        rows.append(("A", i, "user", f"t{i}", None, base + pd.Timedelta(minutes=i)))
+    for i in range(3, 5):
+        rows.append(("A", i, "user", f"t{i}", None, base + pd.Timedelta(hours=2, minutes=i)))
+    rows.append(("B", 0, "user", "hi", None, base))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    spark.createDataFrame(
+        pdf,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).coalesce(1).write.parquet(src)
+
+    stream = read_transcript_stream(spark, src)
+    q = (
+        stateful_conversation_sessions(stream, gap_seconds=1800)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["conv_id"]: r for r in spark.read.parquet(out).collect()}
+    # conv A's FIRST session closes on the in-batch gap; conv B's lone
+    # session closes via the EVENT-TIME TIMEOUT (watermark = max event time
+    # - 10 min = 01:54 passes B's last_ts + 30 min = 00:30). A's second
+    # session (last 02:04, timeout 02:34 > watermark) stays open in state.
+    assert set(got) == {"A", "B"}
+    assert got["A"]["n_turns"] == 3
+    assert got["A"]["session_start"] == base.to_pydatetime()
+    assert got["B"]["n_turns"] == 1
