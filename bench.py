@@ -63,6 +63,7 @@ def main():
         "topk_orders_per_customer",
         "range_join",
         "sessionization",
+        "nested_set_intervals",
         "windowed_counts",
         "quality_score",
         "lang_id",
