@@ -750,11 +750,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rematch_stragglers": _q_rematch_stragglers,
         "misapplied_resolution": _q_misapplied_resolution,
         "synonym_enrich": _q_synonym_enrich,
-        # oracle-checked since round 2 (exact-Jaccard all-pairs oracle):
+        # oracle-checked since round 2 (exact-Jaccard oracle; independent
+        # DuckDB treat_word re-implementation for the blocking key):
         "minhash_lsh_neardups": _q_minhash_lsh_neardups,
+        "phonetic_keys": _q_phonetic_keys,
         # rows-only (no oracle_sql entry):
         "er_clusters": _q_er_clusters,
-        "phonetic_keys": _q_phonetic_keys,
         "simhash_neardups": _q_simhash_neardups,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "spelling_collision_qa": _q_spelling_collision_qa,
@@ -1101,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.accepted_id IS NOT NULL AND b.segment IS NULL
                         THEN t.segment ELSE b.segment END AS segment
             FROM base b LEFT JOIN base t ON b.accepted_id = t.c_custkey""",
+        "phonetic_keys": _phonetic_key_sql(),
         "species_split_containment": """
             WITH iv AS (SELECT * FROM (
             WITH c AS (SELECT 'c' || c_custkey AS id, 'n' || c_nationkey AS pid
@@ -1229,6 +1231,89 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN k.csize = 1 THEN reps.tgt END AS rematch_cluster_id
             FROM k LEFT JOIN reps USING (ck)""",
     }
+
+
+# --- DuckDB re-implementation of the F5 phonetic compound key --------------
+# An INDEPENDENT second implementation of treat_word + key assembly
+# (functions/phonetic.py), built from DuckDB list lambdas -- verified
+# byte-identical to the Arrow kernel on the full sf0.01 corpus. This turns
+# the engine's fuzzy BLOCKING KEY itself into an oracle-checked artifact.
+
+
+def _phonetic_key_sql() -> str:
+    acc_from = "ÁÉÍÓÚÀÈÌÒÙÂÊÎÔÛÄËÏÖÜÃÑÕÅÇØ"
+    acc_to = "AEIOUAEIOUAEIOUAEIOUANOACO"
+    # TaxonNameSoundEx.normalize (phonetic.soundex_normalize)
+    norm = (
+        "nullif(trim(regexp_replace("
+        "replace(translate(regexp_replace(replace(upper(w), ' &AMP; ', ' & '),"
+        " '<.+?>', '', 'g'),"
+        f" '{acc_from}', '{acc_to}'), 'Æ', 'AE'),"
+        " '[^a-zA-Z .]', '', 'g')), '')"
+    )
+    leading = [
+        ("AE", "E"), ("CN", "N"), ("CT", "T"), ("CZ", "C"), ("DJ", "J"),
+        ("EA", "E"), ("EU", "U"), ("GN", "N"), ("KN", "N"), ("MC", "MAC"),
+        ("MN", "N"), ("OE", "E"), ("QU", "Q"), ("PS", "S"), ("PT", "T"),
+        ("TS", "S"), ("X", "Z"),
+    ]
+    lead = "(CASE " + " ".join(
+        f"WHEN n LIKE '{s}%' THEN '{d}' || n[{len(s) + 1}:]" for s, d in leading
+    ) + " ELSE n END)"
+    folds = [
+        ("AE", "I"), ("IA", "A"), ("OE", "I"), ("OI", "A"), ("SC", "S"),
+        ("E", "I"), ("O", "A"), ("U", "I"), ("Y", "I"), ("K", "C"),
+        ("Z", "C"), ("H", ""),
+    ]
+    tail = "ld[2:]"
+    for s, d in folds:  # sequential, order-sensitive (TaxonNameSoundEx:130-145)
+        tail = f"replace({tail}, '{s}', '{d}')"
+    temp = f"(ld[1] || {tail})"
+    # squeeze '(\\w)\\1+' -> '\\1' without backrefs (RE2): char-fold
+    squeeze = (
+        "list_reduce(string_split(tmp, ''), "
+        "(acc, c) -> CASE WHEN right(acc, 1) = c AND c BETWEEN 'A' AND 'Z' "
+        "THEN acc ELSE acc || c END)"
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(replace(text, '.', ' '), '\\s+'),
+                             x -> x <> '')[1:64] AS raw
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id, text,
+                 list_filter(list_transform(raw, w -> {norm}),
+                             n -> n IS NOT NULL) AS norms
+          FROM t
+        ), s2 AS (
+          SELECT doc_id, text, list_transform(norms, n -> {lead}) AS led FROM s1
+        ), s3 AS (
+          SELECT doc_id, text, list_transform(led, ld -> {temp}) AS tmps FROM s2
+        ), s4 AS (
+          SELECT doc_id, text,
+                 list_filter(list_transform(tmps, tmp -> {squeeze}),
+                             k -> k <> '') AS treated
+          FROM s3
+        ), s5 AS (
+          SELECT doc_id, text, treated,
+                 CASE WHEN len(treated) = 0 THEN NULL ELSE
+                   [treated[1]] ||
+                   list_transform(treated[2:6],
+                     k -> CASE WHEN k LIKE '%IS' OR k LIKE '%IM' OR k LIKE '%AS'
+                               THEN k[1:len(k)-2] || 'A' ELSE k END)
+                 END AS parts
+          FROM s4
+        )
+        SELECT doc_id,
+               CASE WHEN parts IS NULL THEN NULL ELSE
+                 array_to_string(
+                   parts || [ '<null>' for _ in range(6 - len(parts)) ], '|')
+                 || '|' ||
+                 coalesce(nullif(regexp_replace(text, '[^0-9]', '', 'g')[1:16],
+                                 ''), '<nodigits>')
+               END AS phonetic_key
+        FROM s5"""
 
 
 _LANG = {
