@@ -206,6 +206,55 @@ def _distributed_nested_set(edges: DataFrame, max_depth: int) -> DataFrame:
     )
 
 
+def resolve_loops(edges: DataFrame, max_driver_nodes: int | None = None) -> DataFrame:
+    """B8 -- directed parent-loop resolution (Taxonomy.resolveLoops analog:
+    the reference walks parent chains and breaks cycles so the DFS
+    terminates). A node whose parent chain returns to itself has its OUTGOING
+    parent edge cut -- deterministically at the lexicographically smallest
+    node_id in the cycle, which becomes a root. Non-cycle edges pass through
+    unchanged; nodes whose chain merely ENTERS a cycle keep their parents.
+
+    Driver lane only (hierarchies are taxonomy-sized; the reference itself
+    resolves loops in memory, Taxonomy.java): parent-pointer walk with
+    memoized colors, O(nodes).
+    """
+    if max_driver_nodes is None:
+        max_driver_nodes = _DRIVER_TREE_MAX_NODES
+    n = edges.count()
+    if n > max_driver_nodes:
+        raise ValueError(
+            f"resolve_loops driver lane capped at {max_driver_nodes} nodes; "
+            "got {n} -- partition the hierarchy or raise "
+            "ALA_SPARK_DRIVER_TREE_MAX_NODES"
+        )
+    pdf = edges.select("node_id", "parent_id").toPandas()
+    parent = dict(zip(pdf["node_id"], pdf["parent_id"]))
+    color: dict = {}  # 1 = on current path, 2 = done
+    cuts = set()
+    for start in parent:
+        if color.get(start):
+            continue
+        path = []
+        v = start
+        while v is not None and not color.get(v):
+            color[v] = 1
+            path.append(v)
+            v = parent.get(v)
+            if v is not None and v not in parent:
+                v = None  # dangling parent: treat as root
+        if v is not None and color.get(v) == 1:
+            # found a cycle: v .. end of path
+            cycle = path[path.index(v):]
+            cuts.add(min(cycle))
+        for u in path:
+            color[u] = 2
+    out = pdf.copy()
+    if cuts:
+        out.loc[out["node_id"].isin(cuts), "parent_id"] = None
+    spark = edges.sparkSession
+    return spark.createDataFrame(out, "node_id string, parent_id string")
+
+
 def species_split_check(
     synonyms: DataFrame, intervals: DataFrame
 ) -> DataFrame:
