@@ -768,9 +768,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 _CANON = (
-    "trim(regexp_replace(regexp_replace(regexp_replace(lower("
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(lower("
     + _NORM
     + "), '\\b(?:re|fwd|fw|aka|sic|etc)[.:]\\s*|\\[(?:sic|edited)\\]', ' ', 'g'),"
+    " '\\[[^\\]]*\\]|\\{[^}]*\\}', ' ', 'g'),"  # F11 bracket pass
+    " '\\band\\b', ' ', 'g'),"  # F11 author-and fold
     " '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))"
 )
 _BK = "lower(split_part(text, ' ', 1)) || '|' || lower(split_part(text, ' ', 2))"

@@ -162,6 +162,14 @@ def concat_name_col(col: Column) -> Column:
 # filler annotations.
 MARKER_PATTERN = r"(?i)\b(?:re|fwd|fw|aka|sic|etc)[.:]\s*|\[(?:sic|edited)\]"
 
+# F11 builder passes (ALANameAnalyser.normalise, ALANameAnalyser.java:652-665):
+# bracketed/braced annotations removed wholesale (BRACKETED, :83) and the
+# author conjunction folded -- the reference maps " and " -> " & "; canon
+# then strips punctuation, so folding the token to a space collapses
+# "A and B" / "A & B" / "A B" to one canonical form.
+BRACKET_PATTERN = r"\[[^\]]*\]|\{[^}]*\}"
+AUTHOR_AND_PATTERN = r"\band\b"
+
 
 def canon_text_from_norm(norm: Column) -> Column:
     """F12 canonical chain applied to an ALREADY-normalized column.
@@ -173,6 +181,8 @@ def canon_text_from_norm(norm: Column) -> Column:
     ~2.5x)."""
     c = F.lower(norm)
     c = F.regexp_replace(c, MARKER_PATTERN, " ")
+    c = F.regexp_replace(c, BRACKET_PATTERN, " ")  # F11 bracket pass
+    c = F.regexp_replace(c, AUTHOR_AND_PATTERN, " ")  # F11 and-fold
     # one pass: any run of non-alphanumerics (punctuation AND spaces)
     # collapses to a single space -- equivalent to punct->space followed by
     # \s+ collapse, at one regex scan instead of two (p1's hot cost)

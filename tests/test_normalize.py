@@ -115,3 +115,28 @@ def test_norm_equivalences(spark, a, b):
         F.lower(norm_text_col(F.col("y"))).alias("ny"),
     ).collect()[0]
     assert row["nx"] == row["ny"]
+
+
+def test_f11_builder_passes(spark):
+    """F11 completion (round-2): bracketed annotations removed wholesale and
+    the author conjunction folded (ALANameAnalyser.normalise, :652-665) --
+    'A and B' / 'A & B' now share one canonical form."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ala_name_matching_spark.functions.normalize import canon_text_col
+
+    rows = [
+        ("smith and jones reviewed it",),
+        ("Smith & Jones reviewed it",),
+        ("smith jones reviewed it",),
+        ("deploy done [flagged by bot] today",),
+        ("deploy done {auto} today",),
+        ("deploy done today",),
+        ("andover sandy land",),  # 'and' inside words untouched
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["text"]))
+    out = [r[0] for r in df.select(canon_text_col(F.col("text"))).collect()]
+    assert out[0] == out[1] == out[2] == "smith jones reviewed it"
+    assert out[3] == out[4] == out[5] == "deploy done today"
+    assert out[6] == "andover sandy land"
