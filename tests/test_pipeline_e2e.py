@@ -121,3 +121,9 @@ def test_checkpoint_resume(spark, transcripts, tmp_path):
         metrics = json.load(fh)
     assert any(m["phase"] == "p1_features" for m in metrics)
     assert all({"phase", "partition", "rows", "wall_sec"} <= set(m) for m in metrics)
+    # the all-driver p5 lane (write_driver_table) must leave the SAME S5
+    # lineage rows as materialize() -- no hole depending on which lane ran
+    phases = {m["phase"] for m in metrics}
+    assert "p5_group_labels" in phases or "p5_labels" in phases
+    p5 = [m for m in metrics if m["phase"].startswith("p5_")]
+    assert sum(m["rows"] for m in p5) > 0
