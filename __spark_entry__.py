@@ -5,9 +5,14 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query (omitted only for ops that
-                  are genuinely not SQL-expressible: phonetic-key fuzzy
-                  clustering, SimHash, LSH-ANN -- those get rows-only checks).
+oracle_sql()   -- DuckDB-equivalent SQL per query. 43 of 47 queries are
+                  oracle-checked (incl. an independent DuckDB treat_word
+                  re-implementation for the phonetic blocking key); the 4
+                  rows-only remainders are genuinely non-SQL (er_clusters:
+                  fuzzy CC, gated by the pairwise-F1 test; simhash: blake2b
+                  kernel, parity-tested vs scalar; ann_lsh_topk:
+                  recall-floor-gated vs cosine_topk in tests;
+                  spelling_collision_qa: F6 kernel, golden-tested).
 
 Column names are aliased identically on both sides; floats are rounded on
 both sides to survive value-hash comparison.
