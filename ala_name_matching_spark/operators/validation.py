@@ -209,20 +209,26 @@ def autocomplete(
 
 
 def spelling_collision_qa(
-    features: DataFrame, group_col: str = "conv_id"
+    features: DataFrame, group_col: str = "conv_id", name_tokens: int = 4
 ) -> DataFrame:
     """B9 -- spelling-collision QA: within a parent group, >1 distinct
     canonical text sharing one F6 full-name soundEx key is a suspected
     misspelling cluster (validateSpeciesSpelling, Taxonomy.java:619-677,
     which keys on TaxonNameSoundEx.soundEx -- the alphabetize-after-first-
     letter form, NOT treatWord; the sorted-letters key additionally catches
-    within-word transpositions). Emits the QA metrics table
-    (group, soundex_key, n_variants, variants)."""
+    within-word transpositions). The reference keys short NAME fields
+    (genus + epithet, 2-3 words), so the key is taken over the first
+    `name_tokens` canonical tokens -- soundexing a whole multi-sentence
+    turn would make every key unique and the QA vacuously empty. Emits the
+    QA metrics table (group, soundex_key, n_variants, variants)."""
     from ala_name_matching_spark.functions.phonetic import full_soundex_udf
 
+    name_prefix = F.array_join(
+        F.slice(F.split(F.col("canon_text"), " "), 1, name_tokens), " "
+    )
     return (
         features.filter(F.col("canon_text").isNotNull())
-        .withColumn("soundex_key", full_soundex_udf(F.col("canon_text")))
+        .withColumn("soundex_key", full_soundex_udf(name_prefix))
         .filter(F.col("soundex_key") != "")
         .groupBy(group_col, "soundex_key")
         .agg(
