@@ -5,13 +5,15 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 43 of 47 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 43 of 48 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
-                  re-implementation for the phonetic blocking key); the 4
+                  re-implementation for the phonetic blocking key); the 5
                   rows-only remainders are genuinely non-SQL (er_clusters:
                   fuzzy CC, gated by the pairwise-F1 test; simhash: blake2b
-                  kernel, parity-tested vs scalar; ann_lsh_topk:
-                  recall-floor-gated vs cosine_topk in tests;
+                  kernel, parity-tested vs scalar; ann_lsh_topk /
+                  ann_ivf_topk: approximate by design, recall-floor-gated
+                  vs cosine_topk in tests -- IVF at nprobe=all additionally
+                  asserted equal to brute force;
                   spelling_collision_qa: F6 kernel, golden-tested).
 
 Column names are aliased identically on both sides; floats are rounded on
@@ -694,6 +696,19 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, dim=64, k=5, n_planes=8, n_tables=16, multiprobe=1)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    from ala_name_matching_spark.operators.similarity_search import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    # IVF-flat scale path: 16-list coarse quantizer trained on a bounded
+    # deterministic sample, queries probe the 6 nearest lists. recall@5 =
+    # 0.79 vs cosine_topk on this fixture (uniform random vectors, ANN's
+    # worst case); nprobe=16 reproduces brute force exactly -- both
+    # asserted in tests/test_similarity_search.py
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=6)
+
+
 def _q_spelling_collision_qa(spark, sf_dir):
     # B9 -- per-parent spelling-collision QA keyed on the F6 full-name
     # soundEx (alphabetize-after-first-letter, TaxonNameSoundEx.java:168-238
@@ -763,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters": _q_er_clusters,
         "simhash_neardups": _q_simhash_neardups,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "spelling_collision_qa": _q_spelling_collision_qa,
     }
 

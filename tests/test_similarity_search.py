@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from ala_name_matching_spark.operators.similarity_search import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
+    ivf_train_centroids,
     lsh_topk,
 )
 
@@ -48,6 +50,44 @@ def test_embedding_near_duplicates(vectors):
     }
     assert {(0, 100), (1, 101), (2, 102)} <= pairs
     assert all(l % 100 == r % 100 for l, r in pairs)
+
+
+def test_ivf_topk_on_clones(vectors):
+    out = ivf_topk(
+        vectors, vectors.filter(F.col("vec_id") < 3), k=1, n_centroids=4, nprobe=2
+    )
+    got = {r["query_id"]: r["vec_id"] for r in out.collect()}
+    # a perturbed clone quantizes to the same coarse cell as its source
+    assert got == {0: 100, 1: 101, 2: 102}
+
+
+def test_ivf_recall_floor_vs_brute_force(spark):
+    """IVF recall gate, same protocol as the LSH gate below: recall@5 of the
+    published ivf_topk config (16 lists, nprobe=4) vs exact brute force on
+    the driver's 64-d uniform-random embeddings fixture. Deterministic
+    (seeded sample + k-means++ + fixed data). nprobe=16 (probe everything)
+    must be exact by construction -- that's the IVF correctness invariant."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    cents = ivf_train_centroids(emb, n_centroids=16)
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, q, k=5, nprobe=4, centroids=cents).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    print(f"IVF recall@5 = {recall:.3f}")
+    assert recall >= 0.6
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, q, k=5, nprobe=16, centroids=cents).collect()
+    }
+    assert full == truth
 
 
 def test_ann_recall_floor_vs_brute_force(spark):
