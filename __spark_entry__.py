@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 43 of 48 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 45 of 50 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key); the 5
                   rows-only remainders are genuinely non-SQL (er_clusters:
@@ -497,6 +497,30 @@ def _q_json_extract(spark, sf_dir):
     )
 
 
+def _q_train_holdout_split(spark, sf_dir):
+    # deterministic md5-prefix train/holdout split (training-data extension);
+    # pure narrow projection, reproducible at any scale/partitioning
+    from ala_name_matching_spark.operators.sampling import deterministic_split
+
+    d = _docs(spark, sf_dir)
+    return deterministic_split(d.select("doc_id"), "doc_id", holdout_frac=0.1)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    # per-language quota downsample keyed on the salted md5 bucket --
+    # deterministic corpus rebalancing without RNG state or a join
+    from ala_name_matching_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    return stratified_sample(
+        d.select("doc_id", "lang"),
+        "doc_id",
+        "lang",
+        fractions={"en": 0.25, "zh": 0.9},
+        default_frac=0.5,
+    )
+
+
 def _q_cosine_neardups_exact(spark, sf_dir):
     # embedding-cosine near-dup (exact baseline; LSH variant is rows-only)
     from ala_name_matching_spark.operators.similarity_search import cosine_col
@@ -762,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_set_intervals": _q_nested_set_intervals,
         "species_split_containment": _q_species_split_containment,
         "json_extract": _q_json_extract,
+        "train_holdout_split": _q_train_holdout_split,
+        "stratified_sample": _q_stratified_sample,
         "cosine_neardups_exact": _q_cosine_neardups_exact,
         "issue_flags": _q_issue_flags,
         "phrase_parse": _q_phrase_parse,
@@ -1020,6 +1046,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "json_extract": """
             SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events""",
+        # md5 is bit-identical across engines and fixed-width lowercase hex
+        # compares lexicographically == numerically, so the oracle reproduces
+        # the split EXACTLY: cutoff 0.1*65536 = 6553 = 0x1999
+        "train_holdout_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5('split-v1' || doc_id), 1, 4) < '1999'
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM documents""",
+        # en 0.25 -> 0x4000, zh 0.9 -> 0xe666, default 0.5 -> 0x8000
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('sample-v1' || doc_id), 1, 4) <
+                  CASE lang WHEN 'en' THEN '4000'
+                            WHEN 'zh' THEN 'e666'
+                            ELSE '8000' END""",
         "cosine_neardups_exact": """
             SELECT a.vec_id AS vec_id_l, b.vec_id AS vec_id_r,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -1,0 +1,45 @@
+"""Deterministic split / stratified sampling (training-data extension)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ala_name_matching_spark.operators.sampling import (
+    deterministic_split,
+    stratified_sample,
+)
+
+
+def _frame(spark, n=2000):
+    pdf = pd.DataFrame(
+        {"id": range(n), "lang": ["en" if i % 2 else "zh" for i in range(n)]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_split_fraction_and_determinism(spark):
+    df = _frame(spark)
+    out = deterministic_split(df, "id", holdout_frac=0.2)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # md5 buckets are uniform: 2000 rows, expect ~400 holdout (binomial 3 sigma ~ +-54)
+    assert 340 <= counts["holdout"] <= 460
+    # pure function of the id: re-running yields the identical assignment
+    again = deterministic_split(df, "id", holdout_frac=0.2)
+    assert out.exceptAll(again).count() == 0
+    # a different salt draws an independent split, not the same rows
+    other = deterministic_split(df, "id", holdout_frac=0.2, salt="split-v2")
+    both = out.alias("a").join(other.alias("b"), "id").filter(
+        (F.col("a.split") == "holdout") & (F.col("b.split") == "holdout")
+    )
+    overlap = both.count()
+    assert 0 < overlap < counts["holdout"]  # ~0.04 * n expected, not 0, not all
+
+
+def test_stratified_sample_quotas(spark):
+    df = _frame(spark)
+    out = stratified_sample(df, "id", "lang", fractions={"en": 0.1, "zh": 0.5})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 60 <= counts["en"] <= 140  # 1000 * 0.1
+    assert 420 <= counts["zh"] <= 580  # 1000 * 0.5
+    # default fraction 0.0 drops unlisted strata entirely
+    extra = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "lang": ["fr", "fr"]}))
+    assert stratified_sample(extra, "id", "lang", fractions={"en": 0.5}).count() == 0
