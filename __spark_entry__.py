@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 45 of 50 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 46 of 51 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key); the 5
                   rows-only remainders are genuinely non-SQL (er_clusters:
@@ -214,6 +214,18 @@ def _q_quality_score(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", quality_score_col(F.col("text")).alias("quality")
     )
+
+
+def _q_gopher_flags(spark, sf_dir):
+    # Gopher-rule corpus pre-filter signals (Rae et al. 2021 §A1.1), pure
+    # JVM expressions, value-hash-checked against DuckDB list functions
+    from ala_name_matching_spark.operators.text_analysis import (
+        gopher_quality_columns,
+    )
+
+    d = _docs(spark, sf_dir)
+    cols = gopher_quality_columns(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -766,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
+        "gopher_flags": _q_gopher_flags,
         "cosine_topk": _q_cosine_topk,
         "topk_orders_per_customer": _q_topk_orders_per_customer,
         "homonym_counts": _q_homonym_counts,
@@ -891,6 +904,37 @@ def oracle_sql() -> dict[str, str]:
               FROM unp)
             SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
             FROM best WHERE rn = 1""",
+        "gopher_flags": """
+            WITH m AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS words,
+                     length(regexp_replace(text, '\\s+', '', 'g')) AS n_word_chars,
+                     len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym
+              FROM documents),
+            g AS (
+              SELECT doc_id, len(words) AS n_words,
+                     round(CASE WHEN len(words) > 0
+                           THEN n_word_chars * 1.0 / len(words) ELSE 0.0 END, 4)
+                       AS mean_word_len,
+                     round(CASE WHEN len(words) > 0
+                           THEN n_sym * 1.0 / len(words) ELSE 0.0 END, 4)
+                       AS symbol_word_ratio,
+                     round(CASE WHEN len(words) > 0
+                           THEN len(list_filter(words,
+                                    w -> regexp_matches(w, '[A-Za-z]')))
+                                * 1.0 / len(words) ELSE 0.0 END, 4)
+                       AS alpha_word_frac,
+                     len(list_intersect(
+                         list_distinct(list_transform(words, w -> lower(w))),
+                         ['the','be','to','of','and','that','have','with']))
+                       AS stop_hits
+              FROM m)
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   alpha_word_frac, stop_hits,
+                   (n_words < 10 OR n_words > 100000 OR mean_word_len < 3
+                    OR mean_word_len > 10 OR symbol_word_ratio > 0.1
+                    OR alpha_word_frac < 0.8 OR stop_hits < 2) AS flagged
+            FROM g""",
         "quality_score": f"""
             WITH m AS (
               SELECT doc_id, length(text) AS n_chars,

@@ -85,6 +85,72 @@ def quality_score_col(text: Column) -> Column:
     )
 
 
+# Gopher rules (Rae et al. 2021, §A1.1): repetition/format heuristics used
+# as the standard pre-filter for web-scale LLM corpora. Word-count band
+# re-scaled to transcript-turn lengths (the published 50..100k band targets
+# whole web documents).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_columns(
+    text: Column,
+    min_words: int = 10,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """Gopher-style quality signals as pure JVM Column expressions.
+
+    Returns named columns: n_words, mean_word_len, symbol_word_ratio
+    (#/ellipsis per word), alpha_word_frac (words containing a letter),
+    stop_hits (distinct Gopher stopwords present), and the composite
+    `flagged` boolean (any rule outside its band). Every expression has an
+    exact DuckDB equivalent (list_filter/list_intersect/regexp_extract_all),
+    so the published query is value-hash-checked, not rows-only.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    n_word_chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    mean_word_len = F.round(
+        F.when(n_words > 0, n_word_chars / n_words).otherwise(F.lit(0.0)), 4
+    )
+    symbol_ratio = F.round(
+        F.when(
+            n_words > 0,
+            F.regexp_count(text, F.lit(r"#|\.\.\.")) / n_words,
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    alpha_frac = F.round(
+        F.when(
+            n_words > 0,
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flagged = (
+        (n_words < min_words)
+        | (n_words > max_words)
+        | (mean_word_len < 3)
+        | (mean_word_len > 10)
+        | (symbol_ratio > 0.1)
+        | (alpha_frac < 0.8)
+        | (stop_hits < 2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "flagged": flagged,
+    }
+
+
 def fingerprint_col(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the sorted distinct tokens.
 

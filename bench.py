@@ -59,6 +59,7 @@ def main():
         "simhash_neardups",
         "cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "broadcast_lookup_join",
         "topk_orders_per_customer",
         "range_join",

@@ -63,3 +63,24 @@ def test_quality_and_fingerprint(spark):
     # fingerprint is token-order-insensitive
     assert rows[2]["fp"] == rows[3]["fp"]
     assert rows[0]["fp"] != rows[1]["fp"]
+
+
+def test_gopher_quality_flags(spark):
+    import pandas as pd
+    from ala_name_matching_spark.operators.text_analysis import (
+        gopher_quality_columns,
+    )
+
+    rows = [
+        (0, "the deploy failed and we have to roll back with the previous build of that service"),
+        (1, "### ### ### ### ### ### ### ### ### ###"),  # symbol soup
+        (2, "ok"),  # too short
+        (3, ""),  # empty
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    cols = gopher_quality_columns(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select("doc_id", *[c.alias(n) for n, c in cols.items()]).collect()}
+    assert not out[0]["flagged"] and out[0]["stop_hits"] >= 2
+    assert out[1]["flagged"] and out[1]["symbol_word_ratio"] > 0.1
+    assert out[2]["flagged"] and out[2]["n_words"] < 10
+    assert out[3]["flagged"]
