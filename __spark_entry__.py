@@ -228,6 +228,20 @@ def _q_gopher_flags(spark, sf_dir):
     return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
+def _q_benchmark_contamination(spark, sf_dir):
+    # GPT-3-style eval-set decontamination scan: corpus docs sharing >= 1
+    # word 4-gram with the "benchmark" split (deterministic md5 bucket of
+    # doc_id, ~1/16 of docs). Benchmark n-gram set is broadcast; the corpus
+    # side is one scan + map-side-combinable groupBys.
+    from ala_name_matching_spark.operators.text_analysis import (
+        benchmark_contamination,
+    )
+
+    d = _docs(spark, sf_dir)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return benchmark_contamination(d.filter(~is_bench), d.filter(is_bench), n=4)
+
+
 def _q_cosine_topk(spark, sf_dir):
     from ala_name_matching_spark.operators.similarity_search import brute_force_topk
 
@@ -779,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "gopher_flags": _q_gopher_flags,
+        "benchmark_contamination": _q_benchmark_contamination,
         "cosine_topk": _q_cosine_topk,
         "topk_orders_per_customer": _q_topk_orders_per_customer,
         "homonym_counts": _q_homonym_counts,
@@ -935,6 +950,28 @@ def oracle_sql() -> dict[str, str]:
                     OR mean_word_len > 10 OR symbol_word_ratio > 0.1
                     OR alpha_word_frac < 0.8 OR stop_hits < 2) AS flagged
             FROM g""",
+        "benchmark_contamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t,
+                     substr(md5(cast(doc_id AS varchar)), 1, 1) = '0' AS is_bench
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, is_bench,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 3, 1)),
+                                           i -> array_to_string(t[i:i+3], ' '))) AS g
+              FROM toks),
+            bench AS (SELECT DISTINCT g FROM grams WHERE is_bench),
+            totals AS (
+              SELECT doc_id, count(*) AS doc_ngrams FROM grams
+              WHERE NOT is_bench GROUP BY 1),
+            hits AS (
+              SELECT gr.doc_id, count(*) AS n_hits
+              FROM grams gr JOIN bench USING (g)
+              WHERE NOT gr.is_bench GROUP BY 1)
+            SELECT t.doc_id, t.doc_ngrams, h.n_hits,
+                   round(h.n_hits * 1.0 / t.doc_ngrams, 6) AS contamination_frac
+            FROM totals t JOIN hits h USING (doc_id)""",
         "quality_score": f"""
             WITH m AS (
               SELECT doc_id, length(text) AS n_chars,

@@ -196,15 +196,17 @@ def minhash_lsh_candidates(
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
     )
     # persist the NARROW banded table (doc_id, band_key -- rows x bands, tiny
-    # vs the corpus): a self-join otherwise re-evaluates the whole
-    # shingle-explode + K-min-agg subtree once per side (measured 2x cost at
-    # bench scale; at 100 TB it is 2 full corpus scans + shuffles)
+    # vs the corpus) BEFORE capping: cap_lsh_buckets runs a bucket-size
+    # aggregation AND a join over it, and the self-join adds two more
+    # consumers -- unpersisted, each re-evaluates the whole shingle-explode +
+    # K-min-agg subtree (measured 43 s vs 10 s at sf0.1 when the cap landed
+    # on the unpersisted table; at 100 TB it is 3-4 full corpus scans)
     from pyspark import StorageLevel
 
+    stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
     stats = None
     if bucket_cap:
         stacked, stats = cap_lsh_buckets(stacked, "band_key", bucket_cap)
-    stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
     left = stacked.select(F.col("band_key"), F.col("doc_id").alias("doc_id_l"))
     right = stacked.select(F.col("band_key"), F.col("doc_id").alias("doc_id_r"))
     pairs = (
@@ -366,15 +368,18 @@ def simhash_near_duplicates(
         ]
     )
     blocked = fp.select("doc_id", "fp", F.explode(bands).alias("bucket"))
-    stats = None
-    if bucket_cap:
-        blocked, stats = cap_lsh_buckets(blocked, "bucket", bucket_cap)
-    # persist the narrow (doc_id, fp, bucket) table: the self-join otherwise
-    # evaluates the fingerprint kernel + scan twice (measured 5.4 s -> 2.4 s
-    # at bench scale); rows x bands x ~24 bytes is negligible vs the corpus
+    # persist the narrow (doc_id, fp, bucket) table BEFORE capping: the
+    # bucket-size aggregation, the cap join, and the two self-join sides are
+    # four consumers that would each re-run the fingerprint kernel + scan
+    # (measured 5.4 s -> 2.4 s at bench scale from persisting at all; the cap
+    # stage doubles the waste if it lands on the unpersisted table); rows x
+    # bands x ~24 bytes is negligible vs the corpus
     from pyspark import StorageLevel
 
     blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = None
+    if bucket_cap:
+        blocked, stats = cap_lsh_buckets(blocked, "bucket", bucket_cap)
     left = blocked.select("bucket", F.col("doc_id").alias("doc_id_l"), F.col("fp").alias("fp_l"))
     right = blocked.select("bucket", F.col("doc_id").alias("doc_id_r"), F.col("fp").alias("fp_r"))
     pairs = (

@@ -151,6 +151,52 @@ def gopher_quality_columns(
     }
 
 
+def benchmark_contamination(
+    docs,
+    benchmark,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+):
+    """Benchmark decontamination: corpus docs sharing >= 1 word n-gram with a
+    benchmark/eval set (the GPT-3-style n-gram-overlap contamination scan;
+    the reference's analog is J8's containment dedupe of common names,
+    ALANameSearcher.java — here generalized to eval-set leakage).
+
+    Returns (doc_id, doc_ngrams, n_hits, contamination_frac) for contaminated
+    docs only: n_hits = distinct doc n-grams present in the benchmark set,
+    doc_ngrams = the doc's distinct n-gram count.
+
+    Scale shape at 100 TB: the benchmark side (eval suites, ~10^5 docs) is
+    aggregated to a DISTINCT n-gram set and broadcast — the corpus side is
+    one scan + one map-side-combinable groupBy on doc_id; no corpus shuffle
+    carries text. If the benchmark set outgrows broadcast, the same plan
+    works as a shuffle hash join on the n-gram key (still linear).
+    """
+    from ala_name_matching_spark.operators.dedup import token_shingles_col
+
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_shingles_col(F.col(text_col), n)).alias("g"),
+    )
+    bench_grams = (
+        benchmark.select(F.explode(token_shingles_col(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    totals = doc_grams.groupBy("doc_id").agg(F.count("*").alias("doc_ngrams"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return totals.join(hits, "doc_id").select(
+        "doc_id",
+        "doc_ngrams",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("doc_ngrams"), 6).alias("contamination_frac"),
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the sorted distinct tokens.
 

@@ -84,3 +84,36 @@ def test_gopher_quality_flags(spark):
     assert out[1]["flagged"] and out[1]["symbol_word_ratio"] > 0.1
     assert out[2]["flagged"] and out[2]["n_words"] < 10
     assert out[3]["flagged"]
+
+
+def test_benchmark_contamination(spark):
+    import pandas as pd
+    from ala_name_matching_spark.operators.text_analysis import (
+        benchmark_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            [(100, "what is the capital of france and why")],
+            columns=["doc_id", "text"],
+        )
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # shares the 4-gram "what is the capital" (and 3 more)
+                (0, "please tell me what is the capital of france right now"),
+                # shares words but no 4-token run
+                (1, "the capital is what france of and why is"),
+                (2, "completely unrelated text about spark shuffles"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r["doc_id"]: r for r in benchmark_contamination(corpus, bench, n=4).collect()}
+    assert set(out) == {0}
+    # doc 0: 11 tokens -> 8 distinct 4-grams; 3 of them appear in the benchmark
+    # ("what is the capital", "is the capital of", "the capital of france")
+    assert out[0]["doc_ngrams"] == 8
+    assert out[0]["n_hits"] == 3
+    assert abs(out[0]["contamination_frac"] - 0.375) < 1e-9
