@@ -242,6 +242,37 @@ def _q_benchmark_contamination(spark, sf_dir):
     return benchmark_contamination(d.filter(~is_bench), d.filter(is_bench), n=4)
 
 
+def _q_pii_scrub(spark, sf_dir):
+    # PII scrub over deterministic contact lines synthesized from customer
+    # keys (the slim fixture has no phone/comment columns, so email / phone /
+    # SSN / IP strings are derived from c_custkey arithmetic -- identically
+    # in the DuckDB oracle). Counts + typed-token redaction, all
+    # whole-stage-codegen JVM regexes.
+    from ala_name_matching_spark.operators.text_analysis import pii_scrub_cols
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    line = F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.lit("at"),
+        F.concat(
+            F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]+", ".")),
+            F.lit("@example.com"),
+        ),
+        F.lit("or call"),
+        F.format_string("%03d-%03d-%04d", k % 1000, (k * 7) % 1000, (k * 13) % 10000),
+        F.lit("ssn"),
+        F.format_string("%03d-%02d-%04d", (k * 3) % 900 + 100, k % 100, (k * 11) % 10000),
+        F.lit("from ip"),
+        F.format_string("%d.%d.%d.%d", k % 256, (k * 3) % 256, (k * 5) % 256, F.lit(1)),
+    )
+    cols = pii_scrub_cols(line)
+    return c.select(
+        "c_custkey", *[col.alias(n) for n, col in cols.items()]
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     from ala_name_matching_spark.operators.similarity_search import brute_force_topk
 
@@ -794,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "gopher_flags": _q_gopher_flags,
         "benchmark_contamination": _q_benchmark_contamination,
+        "pii_scrub": _q_pii_scrub,
         "cosine_topk": _q_cosine_topk,
         "topk_orders_per_customer": _q_topk_orders_per_customer,
         "homonym_counts": _q_homonym_counts,
@@ -972,6 +1004,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.doc_ngrams, h.n_hits,
                    round(h.n_hits * 1.0 / t.doc_ngrams, 6) AS contamination_frac
             FROM totals t JOIN hits h USING (doc_id)""",
+        "pii_scrub": """
+            WITH lines AS (
+              SELECT c_custkey,
+                     concat_ws(' ', c_name, 'at',
+                       lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')) || '@example.com',
+                       'or call',
+                       printf('%03d-%03d-%04d', c_custkey % 1000, (c_custkey * 7) % 1000, (c_custkey * 13) % 10000),
+                       'ssn',
+                       printf('%03d-%02d-%04d', (c_custkey * 3) % 900 + 100, c_custkey % 100, (c_custkey * 11) % 10000),
+                       'from ip',
+                       printf('%d.%d.%d.%d', c_custkey % 256, (c_custkey * 3) % 256, (c_custkey * 5) % 256, 1)) AS line
+              FROM customer)
+            SELECT c_custkey,
+                   len(regexp_extract_all(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(line, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+                   len(regexp_extract_all(line, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn,
+                   len(regexp_extract_all(line, '\\b\\+?[0-9]{1,3}(-[0-9]{3,4}){2,3}\\b')) AS n_phone,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(line,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g'),
+                       '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g'),
+                     '\\b\\+?[0-9]{1,3}(-[0-9]{3,4}){2,3}\\b', '[PHONE]', 'g') AS redacted
+            FROM lines""",
         "quality_score": f"""
             WITH m AS (
               SELECT doc_id, length(text) AS n_chars,

@@ -197,6 +197,40 @@ def benchmark_contamination(
     )
 
 
+# PII patterns, shared by the Spark expressions and the DuckDB oracle.
+# Deliberately restricted to the regex subset Java and RE2 agree on
+# (no backreferences / lookaround): count + redaction are engine-portable.
+PII_PATTERNS = [
+    # (name, pattern, replacement) -- applied in this order
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("phone", r"\b\+?[0-9]{1,3}(-[0-9]{3,4}){2,3}\b", "[PHONE]"),
+]
+
+
+def pii_scrub_cols(text: Column) -> dict[str, Column]:
+    """PII detection + redaction as pure JVM expressions (no Python).
+
+    Returns per-category hit counts (n_email, n_ipv4, n_ssn, n_phone,
+    counted on the ORIGINAL text so categories are independent) and
+    `redacted` -- the text with matches replaced by typed tokens, patterns
+    applied in PII_PATTERNS order so earlier categories win overlaps.
+
+    The standard pre-training scrub pass: one projection, whole-stage
+    codegen, scales linearly with zero shuffle. Real pipelines extend
+    PII_PATTERNS (names via NER etc. would be a Pandas-UDF stage); the
+    operator contract -- count columns + redacted text in one map -- stays.
+    """
+    out: dict[str, Column] = {}
+    red = text
+    for name, pat, rep in PII_PATTERNS:
+        out[f"n_{name}"] = F.regexp_count(text, F.lit(pat))
+        red = F.regexp_replace(red, pat, rep)
+    out["redacted"] = red
+    return out
+
+
 def fingerprint_col(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the sorted distinct tokens.
 

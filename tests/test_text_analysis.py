@@ -117,3 +117,25 @@ def test_benchmark_contamination(spark):
     assert out[0]["doc_ngrams"] == 8
     assert out[0]["n_hits"] == 3
     assert abs(out[0]["contamination_frac"] - 0.375) < 1e-9
+
+
+def test_pii_scrub(spark):
+    import pandas as pd
+    from ala_name_matching_spark.operators.text_analysis import pii_scrub_cols
+
+    rows = [
+        (0, "mail me at jane.doe+spam@example.co.uk thanks"),
+        (1, "server 192.168.0.1 rebooted, callback 555-123-4567"),
+        (2, "ssn on file 123-45-6789"),
+        (3, "no pii here, just 42 and a date 2024-01-01"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    cols = pii_scrub_cols(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select("doc_id", *[c.alias(n) for n, c in cols.items()]).collect()}
+    assert out[0]["n_email"] == 1 and "[EMAIL]" in out[0]["redacted"]
+    assert "jane" not in out[0]["redacted"]
+    assert out[1]["n_ipv4"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["redacted"] == "server [IP] rebooted, callback [PHONE]"
+    assert out[2]["n_ssn"] == 1 and out[2]["redacted"] == "ssn on file [SSN]"
+    # a date is not a phone number (groups need 3-4 digits) and 42 survives
+    assert out[3]["n_phone"] == 0 and out[3]["redacted"] == rows[3][1]
