@@ -239,6 +239,15 @@ def ngram_jaccard_pairs(
     Two id joins + one JVM expression (array_intersect/union); only candidate
     pairs pay the cost -- the LSH stage bounded their number.
     """
+    # persist the narrow (id, id) candidate table: it is consumed three
+    # times below (twice by the id union, once by the verify join), and
+    # unpersisted each consumer re-runs the whole upstream LSH band join
+    # (measured 7.0 s -> ~1 s for the verify stage at sf0.1). LSH bounds the
+    # pair count, and MEMORY_AND_DISK spills if a 100 TB run's candidate
+    # set outgrows executor storage.
+    from pyspark import StorageLevel
+
+    candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     # semi-join prune BEFORE shingling: only docs that appear in a candidate
     # pair pay the shingle cost. The LSH stage guarantees candidates <<
     # corpus, so at 100 TB this turns two corpus-wide shingle builds into two

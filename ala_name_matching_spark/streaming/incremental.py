@@ -151,6 +151,37 @@ def stateful_conversation_sessions(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    dedup_horizon: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: the batch exact_duplicates operator's
+    streaming twin (operators/dedup.py:99), keyed on the same md5 of the
+    normalized text.
+
+    Emits ONE representative per distinct normalized text within the dedup
+    horizon (the first processed arrival -- within a micro-batch the pick
+    among simultaneous duplicates is processing-order).
+    Built on dropDuplicatesWithinWatermark: the state
+    store holds one (text_hash -> expiry) row per distinct text seen within
+    `dedup_horizon`, evicted as the event-time watermark advances -- state
+    is bounded by horizon x distinct-rate, NOT stream lifetime (an unbounded
+    dropDuplicates would OOM the state store at 10^12 turns). The repeated
+    boilerplate turn a web-scale transcript stream produces hits one state
+    row however often it recurs.
+    """
+    from ala_name_matching_spark.functions.normalize import norm_text_col
+
+    return (
+        stream.withColumn(
+            "text_hash", F.md5(F.lower(norm_text_col(F.col(text_col))))
+        )
+        .withWatermark("ts", dedup_horizon)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
 def windowed_turn_counts(stream: DataFrame, window: str = "5 minutes") -> DataFrame:
     """Watermarked tumbling-window turn counts per role (late data handled).
 

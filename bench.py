@@ -68,6 +68,8 @@ def main():
         "windowed_counts",
         "quality_score",
         "lang_id",
+        "benchmark_contamination",
+        "pii_scrub",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())

@@ -216,3 +216,42 @@ def test_stateful_conversation_sessions(spark, tmp_path):
     assert got["A"]["n_turns"] == 3
     assert got["A"]["session_start"] == base.to_pydatetime()
     assert got["B"]["n_turns"] == 1
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based exact dedup: only the first
+    arrival of each normalized text survives; distinct texts all pass."""
+    import pandas as pd
+
+    from ala_name_matching_spark.streaming.incremental import (
+        read_transcript_stream,
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "in_dedup")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = [
+        ("A", 0, "user", "The deploy restarted the cluster", None, base),
+        # same text modulo case/space normalization -> duplicate
+        ("B", 0, "user", "the  deploy restarted the cluster", None, base + pd.Timedelta(minutes=1)),
+        ("C", 0, "user", "a genuinely different message", None, base + pd.Timedelta(minutes=2)),
+        # byte-identical repeat much later but inside the horizon -> duplicate
+        ("D", 0, "user", "The deploy restarted the cluster", None, base + pd.Timedelta(minutes=30)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    spark.createDataFrame(
+        pdf,
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).write.parquet(src)
+    dd = streaming_exact_dedup(read_transcript_stream(spark, src))
+    q = dd.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable()
+    out = spark.sql("SELECT conv_id, text_hash FROM dedup_out").collect()
+    q.stop()
+    # exactly one survivor per distinct normalized text; within a single
+    # micro-batch the survivor among equal hashes is arbitrary (processing
+    # order), so assert the contract, not a specific conv_id
+    assert len(out) == 2
+    assert len({r["text_hash"] for r in out}) == 2
+    survivors = {r["conv_id"] for r in out}
+    assert "C" in survivors and survivors & {"A", "B"} and "D" not in survivors
