@@ -213,6 +213,9 @@ def resolve_loops(edges: DataFrame, max_driver_nodes: int | None = None) -> Data
     parent edge cut -- deterministically at the lexicographically smallest
     node_id in the cycle, which becomes a root. Non-cycle edges pass through
     unchanged; nodes whose chain merely ENTERS a cycle keep their parents.
+    Cut nodes carry error_code PARENT_CHILD_SYNONYM (ErrorType.java:59 --
+    the reference raises exactly this when a parent chain closes on itself);
+    untouched nodes carry null (ErrorType.NONE).
 
     Driver lane only (hierarchies are taxonomy-sized; the reference itself
     resolves loops in memory, Taxonomy.java): parent-pointer walk with
@@ -249,10 +252,15 @@ def resolve_loops(edges: DataFrame, max_driver_nodes: int | None = None) -> Data
         for u in path:
             color[u] = 2
     out = pdf.copy()
+    out["error_code"] = None
     if cuts:
-        out.loc[out["node_id"].isin(cuts), "parent_id"] = None
+        cut_mask = out["node_id"].isin(cuts)
+        out.loc[cut_mask, "parent_id"] = None
+        out.loc[cut_mask, "error_code"] = "PARENT_CHILD_SYNONYM"
     spark = edges.sparkSession
-    return spark.createDataFrame(out, "node_id string, parent_id string")
+    return spark.createDataFrame(
+        out, "node_id string, parent_id string, error_code string"
+    )
 
 
 def species_split_check(

@@ -70,3 +70,79 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "ove
     except Exception:
         pass
     df.write.mode(mode).format(fmt).save(path)
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) of data files under `path` via the Hadoop FS API --
+    storage-agnostic (local/HDFS/S3A), no driver os.walk assumptions."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    files = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, metadata, hidden
+        files.append((st.getPath().toString(), int(st.getLen())))
+    return files
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    slack: float = 1.5,
+) -> dict:
+    """S3 -- small-file compaction of a parquet table directory (the
+    reference's index optimize/forceMerge(1), DwcaNameIndexer.java:614-626;
+    in production this is Iceberg's snapshot-atomic rewrite_data_files --
+    this is the parquet stand-in with the same bin-pack contract).
+
+    Streaming/incremental sinks accrete micro-batch-sized files; scans then
+    pay one task + one footer read per file (10^6 small files = a dead
+    NameNode/S3 listing and a 10^6-task scan). Bin-pack: n_target =
+    ceil(total_bytes / target); skipped unless the current file count
+    exceeds n_target * slack (idempotent -- re-running on a compacted table
+    is a no-op). The rewrite is coalesce(n_target) -- a NARROW rewrite, no
+    shuffle: each output task concatenates whole input splits. Non-atomic
+    swap window (rm + rename) is the parquet limitation vs Iceberg's commit;
+    documented, and the tmp dir makes the rewrite itself crash-safe.
+
+    Returns {files_before, bytes_total, files_after, compacted}.
+    """
+    import math
+
+    files = _list_data_files(spark, path)
+    total = sum(b for _, b in files)
+    n_target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    stats = {
+        "files_before": len(files),
+        "bytes_total": total,
+        "files_after": len(files),
+        "compacted": False,
+    }
+    if len(files) <= n_target * slack:
+        return stats
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    tmp = path.rstrip("/") + "._compact_tmp"
+    (
+        spark.read.parquet(path)
+        .coalesce(n_target)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    # swap: the only non-atomic window (Iceberg replaces this with one
+    # snapshot commit); a crash between delete and rename is recoverable
+    # from the tmp dir, never a silent data loss
+    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path)
+    )
+    stats["files_after"] = len(_list_data_files(spark, path))
+    stats["compacted"] = True
+    return stats

@@ -86,10 +86,14 @@ def test_resolve_loops_b8(spark):
         ("q", "missing"),                       # dangling parent tolerated
     ]
     fixed = resolve_loops(_edges(spark, pairs))
-    got = {r["node_id"]: r["parent_id"] for r in fixed.collect()}
+    rows = fixed.collect()
+    got = {r["node_id"]: r["parent_id"] for r in rows}
     assert got["x"] is None          # cycle cut here
     assert got["y"] == "z" and got["z"] == "x" and got["w"] == "x"
     assert got["a"] is None and got["b"] == "a" and got["q"] == "missing"
+    codes = {r["node_id"]: r["error_code"] for r in rows}
+    assert codes["x"] == "PARENT_CHILD_SYNONYM"  # ErrorType.java:59 analog
+    assert all(codes[n] is None for n in ("y", "z", "w", "a", "b", "q"))
     # and the repaired forest nested-set-encodes without infinite walk
     enc = nested_set_encode(
         fixed.withColumn(

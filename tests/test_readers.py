@@ -46,3 +46,29 @@ def test_write_table_roundtrip(spark, tmp_path):
     write_table(df, p)
     back = spark.read.parquet(p)
     assert back.count() == 5 and back.agg(F.sum("v")).collect()[0][0] == 20
+
+
+def test_compact_table(spark, tmp_path):
+    """S3 compaction: 32 micro-files bin-packed to the target count, data
+    byte-identical, and a second run is a no-op (idempotent)."""
+    from ala_name_matching_spark.sources.readers import (
+        _list_data_files,
+        compact_table,
+    )
+
+    p = str(tmp_path / "frag")
+    df = spark.range(2000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    df.repartition(32).write.parquet(p)
+    assert len(_list_data_files(spark, p)) == 32
+    before = sorted((r["id"], r["payload"]) for r in spark.read.parquet(p).collect())
+
+    stats = compact_table(spark, p, target_file_mb=128)
+    assert stats["compacted"] and stats["files_before"] == 32
+    assert stats["files_after"] == 1  # 2000 rows << 128 MB -> one bin
+    after = sorted((r["id"], r["payload"]) for r in spark.read.parquet(p).collect())
+    assert after == before
+
+    again = compact_table(spark, p, target_file_mb=128)
+    assert not again["compacted"] and again["files_after"] == 1

@@ -171,3 +171,31 @@ def test_spelling_collision_qa(spark):
     assert len(out) == 1
     assert out[0]["n_variants"] == 2
     assert "the cluster restarted" in out[0]["variants"]
+
+
+def test_error_catalog_integrity():
+    """Every UPPER_CASE code literal emitted by an operator is documented in
+    the ERROR_CATALOG (ErrorType.java:26-80 mapping) or is a known
+    match_type -- no stray undocumented codes can ship."""
+    import pathlib
+    import re
+
+    from ala_name_matching_spark.functions.errors import (
+        ERROR_CATALOG,
+        MATCH_TYPES,
+    )
+
+    ops = pathlib.Path("ala_name_matching_spark/operators")
+    lit_re = re.compile(r'F\.lit\("([A-Z][A-Z_]{2,})"\)')
+    str_re = re.compile(r'== "([A-Z][A-Z_]{2,})"|"error_code"\] = "([A-Z][A-Z_]{2,})"')
+    found = set()
+    for f in ops.glob("*.py"):
+        src = f.read_text()
+        found |= set(lit_re.findall(src))
+        found |= {m[0] or m[1] for m in str_re.findall(src)}
+    known = set(ERROR_CATALOG) | MATCH_TYPES
+    stray = {c for c in found if c not in known}
+    assert not stray, f"undocumented code literals in operators/: {stray}"
+    # and the catalog itself covers the reference's core enum families
+    assert {"HOMONYM", "EXCLUDED", "ASSOCIATED_EXCLUDED", "MISAPPLIED",
+            "PARENT_CHILD_SYNONYM", "QUESTION"} <= set(ERROR_CATALOG)
