@@ -42,11 +42,14 @@ def cap_lsh_buckets(
     boilerplate-heavy corpus at 100 TB routinely produces 10^6-row buckets
     (10^12 pairs from ONE bucket). Splitting into ceil(n/cap) salted
     sub-buckets bounds the per-bucket join at cap^2/2 and total pair volume
-    at ~n*cap/2, at a quantified recall cost: lost pairs per split bucket =
-    C(n,2) - sum_s C(n_s,2), reported per bucket in the stats frame
-    (bucket, bucket_size, n_salts, lost_pairs) -- the same metrics contract
-    as the ER blocking tier. Returns (salted_entries, stats); salted entries
-    replace `bucket_col` with a 64-bit salted hash id.
+    at ~n*cap/2, at a quantified recall cost reported per bucket in the
+    stats frame (bucket, bucket_size, n_salts, lost_pairs). lost_pairs uses
+    the balanced-split identity C(n,2) - sum_s C(n_s,2) with sizes differing
+    by <= 1 -- under the xxhash salt the actual sub-bucket sizes are only
+    approximately balanced, so the reported figure is the expected/lower
+    bound (same estimate contract as the ER tier's pairs_retained_est,
+    operators/blocking.py:380). Returns (salted_entries, stats); salted
+    entries replace `bucket_col` with a 64-bit salted hash id.
     """
     sizes = entries.groupBy(bucket_col).agg(F.count("*").alias("bucket_size"))
     sizes = sizes.withColumn(
@@ -55,8 +58,9 @@ def cap_lsh_buckets(
             F.ceil(F.col("bucket_size") / bucket_cap).cast("int")
         ),
     )
-    # pairs lost to the split: C(n,2) minus sub-bucket pairs, computed with
-    # the balanced-split identity (sizes differ by <= 1 across salts)
+    # pairs lost to the split: C(n,2) minus sub-bucket pairs via the
+    # balanced-split identity (expected value; see docstring on hash-salt
+    # balance)
     n, k = F.col("bucket_size"), F.col("n_salts")
     base, rem = (n / k).cast("long"), F.pmod(n, k)
     sub_pairs = (k - rem) * base * (base - 1) / 2 + rem * (base + 1) * base / 2
