@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 48 of 53 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 49 of 54 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key); the 5
                   rows-only remainders are genuinely non-SQL (er_clusters:
@@ -594,6 +594,29 @@ def _q_cosine_neardups_exact(spark, sf_dir):
     )
 
 
+def _q_embedding_neardups_lsh(spark, sf_dir):
+    # The LSH scale path for embedding near-dups, FULLY oracle-checked: the
+    # fixture's uniform-random vectors have no pairs at cosine >= 0.95
+    # (0.95 is ~7.6 sigma for 64-d), so near-dups are planted as scaled
+    # copies (vec_id + 1000000, v * 1.001 -- same direction, cosine exactly
+    # 1). Hyperplane signs are scale-invariant, so multi-table LSH recall on
+    # colinear pairs is provably 1.0 and the output equals the exact truth
+    # set the DuckDB crossJoin computes.
+    from ala_name_matching_spark.operators.similarity_search import (
+        embedding_near_duplicates,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    scaled = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.001).alias("embedding"),
+    )
+    return embedding_near_duplicates(base.unionByName(scaled), threshold=0.95)
+
+
 def _q_issue_flags(spark, sf_dir):
     # F10 -- marker/issue detection (?/cf./aff./spp. analogs). Marker-bearing
     # texts are constructed deterministically from doc_id so all flag paths
@@ -849,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_holdout_split": _q_train_holdout_split,
         "stratified_sample": _q_stratified_sample,
         "cosine_neardups_exact": _q_cosine_neardups_exact,
+        "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "issue_flags": _q_issue_flags,
         "phrase_parse": _q_phrase_parse,
         "phrase_join": _q_phrase_join,
@@ -1200,6 +1224,17 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN '4000'
                             WHEN 'zh' THEN 'e666'
                             ELSE '8000' END""",
+        "embedding_neardups_lsh": """
+            WITH aug AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+              FROM embeddings)
+            SELECT a.vec_id AS vec_id_l, b.vec_id AS vec_id_r,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95""",
         "cosine_neardups_exact": """
             SELECT a.vec_id AS vec_id_l, b.vec_id AS vec_id_r,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
