@@ -182,18 +182,26 @@ def benchmark_contamination(
     bench_grams = (
         benchmark.select(F.explode(token_shingles_col(F.col(text_col), n)).alias("g"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    totals = doc_grams.groupBy("doc_id").agg(F.count("*").alias("doc_ngrams"))
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "g")
+    # one broadcast left-join + ONE map-side-combinable aggregation: total
+    # n-grams and benchmark hits come out of the same groupBy, so the corpus
+    # pays a single shuffle (a separate totals/hits join would re-shuffle
+    # the doc_id key at 100 TB for nothing)
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return totals.join(hits, "doc_id").select(
-        "doc_id",
-        "doc_ngrams",
-        "n_hits",
-        F.round(F.col("n_hits") / F.col("doc_ngrams"), 6).alias("contamination_frac"),
+        .agg(
+            F.count("*").alias("doc_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select(
+            "doc_id",
+            "doc_ngrams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("doc_ngrams"), 6).alias("contamination_frac"),
+        )
     )
 
 
