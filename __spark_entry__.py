@@ -1044,7 +1044,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
                    len(regexp_extract_all(line, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
                    len(regexp_extract_all(line, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn,
-                   len(regexp_extract_all(line, '\\b\\+?[0-9]{1,3}(-[0-9]{3,4}){2,3}\\b')) AS n_phone,
+                   len(regexp_extract_all(line, '(?:\\+[0-9]{1,3}|\\b[0-9]{1,3})(-[0-9]{3,4}){2,3}\\b')) AS n_phone,
                    regexp_replace(
                      regexp_replace(
                        regexp_replace(
@@ -1052,7 +1052,7 @@ def oracle_sql() -> dict[str, str]:
                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                          '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g'),
                        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g'),
-                     '\\b\\+?[0-9]{1,3}(-[0-9]{3,4}){2,3}\\b', '[PHONE]', 'g') AS redacted
+                     '(?:\\+[0-9]{1,3}|\\b[0-9]{1,3})(-[0-9]{3,4}){2,3}\\b', '[PHONE]', 'g') AS redacted
             FROM lines""",
         "quality_score": f"""
             WITH m AS (

@@ -211,6 +211,10 @@ def minhash_lsh_candidates(
     stats = None
     if bucket_cap:
         stacked, stats = cap_lsh_buckets(stacked, "band_key", bucket_cap)
+        # the capped table is consumed twice by the self-join below; persist
+        # it too so the cap's size-agg + salt join run once, not per side
+        # (both reads below hit this cache, the pre-cap cache feeds the cap)
+        stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
     left = stacked.select(F.col("band_key"), F.col("doc_id").alias("doc_id_l"))
     right = stacked.select(F.col("band_key"), F.col("doc_id").alias("doc_id_r"))
     pairs = (
@@ -393,6 +397,9 @@ def simhash_near_duplicates(
     stats = None
     if bucket_cap:
         blocked, stats = cap_lsh_buckets(blocked, "bucket", bucket_cap)
+        # capped table feeds both self-join sides: persist so the cap stage
+        # runs once (the pre-cap cache feeds the cap's agg + join)
+        blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
     left = blocked.select("bucket", F.col("doc_id").alias("doc_id_l"), F.col("fp").alias("fp_l"))
     right = blocked.select("bucket", F.col("doc_id").alias("doc_id_r"), F.col("fp").alias("fp_r"))
     pairs = (

@@ -227,7 +227,7 @@ def resolve_loops(edges: DataFrame, max_driver_nodes: int | None = None) -> Data
     if n > max_driver_nodes:
         raise ValueError(
             f"resolve_loops driver lane capped at {max_driver_nodes} nodes; "
-            "got {n} -- partition the hierarchy or raise "
+            f"got {n} -- partition the hierarchy or raise "
             "ALA_SPARK_DRIVER_TREE_MAX_NODES"
         )
     pdf = edges.select("node_id", "parent_id").toPandas()

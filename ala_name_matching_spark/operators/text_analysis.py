@@ -213,7 +213,9 @@ PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
-    ("phone", r"\b\+?[0-9]{1,3}(-[0-9]{3,4}){2,3}\b", "[PHONE]"),
+    # the '+' branch carries no \b: a word boundary never sits between
+    # whitespace/start and '+', so '\b\+?' would make '+1-...' unmatchable
+    ("phone", r"(?:\+[0-9]{1,3}|\b[0-9]{1,3})(-[0-9]{3,4}){2,3}\b", "[PHONE]"),
 ]
 
 

@@ -74,18 +74,26 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "ove
 
 def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(path, bytes) of data files under `path` via the Hadoop FS API --
-    storage-agnostic (local/HDFS/S3A), no driver os.walk assumptions."""
+    storage-agnostic (local/HDFS/S3A), no driver os.walk assumptions.
+
+    Hidden/underscore filtering applies to EVERY path segment below `path`,
+    not just the leaf name: listFiles(recursive=True) descends into
+    `_spark_metadata/` (streaming-sink transaction log) whose log files are
+    named `0`, `1`, `9.compact` -- counting those as data would skew the
+    compaction sizing and, worse, mark sink metadata as rewritable."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    base = str(fs.makeQualified(hpath).toString()).rstrip("/") + "/"
     it = fs.listFiles(hpath, True)
     files = []
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue  # _SUCCESS, metadata, hidden
-        files.append((st.getPath().toString(), int(st.getLen())))
+        full = st.getPath().toString()
+        rel = full[len(base):] if full.startswith(base) else st.getPath().getName()
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue  # _SUCCESS, _spark_metadata/*, hidden dirs/files
+        files.append((full, int(st.getLen())))
     return files
 
 
@@ -106,14 +114,27 @@ def compact_table(
     ceil(total_bytes / target); skipped unless the current file count
     exceeds n_target * slack (idempotent -- re-running on a compacted table
     is a no-op). The rewrite is coalesce(n_target) -- a NARROW rewrite, no
-    shuffle: each output task concatenates whole input splits. Non-atomic
-    swap window (rm + rename) is the parquet limitation vs Iceberg's commit;
-    documented, and the tmp dir makes the rewrite itself crash-safe.
+    shuffle: each output task concatenates whole input splits.
 
-    Returns {files_before, bytes_total, files_after, compacted}.
+    Concurrency contract: the swap (rm + rename) is NOT atomic and requires
+    a quiesced table -- pause the writer first (Iceberg's rewrite_data_files
+    replaces this whole dance with one snapshot commit). Two guards bound
+    the parquet stand-in's risk: a directory carrying a `_spark_metadata`
+    streaming-sink log is refused outright (compacting under a live sink
+    would orphan its transaction log), and the file listing is re-checked
+    after the tmp rewrite -- any concurrent change aborts the swap, leaving
+    the original untouched and the tmp dir removed. A crash between delete
+    and rename is recoverable from the tmp dir.
+
+    Returns {files_before, bytes_total, files_after, compacted} (+
+    skipped_reason when refused).
     """
     import math
 
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
     files = _list_data_files(spark, path)
     total = sum(b for _, b in files)
     n_target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
@@ -123,12 +144,12 @@ def compact_table(
         "files_after": len(files),
         "compacted": False,
     }
+    sink_log = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_spark_metadata")
+    if fs.exists(sink_log):
+        stats["skipped_reason"] = "streaming-sink _spark_metadata present"
+        return stats
     if len(files) <= n_target * slack:
         return stats
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
     tmp = path.rstrip("/") + "._compact_tmp"
     (
         spark.read.parquet(path)
@@ -136,9 +157,12 @@ def compact_table(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    # swap: the only non-atomic window (Iceberg replaces this with one
-    # snapshot commit); a crash between delete and rename is recoverable
-    # from the tmp dir, never a silent data loss
+    # best-effort concurrent-writer guard: abort if the listing changed
+    # while we rewrote (still a race window -- see docstring contract)
+    if sorted(_list_data_files(spark, path)) != sorted(files):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        stats["skipped_reason"] = "concurrent modification detected"
+        return stats
     fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
     fs.rename(
         jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path)

@@ -72,3 +72,30 @@ def test_compact_table(spark, tmp_path):
 
     again = compact_table(spark, p, target_file_mb=128)
     assert not again["compacted"] and again["files_after"] == 1
+
+
+def test_compact_table_refuses_streaming_sink(spark, tmp_path):
+    """A directory carrying a _spark_metadata streaming-sink log must be
+    refused (compacting under a live sink would orphan its transaction
+    log), and sink log files must never be counted as data."""
+    import os
+
+    from ala_name_matching_spark.sources.readers import (
+        _list_data_files,
+        compact_table,
+    )
+
+    p = str(tmp_path / "sink_dir")
+    spark.range(100).repartition(8).write.parquet(p)
+    meta = os.path.join(p, "_spark_metadata")
+    os.makedirs(meta)
+    # streaming-sink log files have NO underscore prefix on the leaf name
+    for name in ("0", "1", "9.compact"):
+        with open(os.path.join(meta, name), "w") as fh:
+            fh.write("x" * 1024)
+    files = _list_data_files(spark, p)
+    assert all("_spark_metadata" not in f for f, _ in files)
+    stats = compact_table(spark, p, target_file_mb=128)
+    assert not stats["compacted"]
+    assert stats["skipped_reason"] == "streaming-sink _spark_metadata present"
+    assert os.path.exists(os.path.join(meta, "9.compact"))  # log untouched

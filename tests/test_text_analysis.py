@@ -128,6 +128,9 @@ def test_pii_scrub(spark):
         (1, "server 192.168.0.1 rebooted, callback 555-123-4567"),
         (2, "ssn on file 123-45-6789"),
         (3, "no pii here, just 42 and a date 2024-01-01"),
+        # leading '+' after whitespace: no \b exists before '+', the pattern
+        # must match via its explicit '+' branch
+        (4, "call +1-555-123-4567 now"),
     ]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     cols = pii_scrub_cols(F.col("text"))
@@ -139,3 +142,4 @@ def test_pii_scrub(spark):
     assert out[2]["n_ssn"] == 1 and out[2]["redacted"] == "ssn on file [SSN]"
     # a date is not a phone number (groups need 3-4 digits) and 42 survives
     assert out[3]["n_phone"] == 0 and out[3]["redacted"] == rows[3][1]
+    assert out[4]["n_phone"] == 1 and out[4]["redacted"] == "call [PHONE] now"

@@ -185,7 +185,11 @@ def test_error_catalog_integrity():
         MATCH_TYPES,
     )
 
-    ops = pathlib.Path("ala_name_matching_spark/operators")
+    ops = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "ala_name_matching_spark"
+        / "operators"
+    )
     lit_re = re.compile(r'F\.lit\("([A-Z][A-Z_]{2,})"\)')
     str_re = re.compile(r'== "([A-Z][A-Z_]{2,})"|"error_code"\] = "([A-Z][A-Z_]{2,})"')
     found = set()
