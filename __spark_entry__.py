@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 49 of 54 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 50 of 55 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key); the 5
                   rows-only remainders are genuinely non-SQL (er_clusters:
@@ -578,6 +578,16 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+
+def _q_pack_sequences(spark, sf_dir):
+    # GPT-style sequence packing: per-shard token streams chunked at a
+    # 64-token budget; every offset/chunk index reproduced by the DuckDB
+    # windowed-cumsum oracle (shard = md5 hex prefix, order = doc_id).
+    from ala_name_matching_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), token_budget=64)
+
+
 def _q_cosine_neardups_exact(spark, sf_dir):
     # embedding-cosine near-dup (exact baseline; LSH variant is rows-only)
     from ala_name_matching_spark.operators.similarity_search import cosine_col
@@ -871,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "train_holdout_split": _q_train_holdout_split,
         "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
         "cosine_neardups_exact": _q_cosine_neardups_exact,
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "issue_flags": _q_issue_flags,
@@ -1224,6 +1235,23 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN '4000'
                             WHEN 'zh' THEN 'e666'
                             ELSE '8000' END""",
+        "pack_sequences": """
+            WITH m AS (
+              SELECT doc_id,
+                     len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens,
+                     substr(md5('shard-v1' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard
+              FROM documents),
+            c AS (
+              SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM m)
+            SELECT doc_id, shard, n_tokens,
+                   cum - n_tokens AS start_offset,
+                   CAST(floor((cum - n_tokens) / 64) AS BIGINT) AS seq_start,
+                   CAST(floor((cum - 1) / 64) AS BIGINT) AS seq_end,
+                   floor((cum - n_tokens) / 64) != floor((cum - 1) / 64) AS spans_boundary
+            FROM c""",
         "embedding_neardups_lsh": """
             WITH aug AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

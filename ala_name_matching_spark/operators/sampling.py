@@ -78,3 +78,62 @@ def stratified_sample(
             cut
         )
     return df.filter(bucket < cut)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_hex_chars: int = 2,
+) -> DataFrame:
+    """Sequence packing for pretraining batches: concatenate-and-chunk.
+
+    Documents are laid out in one deterministic token stream per SHARD
+    (shard = md5 hex prefix of the id, `16^shard_hex_chars` shards; stream
+    order = id within shard) and the
+    stream is chunked into `token_budget`-token sequences -- the GPT-style
+    packing where a document may span a chunk boundary. Emits per doc:
+    shard, n_tokens (whitespace), start_offset within the shard stream,
+    seq_start / seq_end (first/last chunk index touched), and
+    spans_boundary.
+
+    Scale shape at 100 TB: the only stateful step is a running sum, and it
+    runs PER SHARD -- a window partitioned by shard, i.e. n_shards-way
+    parallel, one shuffle of (id, n_tokens) -- never a global single
+    -partition window. Shards pack independently exactly like per-worker
+    data-prep shards in a real training pipeline; raise shard_hex_chars
+    with the cluster (2 -> 256 shards, 3 -> 4096). Deterministic end to end
+    (md5 shard + id order), so the DuckDB oracle reproduces every offset.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        F.substring(
+            F.md5(F.concat(F.lit("shard-v1"), F.col(id_col).cast("string"))),
+            1,
+            shard_hex_chars,
+        ).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / token_budget).alias("seq_start"),
+        F.floor((cum - 1) / token_budget).alias("seq_end"),
+        (
+            F.floor((cum - F.col("n_tokens")) / token_budget)
+            != F.floor((cum - 1) / token_budget)
+        ).alias("spans_boundary"),
+    )

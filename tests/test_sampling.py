@@ -43,3 +43,33 @@ def test_stratified_sample_quotas(spark):
     # default fraction 0.0 drops unlisted strata entirely
     extra = spark.createDataFrame(pd.DataFrame({"id": [1, 2], "lang": ["fr", "fr"]}))
     assert stratified_sample(extra, "id", "lang", fractions={"en": 0.5}).count() == 0
+
+
+def test_pack_sequences(spark):
+    """Per-shard packing invariants: offsets are the contiguous cumsum of
+    token counts in doc_id order, chunk indices follow from the budget, and
+    spans_boundary marks exactly the boundary-crossing docs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ala_name_matching_spark.operators.sampling import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (3 + i % 7))) for i in range(40)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = pack_sequences(docs, token_budget=8).collect()
+    assert len(out) == 40
+    by_shard: dict = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        expect = by_shard.get(r["shard"], 0)
+        assert r["start_offset"] == expect  # contiguous stream per shard
+        assert r["seq_start"] == r["start_offset"] // 8
+        assert r["seq_end"] == (r["start_offset"] + r["n_tokens"] - 1) // 8
+        assert r["spans_boundary"] == (r["seq_start"] != r["seq_end"])
+        by_shard[r["shard"]] = expect + r["n_tokens"]
+    assert sum(by_shard.values()) == sum(3 + i % 7 for i in range(40))
+    # hand case: 10 tokens at budget 4 -> chunks 0..2, spans
+    one = spark.createDataFrame(
+        pd.DataFrame([(0, " ".join(["w"] * 10))], columns=["doc_id", "text"])
+    )
+    r = pack_sequences(one, token_budget=4).collect()[0]
+    assert (r["seq_start"], r["seq_end"], r["spans_boundary"]) == (0, 2, True)
