@@ -70,6 +70,7 @@ def main():
         "lang_id",
         "benchmark_contamination",
         "pii_scrub",
+        "pack_sequences",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
