@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 50 of 55 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 51 of 56 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key); the 5
                   rows-only remainders are genuinely non-SQL (er_clusters:
@@ -226,6 +226,17 @@ def _q_gopher_flags(spark, sf_dir):
     d = _docs(spark, sf_dir)
     cols = gopher_quality_columns(F.col("text"))
     return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+
+def _q_repetition_signals(spark, sf_dir):
+    # Gopher duplicate-n-gram family: dup-token fraction (projection) +
+    # top-bigram fraction (explode -> two partial-agg groupBys, linear).
+    from ala_name_matching_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    return repetition_signals(_docs(spark, sf_dir))
 
 
 def _q_benchmark_contamination(spark, sf_dir):
@@ -857,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "gopher_flags": _q_gopher_flags,
+        "repetition_signals": _q_repetition_signals,
         "benchmark_contamination": _q_benchmark_contamination,
         "pii_scrub": _q_pii_scrub,
         "cosine_topk": _q_cosine_topk,
@@ -1017,6 +1029,29 @@ def oracle_sql() -> dict[str, str]:
                     OR mean_word_len > 10 OR symbol_word_ratio > 0.1
                     OR alpha_word_frac < 0.8 OR stop_hits < 2) AS flagged
             FROM g""",
+        "repetition_signals": """
+            WITH m AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(t) AS n_tokens,
+                     round(CASE WHEN len(t) > 0
+                           THEN 1.0 - len(list_distinct(t)) * 1.0 / len(t)
+                           ELSE 0.0 END, 6) AS dup_token_frac,
+                     list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                                    i -> array_to_string(t[i:i+1], ' ')) AS bigrams
+              FROM m),
+            bg AS (
+              SELECT doc_id, unnest(bigrams) AS bg FROM base),
+            counts AS (
+              SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS n_bigrams
+              FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+              GROUP BY 1)
+            SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+                   c.n_bigrams, c.top_bigram_count,
+                   round(c.top_bigram_count * 1.0 / c.n_bigrams, 6) AS top_bigram_frac
+            FROM base b JOIN counts c USING (doc_id)""",
         "benchmark_contamination": """
             WITH toks AS (
               SELECT doc_id,

@@ -151,6 +151,58 @@ def gopher_quality_columns(
     }
 
 
+def repetition_signals(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, the duplicate-n-gram
+    family): per doc the duplicate-token fraction (1 - distinct/total) and
+    the top-bigram fraction (count of the most frequent word bigram over
+    total bigrams). Boilerplate and looping generations light both up.
+
+    Returns (doc_id, n_tokens, dup_token_frac, n_bigrams, top_bigram_count,
+    top_bigram_frac). The token-level signal is a pure projection; the
+    bigram mode needs one explode + one map-side-combinable groupBy + one
+    max-agg on the (doc, bigram) counts -- linear, no self-joins, partial
+    aggregation applies at every step.
+    """
+    toks = _tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                1.0 - F.size(F.array_distinct(toks)) / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+        # NON-distinct bigrams: token_shingles_col dedups, so build raw here
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ).alias("bigrams"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    return base.drop("bigrams").join(counts, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "n_bigrams",
+        "top_bigram_count",
+        F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 def benchmark_contamination(
     docs,
     benchmark,

@@ -143,3 +143,23 @@ def test_pii_scrub(spark):
     # a date is not a phone number (groups need 3-4 digits) and 42 survives
     assert out[3]["n_phone"] == 0 and out[3]["redacted"] == rows[3][1]
     assert out[4]["n_phone"] == 1 and out[4]["redacted"] == "call [PHONE] now"
+
+
+def test_repetition_signals(spark):
+    import pandas as pd
+    from ala_name_matching_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    rows = [
+        (0, "buy now buy now buy now"),                 # looping boilerplate
+        (1, "a perfectly ordinary sentence with variety"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # 6 tokens, 2 distinct -> dup fraction 2/3; bigrams: 'buy now' x3 of 5
+    assert abs(out[0]["dup_token_frac"] - (1 - 2 / 6)) < 1e-6
+    assert out[0]["n_bigrams"] == 5 and out[0]["top_bigram_count"] == 3
+    assert abs(out[0]["top_bigram_frac"] - 0.6) < 1e-6
+    assert out[1]["dup_token_frac"] == 0.0
+    assert out[1]["top_bigram_count"] == 1
