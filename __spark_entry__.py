@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 51 of 56 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 52 of 57 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key); the 5
                   rows-only remainders are genuinely non-SQL (er_clusters:
@@ -227,6 +227,16 @@ def _q_gopher_flags(spark, sf_dir):
     cols = gopher_quality_columns(F.col("text"))
     return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
+
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    # keyword extraction: top-3 TF-IDF terms per doc; term-asc tie-break
+    # makes the ranking engine-reproducible (equal-(tf,df) terms score
+    # byte-identically in both engines).
+    from ala_name_matching_spark.operators.text_analysis import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
 def _q_repetition_signals(spark, sf_dir):
@@ -869,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "gopher_flags": _q_gopher_flags,
         "repetition_signals": _q_repetition_signals,
+        "tfidf_topk": _q_tfidf_topk,
         "benchmark_contamination": _q_benchmark_contamination,
         "pii_scrub": _q_pii_scrub,
         "cosine_topk": _q_cosine_topk,
@@ -1029,6 +1040,27 @@ def oracle_sql() -> dict[str, str]:
                     OR mean_word_len > 10 OR symbol_word_ratio > 0.1
                     OR alpha_word_frac < 0.8 OR stop_hits < 2) AS flagged
             FROM g""",
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                     tf.tf * ln(n.n_docs * 1.0 / dfq.df) AS tfidf
+              FROM tf JOIN dfq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, term, tf, df, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored)
+            SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, rank
+            FROM ranked WHERE rank <= 3""",
         "repetition_signals": """
             WITH m AS (
               SELECT doc_id,

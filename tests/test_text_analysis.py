@@ -163,3 +163,24 @@ def test_repetition_signals(spark):
     assert abs(out[0]["top_bigram_frac"] - 0.6) < 1e-6
     assert out[1]["dup_token_frac"] == 0.0
     assert out[1]["top_bigram_count"] == 1
+
+
+def test_tfidf_topk(spark):
+    import math
+
+    import pandas as pd
+    from ala_name_matching_spark.operators.text_analysis import tfidf_topk
+
+    rows = [
+        (0, "spark spark shuffle"),
+        (1, "spark join"),
+        (2, "window window window join"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = tfidf_topk(df, k=1).collect()
+    top = {r["doc_id"]: r for r in out}
+    # doc 0: 'spark' tf=2 df=2 -> 2*ln(1.5); 'shuffle' tf=1 df=1 -> ln(3)
+    assert top[0]["term"] == "shuffle"
+    assert abs(top[0]["tfidf"] - round(math.log(3), 4)) < 1e-9
+    # doc 2: 'window' tf=3 df=1 dominates
+    assert top[2]["term"] == "window" and top[2]["tf"] == 3
