@@ -820,6 +820,30 @@ def _q_minhash_lsh_neardups(spark, sf_dir):
     )
 
 
+def _q_neardup_doc_clusters(spark, sf_dir):
+    # Transitive near-dup clusters over exact token-3-gram Jaccard >= 0.5
+    # edges, labeled by the pipeline's connected-components engine
+    # (large-star/small-star + gated driver union-find). This is the CC
+    # kernel's full DuckDB oracle: the oracle recomputes the same edges
+    # all-pairs and closes them with a recursive CTE (min reachable id ==
+    # component min == our cluster_id semantics). Singletons map to
+    # themselves, so the output is one row per document.
+    from ala_name_matching_spark.operators.dedup import neardup_clusters
+
+    return neardup_clusters(_docs(spark, sf_dir), shingle_n=3, threshold=0.5)
+
+
+def _q_cross_doc_dup_ngrams(spark, sf_dir):
+    # Corpus-level duplicated-text accounting (exact-substring dedup signal,
+    # Lee et al. 2022): per doc, distinct word-4-grams shared with >= 2 docs
+    # and the duplicated fraction. Word 4-grams, not 3 -- the fixture's
+    # 3-gram space is saturated (nearly every 3-gram repeats), 4-grams
+    # discriminate (same reason benchmark_contamination keys on 4-grams).
+    from ala_name_matching_spark.operators.dedup import cross_doc_dup_ngrams
+
+    return cross_doc_dup_ngrams(_docs(spark, sf_dir), shingle_n=4, min_df=2)
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     from ala_name_matching_spark.operators.similarity_search import lsh_topk
 
@@ -918,6 +942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB treat_word re-implementation for the blocking key):
         "minhash_lsh_neardups": _q_minhash_lsh_neardups,
         "phonetic_keys": _q_phonetic_keys,
+        # oracle-checked CC lane: recursive-CTE closure oracle
+        "neardup_doc_clusters": _q_neardup_doc_clusters,
+        "cross_doc_dup_ngrams": _q_cross_doc_dup_ngrams,
         # rows-only (no oracle_sql entry):
         "er_clusters": _q_er_clusters,
         "simhash_neardups": _q_simhash_neardups,
@@ -1550,6 +1577,56 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))::double
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4""",
+        # CC engine oracle: identical exact-Jaccard edges (all-pairs form),
+        # transitively closed by a recursive CTE; min reachable id over the
+        # symmetric closure == component min == Spark's cluster_id
+        "neardup_doc_clusters": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                     )) AS sh
+              FROM t
+            ), e AS (
+              SELECT a.doc_id AS l, b.doc_id AS r
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::double
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ), sym AS (
+              SELECT l AS a, r AS b FROM e UNION ALL SELECT r AS a, l AS b FROM e
+            ), reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM documents
+              UNION
+              SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id""",
+        "cross_doc_dup_ngrams": f"""
+            WITH t AS (
+              SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 3, 1)),
+                       i -> array_to_string(toks[i:i+3], ' ')
+                     ))) AS g
+              FROM t
+            ), df AS (
+              SELECT g, count(*) AS df FROM s GROUP BY g
+            ), dup AS (
+              SELECT s.doc_id, count(*) AS n_dup_ngrams
+              FROM s JOIN df USING (g) WHERE df.df >= 2 GROUP BY s.doc_id
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_ngrams FROM s GROUP BY doc_id
+            )
+            SELECT tot.doc_id, tot.n_ngrams,
+                   coalesce(dup.n_dup_ngrams, 0) AS n_dup_ngrams,
+                   round(coalesce(dup.n_dup_ngrams, 0)::double / tot.n_ngrams, 6)
+                     AS dup_frac
+            FROM tot LEFT JOIN dup USING (doc_id)""",
         "rematch_stragglers": f"""
             WITH d AS (SELECT doc_id AS record_id, {_CANON} AS canon_text FROM documents),
             cl AS (SELECT record_id, canon_text,

@@ -419,3 +419,138 @@ def simhash_near_duplicates(
             )
         return pairs, stats
     return pairs
+
+
+# --- Exact-Jaccard clustering (CC-oracle lane) --------------------------------
+
+def jaccard_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact near-dup edges: all pairs with token-shingle Jaccard >= threshold.
+
+    Candidates come from a shared-shingle self-join -- complete for any
+    threshold > 0 (J >= t > 0 implies at least one common shingle), so the
+    output equals the all-pairs crossJoin baseline while only pairing docs
+    that actually co-occur under some shingle. The intersection size falls
+    out of the join itself (count of shared shingles -- `token_shingles_col`
+    is array_distinct, so explode yields one row per distinct shingle), and
+    union size = |A| + |B| - inter, so no second array materialization.
+
+    SCALE: this is the *exact baseline* lane, like cosine_neardups_exact --
+    a stop-word shingle shared by d docs contributes O(d^2) candidate rows.
+    The production path at 100 TB is minhash_lsh_candidates (banded, capped)
+    -> ngram_jaccard_pairs; this operator exists to oracle-check the
+    clustering kernel downstream and to bound LSH recall on small samples.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_shingles_col(F.col(text_col), shingle_n)).alias("g"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_id_l"), F.col("b.doc_id").alias("doc_id_r"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_id_l"), F.col("n_sh").alias("n_l")), "doc_id_l")
+        .join(sizes.select(F.col("doc_id").alias("doc_id_r"), F.col("n_sh").alias("n_r")), "doc_id_r")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_l") + F.col("n_r") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_l", "doc_id_r", "jaccard")
+    )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_rep): transitive near-dup clusters, rep = min doc_id.
+
+    Drives the pipeline's connected-components engine (large-star/small-star
+    with the gated driver union-find fast path, clustering.py) over near-dup
+    edges and maps every document -- singletons included -- to its component
+    representative. `keep = (doc_id == cluster_rep)` is the dedup keep-list.
+
+    CC compares node ids *lexicographically* (string keys in the ER
+    pipeline); int64 doc ids are therefore encoded as zero-padded 20-digit
+    strings (lex order == numeric order for non-negative int64) and the
+    label cast back, so `cluster_rep` is the numeric min -- exactly what a
+    SQL oracle's min() over the reachability closure computes.
+
+    Pass `edges` to cluster a precomputed pair table (e.g. the LSH-verified
+    pairs at scale); default is the exact `jaccard_edges` baseline so the
+    whole query is oracle-checkable.
+    """
+    if edges is None:
+        edges = jaccard_edges(docs, id_col, text_col, shingle_n, threshold)
+    from ala_name_matching_spark.operators.clustering import connected_components
+
+    pad = lambda c: F.format_string("%020d", c)  # noqa: E731
+    labels = connected_components(
+        edges.select(pad(F.col("doc_id_l")).alias("src"), pad(F.col("doc_id_r")).alias("dst"))
+    ).select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_rep"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_rep", F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+
+
+def cross_doc_dup_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-text signal per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" -- the
+    document-level accounting of exact substring dedup).
+
+    For each doc: how many of its distinct word n-grams appear in >= min_df
+    documents, and what fraction of the doc that is. Downstream policy
+    (drop, trim, deprioritize) keys on dup_frac.
+
+    SCALE: one explode + one groupBy(g) doc-frequency agg (partial-agg
+    combines corpus-wide repeats map-side) + one shuffle join back on g.
+    No self-join, no pair materialization -- linear in total n-grams, the
+    same shape as benchmark_contamination. Hot n-grams skew the groupBy
+    key but each group reduces to a single count (no row blowup).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_shingles_col(F.col(text_col), shingle_n)).alias("g"),
+    )
+    df_tbl = sh.groupBy("g").agg(F.count("*").alias("df"))
+    dup = (
+        sh.join(df_tbl.filter(F.col("df") >= min_df), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_ngrams"))
+    )
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    return (
+        totals.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_dup_ngrams", F.lit(0)).alias("n_dup_ngrams"),
+            F.round(F.coalesce("n_dup_ngrams", F.lit(0)) / F.col("n_ngrams"), 6).alias("dup_frac"),
+        )
+    )

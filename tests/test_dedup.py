@@ -144,3 +144,72 @@ def test_simhash_pigeonhole_exact_recall(spark):
     }
     assert banded == exact
     assert len(exact) > 0  # the fixture actually produced near-dups
+
+
+# --- exact-Jaccard CC lane ----------------------------------------------------
+
+def test_jaccard_edges_match_crossjoin(spark, docs):
+    """Shared-shingle candidate join == all-pairs baseline (completeness)."""
+    from ala_name_matching_spark.operators.dedup import jaccard_edges, token_shingles_col
+
+    got = {
+        (r["doc_id_l"], r["doc_id_r"]): round(r["jaccard"], 6)
+        for r in jaccard_edges(docs, threshold=0.3).collect()
+    }
+    sh = docs.select("doc_id", token_shingles_col(F.col("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("l"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("r"), F.col("sh").alias("sb"))
+    brute = {
+        (r["l"], r["r"]): round(r["j"], 6)
+        for r in a.crossJoin(b)
+        .filter(F.col("l") < F.col("r"))
+        .withColumn("j", F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")))
+        .filter(F.col("j") >= 0.3)
+        .select("l", "r", "j")
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_neardup_clusters_reps(spark, docs):
+    """At 0.5: 0/1/2/3 cluster, 6 misses the bar (J(0,6)=0.41). At 0.4 doc 6
+    joins ONLY via doc 0 (J(3,6)=0.2) -- transitive closure, not pairwise."""
+    from ala_name_matching_spark.operators.dedup import neardup_clusters
+
+    out = {r["doc_id"]: r["cluster_rep"] for r in neardup_clusters(docs, threshold=0.5).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 6}
+    out4 = {r["doc_id"]: r["cluster_rep"] for r in neardup_clusters(docs, threshold=0.4).collect()}
+    assert out4 == {0: 0, 1: 0, 2: 0, 3: 0, 6: 0, 4: 4, 5: 5}
+
+
+def test_neardup_clusters_numeric_min_rep(spark):
+    """Ids where numeric and string order disagree (9 vs 10): rep must be the
+    NUMERIC min (zero-pad encoding round-trips through the lexicographic CC)."""
+    from ala_name_matching_spark.operators.dedup import neardup_clusters
+
+    txt = "alpha beta gamma delta epsilon zeta eta theta"
+    d = spark.createDataFrame(pd.DataFrame({"doc_id": [9, 10], "text": [txt, txt]}))
+    out = {r["doc_id"]: r["cluster_rep"] for r in neardup_clusters(d).collect()}
+    assert out == {9: 9, 10: 9}
+
+
+def test_cross_doc_dup_ngrams_counts(spark):
+    """Planted: docs 0/1 share one 4-gram window; doc 2 is disjoint."""
+    from ala_name_matching_spark.operators.dedup import cross_doc_dup_ngrams
+
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "shared four gram window plus tail one",   # 4-grams: 4
+                    "prefix two shared four gram window here", # 4-grams: 4, one shared
+                    "totally different words in this document yes",
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: (r["n_ngrams"], r["n_dup_ngrams"], r["dup_frac"]) for r in cross_doc_dup_ngrams(d).collect()}
+    assert out[0] == (4, 1, 0.25)
+    assert out[1] == (4, 1, 0.25)
+    assert out[2] == (4, 0, 0.0)
