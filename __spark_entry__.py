@@ -844,6 +844,23 @@ def _q_cross_doc_dup_ngrams(spark, sf_dir):
     return cross_doc_dup_ngrams(_docs(spark, sf_dir), shingle_n=4, min_df=2)
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    # Quality-aware dedup policy: per transitive near-dup cluster, keep the
+    # highest-quality member (ties -> min doc_id). Skew-immune agg+join
+    # election, same shape as the ER representative election.
+    from ala_name_matching_spark.operators.dedup import dedup_keep_best
+
+    return dedup_keep_best(_docs(spark, sf_dir), shingle_n=3, threshold=0.5)
+
+
+def _q_mixture_weights(spark, sf_dir):
+    # Data-mixing layer: per-source token shares + alpha-temperature
+    # sampling weights (the standard multi-source corpus rebalance rule).
+    from ala_name_matching_spark.operators.sampling import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir), alpha=0.7)
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     from ala_name_matching_spark.operators.similarity_search import lsh_topk
 
@@ -945,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked CC lane: recursive-CTE closure oracle
         "neardup_doc_clusters": _q_neardup_doc_clusters,
         "cross_doc_dup_ngrams": _q_cross_doc_dup_ngrams,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "mixture_weights": _q_mixture_weights,
         # rows-only (no oracle_sql entry):
         "er_clusters": _q_er_clusters,
         "simhash_neardups": _q_simhash_neardups,
@@ -1627,6 +1646,69 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(dup.n_dup_ngrams, 0)::double / tot.n_ngrams, 6)
                      AS dup_frac
             FROM tot LEFT JOIN dup USING (doc_id)""",
+        # same recursive-CTE cluster closure as neardup_doc_clusters, then
+        # per-cluster argmax-quality election (quality expression identical
+        # to the quality_score oracle)
+        "dedup_keep_best": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                     )) AS sh
+              FROM t
+            ), e AS (
+              SELECT a.doc_id AS l, b.doc_id AS r
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::double
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ), sym AS (
+              SELECT l AS a, r AS b FROM e UNION ALL SELECT r AS a, l AS b FROM e
+            ), reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM documents
+              UNION
+              SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.id
+            ), cl AS (
+              SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id
+            ), m AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     len({_TOKS}) AS n_toks,
+                     CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text)
+                          ELSE 0.0 END AS alpha_ratio,
+                     (SELECT count(*) FROM unnest({_TOKS}) AS u(t)
+                      WHERE t IN ('the','and','of','to','a','in','is','was','for','with'))
+                       * 1.0 / greatest(len({_TOKS}), 1) AS stop_ratio
+              FROM documents
+            ), q AS (
+              SELECT doc_id,
+                     round(0.3 * (CASE WHEN n_chars BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.3 END)
+                         + 0.3 * alpha_ratio
+                         + 0.2 * least(stop_ratio * 4, 1.0)
+                         + 0.2 * (CASE WHEN n_toks > 0 AND n_chars * 1.0 / n_toks BETWEEN 3 AND 12
+                                       THEN 1.0 ELSE 0.5 END), 6) AS quality
+              FROM m)
+            SELECT cl.doc_id, cl.cluster_rep, q.quality,
+                   (row_number() OVER (PARTITION BY cl.cluster_rep
+                                       ORDER BY q.quality DESC, cl.doc_id) = 1) AS keep
+            FROM cl JOIN q USING (doc_id)""",
+        "mixture_weights": f"""
+            WITH agg AS (
+              SELECT source, count(*) AS n_docs,
+                     sum(len(string_split({_NORM}, ' '))) AS n_tokens
+              FROM documents GROUP BY source
+            ), shares AS (
+              SELECT source, n_docs, n_tokens,
+                     n_tokens * 1.0 / sum(n_tokens) OVER () AS p
+              FROM agg
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(p, 6) AS raw_share,
+                   round(pow(p, 0.7) / sum(pow(p, 0.7)) OVER (), 6) AS weight
+            FROM shares""",
         "rematch_stragglers": f"""
             WITH d AS (SELECT doc_id AS record_id, {_CANON} AS canon_text FROM documents),
             cl AS (SELECT record_id, canon_text,

@@ -554,3 +554,53 @@ def cross_doc_dup_ngrams(
             F.round(F.coalesce("n_dup_ngrams", F.lit(0)) / F.col("n_ngrams"), 6).alias("dup_frac"),
         )
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_rep, quality, keep): quality-aware dedup policy.
+
+    The decision layer on top of near-dup clustering -- per transitive
+    cluster, elect the single highest-quality member (quality_score_col;
+    ties -> smallest doc_id) and flag it keep=true; everything else in the
+    cluster is the drop-list. Singletons keep themselves. This is what a
+    training-data pipeline actually DOES with near-dup clusters: not "drop
+    all dups" but "keep the best exemplar" (boilerplate-heavy mirrors lose
+    to the cleanest copy).
+
+    Election is a single partial-aggregated min(struct(-quality, doc_id))
+    per cluster + a join back -- the same skew-immune agg+join shape as the
+    ER pipeline's representative election (representative.py), NOT a
+    row_number window: a mega-cluster (boilerplate at 100 TB) reduces
+    map-side to one row per partition instead of sorting all members in one
+    window partition.
+
+    Pass `edges` (e.g. LSH-verified pairs) for the production lane; the
+    default exact-Jaccard lane keeps the whole query oracle-checkable.
+    """
+    from ala_name_matching_spark.operators.text_analysis import quality_score_col
+
+    labels = neardup_clusters(docs, id_col, text_col, shingle_n, threshold, edges)
+    q = docs.select(
+        F.col(id_col).alias("doc_id"),
+        quality_score_col(F.col(text_col)).alias("quality"),
+    )
+    member = labels.join(q, "doc_id")
+    best = member.groupBy("cluster_rep").agg(
+        F.min(F.struct((-F.col("quality")).alias("nq"), F.col("doc_id").alias("best_id"))).alias("b")
+    )
+    return (
+        member.join(best, "cluster_rep")
+        .select(
+            "doc_id",
+            "cluster_rep",
+            "quality",
+            (F.col("doc_id") == F.col("b.best_id")).alias("keep"),
+        )
+    )

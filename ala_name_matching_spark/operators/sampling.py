@@ -137,3 +137,45 @@ def pack_sequences(
             != F.floor((cum - 1) / token_budget)
         ).alias("spans_boundary"),
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled data-mixture weights per corpus source.
+
+    (source, n_docs, n_tokens, raw_share, weight): raw_share is each
+    source's token fraction; weight is the alpha-temperature rebalanced
+    sampling probability  w_s = p_s^alpha / sum_t p_t^alpha  -- the standard
+    mixing rule for multi-source LLM corpora (alpha=1 preserves natural
+    proportions, alpha=0 is uniform; published pipelines run ~0.3-0.7 to
+    up-sample small high-quality sources).
+
+    SCALE: one partial-aggregated groupBy(source) over a narrow
+    (source, token-count) projection -- map-side combine reduces each
+    partition to |sources| rows, so the shuffle is O(sources), not O(docs).
+    The normalizing sum is a window over the aggregated |sources|-row
+    table (trivial). No joins, no second scan of text.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    )
+    agg = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    pa = F.pow(p, F.lit(alpha))
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("raw_share"),
+        F.round(pa / F.sum(pa).over(everything), 6).alias("weight"),
+    )

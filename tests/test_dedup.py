@@ -213,3 +213,26 @@ def test_cross_doc_dup_ngrams_counts(spark):
     assert out[0] == (4, 1, 0.25)
     assert out[1] == (4, 1, 0.25)
     assert out[2] == (4, 0, 0.0)
+
+
+def test_dedup_keep_best_policy(spark, docs):
+    """Exactly one keeper per cluster = the max-quality member (ties -> min
+    doc_id); singletons keep themselves."""
+    from collections import defaultdict
+
+    from ala_name_matching_spark.operators.dedup import dedup_keep_best
+
+    rows = dedup_keep_best(docs, threshold=0.4).collect()
+    assert len(rows) == 7  # one row per document
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_rep"]].append(r)
+    assert set(by_cluster) == {0, 4, 5}  # {0,1,2,3,6} cluster + 2 singletons
+    for rep, members in by_cluster.items():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1
+        qmax = max(r["quality"] for r in members)
+        assert keepers[0]["quality"] == qmax
+        assert keepers[0]["doc_id"] == min(
+            r["doc_id"] for r in members if r["quality"] == qmax
+        )

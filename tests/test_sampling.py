@@ -73,3 +73,24 @@ def test_pack_sequences(spark):
     )
     r = pack_sequences(one, token_budget=4).collect()[0]
     assert (r["seq_start"], r["seq_end"], r["spans_boundary"]) == (0, 2, True)
+
+
+def test_mixture_weights_math(spark):
+    from ala_name_matching_spark.operators.sampling import mixture_weights
+
+    rows = [
+        (0, " ".join(["w"] * 20), "A"),
+        (1, " ".join(["w"] * 10), "A"),
+        (2, " ".join(["w"] * 10), "B"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    out = {r["source"]: r for r in mixture_weights(docs, alpha=0.5).collect()}
+    assert out["A"]["n_docs"] == 2 and out["A"]["n_tokens"] == 30
+    assert out["B"]["n_docs"] == 1 and out["B"]["n_tokens"] == 10
+    assert out["A"]["raw_share"] == 0.75 and out["B"]["raw_share"] == 0.25
+    # alpha=0.5: sqrt(.75)/(sqrt(.75)+sqrt(.25)) = 0.633975
+    assert abs(out["A"]["weight"] - 0.633975) < 1e-6
+    assert abs(out["A"]["weight"] + out["B"]["weight"] - 1.0) < 1e-6
+    # alpha=1 preserves natural proportions
+    nat = {r["source"]: r["weight"] for r in mixture_weights(docs, alpha=1.0).collect()}
+    assert nat == {"A": 0.75, "B": 0.25}
