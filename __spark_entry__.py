@@ -239,6 +239,14 @@ def _q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    # KenLM-perplexity stand-in: mean ln p(token) under the corpus's own
+    # unigram LM (conditional-sum shape, two scans, no self-join).
+    from ala_name_matching_spark.operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_repetition_signals(spark, sf_dir):
     # Gopher duplicate-n-gram family: dup-token fraction (projection) +
     # top-bigram fraction (explode -> two partial-agg groupBys, linear).
@@ -921,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_flags": _q_gopher_flags,
         "repetition_signals": _q_repetition_signals,
         "tfidf_topk": _q_tfidf_topk,
+        "unigram_logprob": _q_unigram_logprob,
         "benchmark_contamination": _q_benchmark_contamination,
         "pii_scrub": _q_pii_scrub,
         "cosine_topk": _q_cosine_topk,
@@ -1107,6 +1116,16 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, rank
             FROM ranked WHERE rank <= 3""",
+        "unigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            vocab AS (
+              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            n AS (SELECT sum(cnt) AS total FROM vocab)
+            SELECT toks.doc_id, count(*) AS n_tokens,
+                   round(avg(ln(vocab.cnt * 1.0 / n.total)), 6) AS mean_logprob
+            FROM toks JOIN vocab USING (tok) CROSS JOIN n
+            GROUP BY toks.doc_id""",
         "repetition_signals": """
             WITH m AS (
               SELECT doc_id,

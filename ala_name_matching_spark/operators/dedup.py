@@ -528,30 +528,33 @@ def cross_doc_dup_ngrams(
     documents, and what fraction of the doc that is. Downstream policy
     (drop, trim, deprioritize) keys on dup_frac.
 
-    SCALE: one explode + one groupBy(g) doc-frequency agg (partial-agg
-    combines corpus-wide repeats map-side) + one shuffle join back on g.
-    No self-join, no pair materialization -- linear in total n-grams, the
-    same shape as benchmark_contamination. Hot n-grams skew the groupBy
-    key but each group reduces to a single count (no row blowup).
+    SCALE: conditional-sum form (the benchmark_contamination shape) -- one
+    explode + one groupBy(g) doc-frequency agg (partial-agg combines
+    corpus-wide repeats map-side), join the df back on g, then ONE
+    groupBy(doc_id) computing totals and dup-counts together. Two scans of
+    the corpus total; no per-doc left join, no third pass for totals (every
+    doc has >= 1 shingle, so the inner join is total). Both join sides hash
+    on g -- the exchange under the df agg is reusable for the probe side.
+    Hot n-grams skew the g key but each group reduces to a single count.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(token_shingles_col(F.col(text_col), shingle_n)).alias("g"),
     )
     df_tbl = sh.groupBy("g").agg(F.count("*").alias("df"))
-    dup = (
-        sh.join(df_tbl.filter(F.col("df") >= min_df), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_dup_ngrams"))
-    )
-    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    n_dup = F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0))
     return (
-        totals.join(dup, "doc_id", "left")
+        sh.join(df_tbl, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            n_dup.alias("n_dup_ngrams"),
+        )
         .select(
             "doc_id",
             "n_ngrams",
-            F.coalesce("n_dup_ngrams", F.lit(0)).alias("n_dup_ngrams"),
-            F.round(F.coalesce("n_dup_ngrams", F.lit(0)) / F.col("n_ngrams"), 6).alias("dup_frac"),
+            "n_dup_ngrams",
+            F.round(F.col("n_dup_ngrams") / F.col("n_ngrams"), 6).alias("dup_frac"),
         )
     )
 

@@ -203,6 +203,45 @@ def repetition_signals(
     )
 
 
+def unigram_logprob(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-doc mean unigram log-probability under the corpus's own unigram
+    LM -- the deterministic stand-in for the KenLM-perplexity quality filter
+    (CCNet / RefinedWeb): documents whose tokens are improbable under the
+    corpus distribution (garbled text, rare-symbol soup) score low and are
+    filter candidates. p(w) = count(w) / total_tokens over the whole corpus
+    (no smoothing needed -- every scored token was counted).
+
+    Returns (doc_id, n_tokens, mean_logprob) with mean_logprob = avg over
+    the doc's tokens of ln p(token), rounded to 6.
+
+    SCALE: the conditional-sum shape -- one explode + groupBy(token)
+    (vocabulary-sized result, partial-agg collapses repeats map-side), join
+    the per-token count back on token, one groupBy(doc_id) for the mean.
+    Two corpus scans, zero self-joins; the total-token denominator rides
+    the vocab agg (sum over it) instead of a third scan.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
 def tfidf_topk(
     docs,
     k: int = 3,

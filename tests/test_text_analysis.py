@@ -184,3 +184,23 @@ def test_tfidf_topk(spark):
     assert abs(top[0]["tfidf"] - round(math.log(3), 4)) < 1e-9
     # doc 2: 'window' tf=3 df=1 dominates
     assert top[2]["term"] == "window" and top[2]["tf"] == 3
+
+
+def test_unigram_logprob_hand_math(spark):
+    """Corpus 'a a b' / 'b': p(a)=0.5, p(b)=0.5 -> every doc mean ln 0.5."""
+    import math
+
+    from ala_name_matching_spark.operators.text_analysis import unigram_logprob
+
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a a b", "b"]})
+    )
+    out = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"]) for r in unigram_logprob(d).collect()}
+    half = round(math.log(0.5), 6)
+    assert out == {0: (3, half), 1: (1, half)}
+    # skewed corpus: rare token drags the mean down
+    d2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a a a", "z"]})
+    )
+    out2 = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(d2).collect()}
+    assert out2[1] < out2[0]
