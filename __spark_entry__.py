@@ -167,15 +167,21 @@ def _q_token_jaccard_pairs(spark, sf_dir):
 
 
 def _q_minhash_unigram_sig(spark, sf_dir):
-    # MinHash signature (2 hashes) over unigram shingles -- md5-min family
+    # MinHash signature (2 hashes) over unigram shingles -- md5-min family.
+    # Tokens staged in their own projection: minhash_signature_cols
+    # references the shingle array once per hash, and lambda interpretation
+    # would re-split the text per reference (see shingles_from_tokens).
     from ala_name_matching_spark.operators.dedup import (
         minhash_signature_cols,
-        token_shingles_col,
+        shingles_from_tokens,
+        tokens_col,
     )
 
-    sh = token_shingles_col(F.col("text"), 1)
-    return _docs(spark, sf_dir).select(
-        "doc_id", *minhash_signature_cols(sh, num_hashes=2)
+    staged = _docs(spark, sf_dir).select(
+        "doc_id", tokens_col(F.col("text")).alias("__toks")
+    ).select("doc_id", shingles_from_tokens(F.col("__toks"), 1).alias("__sh"))
+    return staged.select(
+        "doc_id", *minhash_signature_cols(F.col("__sh"), num_hashes=2)
     )
 
 

@@ -167,9 +167,15 @@ def repetition_signals(
     max-agg on the (doc, bigram) counts -- linear, no self-joins, partial
     aggregation applies at every step.
     """
-    toks = _tokens(F.col(text_col))
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
+    # stage the token array: the bigram transform lambda slices it per
+    # index, and an inline _tokens expression would re-split per iteration
+    # (no CSE inside interpreted lambda bodies -- see shingles_from_tokens)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    base = staged.select(
+        F.col("doc_id"),
         F.size(toks).alias("n_tokens"),
         F.round(
             F.when(
@@ -185,7 +191,11 @@ def repetition_signals(
         ).alias("bigrams"),
     )
     counts = (
-        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        # explode_outer + attribute null-filter: a plain explode's inferred
+        # size()>0 filter gets pushed below the staged-tokens projection and
+        # re-inlines the split per lambda iteration (see shingle_explode)
+        base.select("doc_id", F.explode_outer("bigrams").alias("bg"))
+        .where(F.col("bg").isNotNull())
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
@@ -304,14 +314,16 @@ def benchmark_contamination(
     carries text. If the benchmark set outgrows broadcast, the same plan
     works as a shuffle hash join on the n-gram key (still linear).
     """
-    from ala_name_matching_spark.operators.dedup import token_shingles_col
-
-    doc_grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(token_shingles_col(F.col(text_col), n)).alias("g"),
+    from ala_name_matching_spark.operators.dedup import (
+        shingle_explode,
+        shingles_from_tokens,
+        tokens_col,
     )
+
+    doc_grams = shingle_explode(docs, id_col, text_col, n)
     bench_grams = (
-        benchmark.select(F.explode(token_shingles_col(F.col(text_col), n)).alias("g"))
+        benchmark.select(tokens_col(F.col(text_col)).alias("__toks"))
+        .select(F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("g"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

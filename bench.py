@@ -71,6 +71,9 @@ def main():
         "benchmark_contamination",
         "pii_scrub",
         "pack_sequences",
+        "cross_doc_dup_ngrams",
+        "unigram_logprob",
+        "mixture_weights",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
