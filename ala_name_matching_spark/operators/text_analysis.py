@@ -323,7 +323,8 @@ def benchmark_contamination(
     doc_grams = shingle_explode(docs, id_col, text_col, n)
     bench_grams = (
         benchmark.select(tokens_col(F.col(text_col)).alias("__toks"))
-        .select(F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("g"))
+        .select(F.explode_outer(shingles_from_tokens(F.col("__toks"), n)).alias("g"))
+        .where(F.col("g").isNotNull())
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
