@@ -245,6 +245,14 @@ def _q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
+def _q_profile_documents(spark, sf_dir):
+    # Deequ-style column profile: per-column n/null/distinct/min/max in one
+    # single-row aggregate pass, unpivoted via stack (no driver loop).
+    from ala_name_matching_spark.operators.profiling import profile_columns
+
+    return profile_columns(_docs(spark, sf_dir))
+
+
 def _q_unigram_logprob(spark, sf_dir):
     # KenLM-perplexity stand-in: mean ln p(token) under the corpus's own
     # unigram LM (conditional-sum shape, two scans, no self-join).
@@ -936,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "tfidf_topk": _q_tfidf_topk,
         "unigram_logprob": _q_unigram_logprob,
+        "profile_documents": _q_profile_documents,
         "benchmark_contamination": _q_benchmark_contamination,
         "pii_scrub": _q_pii_scrub,
         "cosine_topk": _q_cosine_topk,
@@ -1132,6 +1141,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(vocab.cnt * 1.0 / n.total)), 6) AS mean_logprob
             FROM toks JOIN vocab USING (tok) CROSS JOIN n
             GROUP BY toks.doc_id""",
+        "profile_documents": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name, count(*) AS n,
+                   sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_str,
+                   CAST(max({c}) AS VARCHAR) AS max_str
+            FROM documents"""
+            for c in ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
         "repetition_signals": """
             WITH m AS (
               SELECT doc_id,

@@ -1,0 +1,74 @@
+"""Column profiling / data-validation summary (Deequ-style).
+
+Before a 100 TB corpus feeds training, the pipeline publishes per-column
+health stats -- row counts, null fractions, distinct cardinalities, value
+ranges -- and gates downstream jobs on them (schema drift, null explosions,
+and truncated loads all surface here first). The reference has no profiling
+surface (single-node Lucene build); this is part of the training-data
+extension set (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One row per profiled column:
+    (col_name, n, n_null, n_distinct, min_str, max_str).
+
+    min/max are cast to string so heterogeneous column types stack into one
+    table (the Deequ convention); null-only columns yield null min/max.
+
+    SCALE: single pass. With exact_distinct=True the multi-countDistinct
+    agg goes through Catalyst's Expand (input replicated once per distinct
+    aggregate) -- exact and oracle-checkable, the right call up to ~10
+    profiled columns. At 100 TB width, pass exact_distinct=False:
+    approx_count_distinct (HyperLogLog++, relativeSD 5%) profiles any
+    number of columns in one non-expanded pass. Both variants produce ONE
+    aggregate row (no shuffle of data rows -- partial aggs reduce every
+    partition to a single row) which is then unpivoted driver-free via
+    stack().
+    """
+    if cols is None:
+        cols = df.columns
+    distinct = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.extend(
+            [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+                distinct(c).alias(f"{c}__distinct"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            ]
+        )
+    one = df.agg(*aggs)
+    # unpivot the single row into (column, ...) rows -- stack is a pure
+    # projection over the 1-row aggregate, nothing touches the driver
+    stack_args = []
+    for c in cols:
+        stack_args.extend(
+            [
+                F.lit(c),
+                F.col(f"{c}__nulls"),
+                F.col(f"{c}__distinct"),
+                F.col(f"{c}__min"),
+                F.col(f"{c}__max"),
+            ]
+        )
+    return one.select(
+        F.col("__n").alias("n"),
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("col_name", "n_null", "n_distinct", "min_str", "max_str"),
+    ).select("col_name", "n", "n_null", "n_distinct", "min_str", "max_str")

@@ -1,0 +1,29 @@
+"""Tests for the column profiler."""
+
+import pandas as pd
+import pytest
+
+from ala_name_matching_spark.operators.profiling import profile_columns
+
+
+def test_profile_columns_exact(spark):
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": [1, 2, 2, None],
+                "b": ["x", None, None, "y"],
+            }
+        ).astype({"a": "Int64"})
+    )
+    out = {r["col_name"]: r for r in profile_columns(d).collect()}
+    assert set(out) == {"a", "b"}
+    ra, rb = out["a"], out["b"]
+    assert (ra["n"], ra["n_null"], ra["n_distinct"], ra["min_str"], ra["max_str"]) == (4, 1, 2, "1", "2")
+    assert (rb["n"], rb["n_null"], rb["n_distinct"], rb["min_str"], rb["max_str"]) == (4, 2, 2, "x", "y")
+
+
+def test_profile_columns_approx_path(spark):
+    # HLL lane: same shape, counts within the documented 5% envelope
+    d = spark.createDataFrame(pd.DataFrame({"a": list(range(100))}))
+    out = profile_columns(d, exact_distinct=False).collect()[0]
+    assert out["n"] == 100 and abs(out["n_distinct"] - 100) <= 10
