@@ -245,6 +245,39 @@ def _q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
+def _q_length_stats_by_lang(spark, sf_dir):
+    # Per-language length distribution: count, mean, exact interpolated
+    # median/p90 (Spark percentile == DuckDB quantile_cont). The per-group
+    # exact percentile is a sort within each language partition -- at 100 TB
+    # switch to approx_percentile (t-digest, map-side combinable); the exact
+    # form here is the oracle-checkable baseline.
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        )
+    )
+
+
+def _q_neardup_cluster_sizes(spark, sf_dir):
+    # Cluster-size histogram over the exact-Jaccard near-dup clusters:
+    # (cluster_size, n_clusters). The ops-dashboard query for dedup runs --
+    # a size-2 spike means mirrors, a mega-cluster means boilerplate.
+    from ala_name_matching_spark.operators.dedup import neardup_clusters
+
+    cl = neardup_clusters(_docs(spark, sf_dir), shingle_n=3, threshold=0.5)
+    return (
+        cl.groupBy("cluster_rep")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
 def _q_profile_documents(spark, sf_dir):
     # Deequ-style column profile: per-column n/null/distinct/min/max in one
     # single-row aggregate pass, unpivoted via stack (no driver loop).
@@ -945,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "unigram_logprob": _q_unigram_logprob,
         "profile_documents": _q_profile_documents,
+        "length_stats_by_lang": _q_length_stats_by_lang,
+        "neardup_cluster_sizes": _q_neardup_cluster_sizes,
         "benchmark_contamination": _q_benchmark_contamination,
         "pii_scrub": _q_pii_scrub,
         "cosine_topk": _q_cosine_topk,
@@ -1141,6 +1176,43 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(vocab.cnt * 1.0 / n.total)), 6) AS mean_logprob
             FROM toks JOIN vocab USING (tok) CROSS JOIN n
             GROUP BY toks.doc_id""",
+        "length_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS mean_chars,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+            FROM documents GROUP BY lang""",
+        # same recursive-CTE closure as neardup_doc_clusters, rolled up to
+        # the cluster-size histogram
+        "neardup_cluster_sizes": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                     )) AS sh
+              FROM t
+            ), e AS (
+              SELECT a.doc_id AS l, b.doc_id AS r
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::double
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ), sym AS (
+              SELECT l AS a, r AS b FROM e UNION ALL SELECT r AS a, l AS b FROM e
+            ), reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM documents
+              UNION
+              SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.id
+            ), cl AS (
+              SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id
+            ), sizes AS (
+              SELECT cluster_rep, count(*) AS cluster_size FROM cl GROUP BY cluster_rep
+            )
+            SELECT cluster_size, count(*) AS n_clusters
+            FROM sizes GROUP BY cluster_size""",
         "profile_documents": " UNION ALL ".join(
             f"""
             SELECT '{c}' AS col_name, count(*) AS n,

@@ -236,3 +236,24 @@ def test_dedup_keep_best_policy(spark, docs):
         assert keepers[0]["doc_id"] == min(
             r["doc_id"] for r in members if r["quality"] == qmax
         )
+
+
+def test_neardup_clusters_no_edges(spark):
+    """All-distinct corpus: zero edges through the CC engine -> every doc a
+    singleton keeping itself (regression for the empty-partition lanes)."""
+    from ala_name_matching_spark.operators.dedup import dedup_keep_best, neardup_clusters
+
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "totally unique alpha beta gamma delta",
+                    "different words here entirely now ok",
+                    "third doc nothing shared with others at",
+                ],
+            }
+        )
+    )
+    assert {r["doc_id"]: r["cluster_rep"] for r in neardup_clusters(d).collect()} == {0: 0, 1: 1, 2: 2}
+    assert all(r["keep"] for r in dedup_keep_best(d).collect())
