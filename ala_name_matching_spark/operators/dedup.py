@@ -204,6 +204,45 @@ def minhash_signature_cols(shingles: Column, num_hashes: int = 16) -> list[Colum
     return [one(i) for i in range(num_hashes)]
 
 
+def minhash_band_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, band_key) -- the banded MinHash index rows.
+
+    Shared by the batch self-join candidate generator and the streaming
+    matcher (which joins a micro-batch's band table against a precomputed
+    corpus band table). Compute shingles ONCE and explode, then K
+    min-aggregates: the column-per-hash formulation re-evaluates the
+    shingle expression K times per row (measured 109 s vs ~5 s at sf0.1);
+    the explode+groupBy shape gets map-side partial aggregation and a
+    single narrow shuffle.
+    """
+    r = num_hashes // bands
+    exploded = shingle_explode(_spread(docs), id_col, text_col, shingle_n, out="sh")
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"seed{i}|"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * r + j}") for j in range(r)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -224,29 +263,7 @@ def minhash_lsh_candidates(
     accounting (pass return_stats=True for (pairs, stats)); bucket_cap=None
     disables capping (oracle-exactness mode for small corpora).
     """
-    r = num_hashes // bands
-    # Compute shingles ONCE and explode, then K min-aggregates: the
-    # column-per-hash formulation re-evaluates the shingle expression K
-    # times per row (measured 109 s vs ~5 s at sf0.1); the explode+groupBy
-    # shape gets map-side partial aggregation and a single narrow shuffle.
-    exploded = shingle_explode(_spread(docs), id_col, text_col, shingle_n, out="sh")
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"seed{i}|"), F.col("sh")))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    band_cols = [
-        F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * r + j}") for j in range(r)]).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
-    )
+    stacked = minhash_band_table(docs, id_col, text_col, num_hashes, bands, shingle_n)
     # persist the NARROW banded table (doc_id, band_key -- rows x bands, tiny
     # vs the corpus) BEFORE capping: cap_lsh_buckets runs a bucket-size
     # aggregation AND a join over it, and the self-join adds two more
@@ -336,6 +353,47 @@ def ngram_jaccard_pairs(
         .select("doc_id_l", "doc_id_r", "jaccard")
     )
     return out
+
+
+def jaccard_verify_cross(
+    left_docs: DataFrame,
+    right_docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-shingle Jaccard for candidate pairs ACROSS two tables
+    (candidates: (doc_id_l from left_docs, doc_id_r from right_docs)).
+
+    The two-table twin of ngram_jaccard_pairs, for query-vs-corpus lanes
+    (streaming micro-batch vs static index). Same scale discipline:
+    semi-join prune each side to the ids that actually appear in a
+    candidate pair before paying the shingle build.
+    """
+    def side(docs: DataFrame, key: str) -> DataFrame:
+        ids = candidates.select(F.col(key).alias(id_col)).distinct()
+        return (
+            docs.join(ids, id_col, "left_semi")
+            .select(
+                F.col(id_col).alias(key),
+                tokens_col(F.col(text_col)).alias("__toks"),
+            )
+            .select(key, shingles_from_tokens(F.col("__toks"), shingle_n).alias(f"sh_{key}"))
+        )
+
+    return (
+        candidates.join(side(left_docs, "doc_id_l"), "doc_id_l")
+        .join(side(right_docs, "doc_id_r"), "doc_id_r")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_doc_id_l", "sh_doc_id_r"))
+            / F.size(F.array_union("sh_doc_id_l", "sh_doc_id_r")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_l", "doc_id_r", "jaccard")
+    )
 
 
 # --- SimHash ------------------------------------------------------------------

@@ -182,6 +182,71 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_neardup_match(
+    stream: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+):
+    """Streaming near-duplicate detection against a STATIC corpus index.
+
+    The batch MinHash-LSH lane's streaming twin: each arriving document's
+    band keys (minhash_band_table -- the exact operator the batch self-join
+    uses, so the two lanes cannot drift) are joined against the corpus band
+    table, and candidates are verified with exact cross-table Jaccard.
+    Appends (doc_id_l=query, doc_id_r=corpus, jaccard, epoch) exactly-once.
+
+    SCALE: the corpus band table is computed ONCE and persisted (in
+    production it is the committed index table, not a cache); per
+    micro-batch the work is batch-sized -- band build on the new docs only,
+    a hash join on band_key against the index, and verification on the
+    candidate pairs only. Nothing rescans the corpus text except the
+    semi-join-pruned verify side.
+    """
+    from ala_name_matching_spark.operators.dedup import (
+        jaccard_verify_cross,
+        minhash_band_table,
+    )
+
+    corpus_bands = minhash_band_table(
+        corpus, id_col, text_col, num_hashes, bands, shingle_n
+    ).select(F.col("doc_id").alias("doc_id_r"), "band_key")
+    corpus_bands.persist()
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        q_bands = minhash_band_table(
+            batch_df, id_col, text_col, num_hashes, bands, shingle_n
+        ).select(F.col("doc_id").alias("doc_id_l"), "band_key")
+        cands = (
+            q_bands.join(corpus_bands, "band_key")
+            .select("doc_id_l", "doc_id_r")
+            .distinct()
+        )
+        verified = jaccard_verify_cross(
+            batch_df, corpus, cands, id_col, text_col, shingle_n, threshold
+        )
+        (
+            verified.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_turn_counts(stream: DataFrame, window: str = "5 minutes") -> DataFrame:
     """Watermarked tumbling-window turn counts per role (late data handled).
 

@@ -255,3 +255,51 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert len({r["text_hash"] for r in out}) == 2
     survivors = {r["conv_id"] for r in out}
     assert "C" in survivors and survivors & {"A", "B"} and "D" not in survivors
+
+
+def test_streaming_neardup_match(spark, tmp_path):
+    """Micro-batched docs are near-dup-matched against a static corpus via
+    the SAME minhash_band_table the batch lane uses: the near-copy pairs
+    with its corpus twin above the Jaccard bar, the novel doc matches
+    nothing."""
+    import pandas as pd
+
+    from ala_name_matching_spark.streaming.incremental import streaming_neardup_match
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101],
+                "text": [base, "an entirely unrelated corpus document about invoices due"],
+            }
+        )
+    )
+    src = str(tmp_path / "in_nd")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    base.replace("river", "stream"),  # near-dup of corpus 100
+                    "completely novel text mentioning spark shuffle partitions today ok",
+                ],
+            }
+        )
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "out_nd")
+    q = streaming_neardup_match(
+        stream, corpus, out_path, str(tmp_path / "ckpt_nd"), threshold=0.5
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id_l"], r["doc_id_r"]): r["jaccard"]
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert set(got) == {(1, 100)}
+    assert got[(1, 100)] >= 0.5
