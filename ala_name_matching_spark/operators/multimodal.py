@@ -126,3 +126,45 @@ def frame_sample(media: DataFrame, every_ms: int = 200, fake: bool = False) -> D
 
     vids = media.filter(F.col("kind") == "video")
     return vids.repartition("media_id").mapInPandas(run, schema=schema)
+
+
+def resize_media(
+    media: DataFrame, width: int = 32, height: int = 32, fake: bool = False
+) -> DataFrame:
+    """Resize plumbing for image rows: payload -> resized payload + new dims.
+
+    The pixel work is stubbed like decode_media (no PIL in this container);
+    the fake emits a deterministic pseudo-payload of exactly
+    width*height bytes derived from the source bytes, so downstream
+    size-sensitive logic (batching by byte budget, storage accounting) is
+    real and testable. Output schema mirrors the input media contract with
+    payload/width/height replaced.
+    """
+    schema = "media_id string, kind string, payload binary, width int, height int, mime string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resizing requires PIL-class libraries not present "
+                    "in this environment; pass fake=True for the deterministic stub"
+                )
+            n = width * height
+
+            def fake_resize(p):
+                h = hashlib.blake2b(bytes(p), digest_size=32).digest()
+                return bytearray((h * (n // len(h) + 1))[:n])
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(fake_resize),
+                    "width": width,
+                    "height": height,
+                    "mime": pdf["mime"],
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image")
+    return imgs.repartition("media_id").mapInPandas(run, schema=schema)

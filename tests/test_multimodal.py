@@ -37,3 +37,28 @@ def test_frame_sample(spark):
     vids = media.filter(F.col("kind") == "video").count()
     assert len(rows) == vids * 4  # 1000ms / 250ms
     assert {r["frame_ts_ms"] for r in rows} == {0, 250, 500, 750}
+
+
+def test_resize_media_fake_plumbing(spark):
+    from ala_name_matching_spark.operators.multimodal import resize_media, synth_media
+
+    media = synth_media(spark, n=12)
+    out = resize_media(media, width=8, height=4, fake=True).collect()
+    assert len(out) == 4  # 12 rows, every third is an image
+    for r in out:
+        assert len(r["payload"]) == 8 * 4
+        assert (r["width"], r["height"]) == (8, 4)
+    # determinism: same input -> same resized bytes
+    again = resize_media(media, width=8, height=4, fake=True).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == {
+        r["media_id"]: bytes(r["payload"]) for r in again
+    }
+
+
+def test_resize_media_stub_raises(spark):
+    import pytest as _pytest
+
+    from ala_name_matching_spark.operators.multimodal import resize_media, synth_media
+
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_media(synth_media(spark, n=3), fake=False).collect()
