@@ -257,3 +257,32 @@ def test_neardup_clusters_no_edges(spark):
     )
     assert {r["doc_id"]: r["cluster_rep"] for r in neardup_clusters(d).collect()} == {0: 0, 1: 1, 2: 2}
     assert all(r["keep"] for r in dedup_keep_best(d).collect())
+
+
+# --- property tests (hypothesis): shingle kernel vs a python reference --------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(toks=_words, n=st.integers(min_value=1, max_value=5))
+def test_shingles_match_python_reference(spark, toks, n):
+    """shingles_from_tokens == the obvious python sliding window (distinct,
+    whole-text fallback for short docs) for arbitrary token lists."""
+    from ala_name_matching_spark.operators.dedup import shingle_explode
+
+    text = " ".join(toks)
+    d = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    got = sorted(r["g"] for r in shingle_explode(d, "doc_id", "text", n).collect())
+    # python reference on the SAME normalization: lower + ws-fold + split
+    ref_toks = " ".join(text.lower().split()).split(" ") if text.strip() else [""]
+    if text == "":
+        ref_toks = [""]
+    k = max(len(ref_toks) - (n - 1), 1)
+    expect = sorted({" ".join(ref_toks[i : i + n]) for i in range(k)})
+    assert got == expect
