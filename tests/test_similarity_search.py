@@ -120,3 +120,29 @@ def test_ann_recall_floor_vs_brute_force(spark):
         for r in lsh_topk(emb, q, dim=64, k=5, n_planes=8, n_tables=1, multiprobe=0).collect()
     }
     assert recall > len(low & truth) / len(truth)
+
+
+def test_ivf_index_roundtrip_matches_inmemory(spark, tmp_path):
+    """Persisted-index queries reproduce the in-memory ivf_topk exactly
+    (same centroids -> same lists -> same candidates -> same top-k)."""
+    from ala_name_matching_spark.operators.similarity_search import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+        ivf_train_centroids,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.limit(10)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, n_centroids=8)
+    from_index = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk_from_index(spark, path, queries, k=3, nprobe=3).collect()
+    }
+    cents = ivf_train_centroids(corpus, 8)
+    in_memory = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(corpus, queries, k=3, n_centroids=8, nprobe=3, centroids=cents).collect()
+    }
+    assert from_index == in_memory and len(from_index) == 30
