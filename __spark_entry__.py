@@ -468,6 +468,37 @@ def _q_range_join(spark, sf_dir):
     )
 
 
+def _q_asof_attribution(spark, sf_dir):
+    # As-of join (custom operator Spark lacks): each click attributed to the
+    # user's most recent view at-or-before it. Union + ordered-window form:
+    # ONE shuffle of |L|+|R| rows, no range-join pair blowup (temporal.py).
+    # Oracle is DuckDB's NATIVE ASOF JOIN. lag rounded to whole seconds via
+    # integer micros (engine-exact).
+    from ala_name_matching_spark.operators.temporal import asof_join
+
+    e = _read(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    j = asof_join(
+        clicks, views, on="user_id", payload=["event_id"], tiebreak="event_id"
+    )
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("r_event_id").alias("view_id"),
+        F.when(
+            F.col("r_ts").isNotNull(),
+            F.floor(
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))  # parquet ts is NTZ
+                    - F.unix_micros(F.col("r_ts").cast("timestamp"))
+                )
+                / F.lit(1_000_000)
+            ),
+        ).alias("lag_sec"),
+    )
+
+
 def _q_sessionization(spark, sf_dir):
     # B2 stable-ordering analog: gap-based sessionization via lag + cumsum
     e = _read(spark, sf_dir, "events")
@@ -993,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_election": _q_priority_election,
         "range_join": _q_range_join,
         "sessionization": _q_sessionization,
+        "asof_attribution": _q_asof_attribution,
         "windowed_counts": _q_windowed_counts,
         "soundex_normalize": _q_soundex_normalize,
         "name_complete": _q_name_complete,
@@ -1378,6 +1410,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= o_orderdate
               AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
             GROUP BY o_orderpriority""",
+        "asof_attribution": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), views AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+            )
+            SELECT c.event_id AS click_id, c.user_id,
+                   v.event_id AS view_id,
+                   CASE WHEN v.ts IS NOT NULL
+                        THEN floor((epoch_us(c.ts) - epoch_us(v.ts)) / 1000000.0)::bigint
+                   END AS lag_sec
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND v.ts <= c.ts""",
         "sessionization": """
             WITH g AS (
               SELECT user_id, ts, event_id,

@@ -1,0 +1,49 @@
+"""asof_join semantics: backward-inclusive, per-key, tie-break, tolerance."""
+
+import pandas as pd
+
+from ala_name_matching_spark.operators.temporal import asof_join
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+
+
+def test_asof_basic_and_unmatched(spark):
+    left = _mk(
+        spark,
+        [(1, pd.Timestamp("2024-01-01 00:10"), "l0"),
+         (1, pd.Timestamp("2024-01-01 00:30"), "l1"),
+         (2, pd.Timestamp("2024-01-01 00:05"), "l2")],
+        ["k", "ts", "lv"],
+    )
+    right = _mk(
+        spark,
+        [(1, pd.Timestamp("2024-01-01 00:00"), 10),
+         (1, pd.Timestamp("2024-01-01 00:20"), 11),
+         (2, pd.Timestamp("2024-01-01 00:06"), 12)],  # AFTER l2 -> no match
+        ["k", "ts", "rv"],
+    )
+    out = {r["lv"]: r["r_rv"] for r in asof_join(left, right, on="k").collect()}
+    assert out == {"l0": 10, "l1": 11, "l2": None}
+
+
+def test_asof_equal_ts_inclusive_and_tiebreak(spark):
+    ts = pd.Timestamp("2024-01-01 00:10")
+    left = _mk(spark, [(1, ts, "l0")], ["k", "ts", "lv"])
+    right = _mk(
+        spark,
+        [(1, ts, 7), (1, ts, 9)],  # equal timestamps: max tiebreak wins
+        ["k", "ts", "rv"],
+    )
+    out = asof_join(left, right, on="k", tiebreak="rv").collect()
+    assert out[0]["r_rv"] == 9  # inclusive at equal ts, last under tiebreak
+
+
+def test_asof_tolerance(spark):
+    left = _mk(spark, [(1, pd.Timestamp("2024-01-01 01:00"), "l0")], ["k", "ts", "lv"])
+    right = _mk(spark, [(1, pd.Timestamp("2024-01-01 00:00"), 5)], ["k", "ts", "rv"])
+    ok = asof_join(left, right, on="k", tolerance_us=3600 * 1_000_000).collect()[0]
+    assert ok["r_rv"] == 5
+    stale = asof_join(left, right, on="k", tolerance_us=60 * 1_000_000).collect()[0]
+    assert stale["r_rv"] is None and stale["r_ts"] is None
