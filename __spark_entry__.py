@@ -531,6 +531,16 @@ def _q_windowed_counts(spark, sf_dir):
     )
 
 
+def _q_rollup_cascade(spark, sf_dir):
+    # Hypertable rollup: minute/hour/day continuous aggregates, each coarser
+    # level re-aggregated from the finer one (raw scanned ONCE). Oracle
+    # computes each resolution directly from raw -- proving cascade ==
+    # direct, which is the operator's entire contract.
+    from ala_name_matching_spark.operators.temporal import rollup_cascade
+
+    return rollup_cascade(_read(spark, sf_dir, "events"))
+
+
 def _q_soundex_normalize(spark, sf_dir):
     # F4 -- TaxonNameSoundEx.normalize effective behavior
     from ala_name_matching_spark.functions.normalize import soundex_normalize_col
@@ -1026,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": _q_sessionization,
         "asof_attribution": _q_asof_attribution,
         "windowed_counts": _q_windowed_counts,
+        "rollup_cascade": _q_rollup_cascade,
         "soundex_normalize": _q_soundex_normalize,
         "name_complete": _q_name_complete,
         "homonym_probe": _q_homonym_probe,
@@ -1410,6 +1421,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= o_orderdate
               AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
             GROUP BY o_orderpriority""",
+        "rollup_cascade": " UNION ALL ".join(
+            f"""
+            SELECT '{res}' AS resolution,
+                   date_trunc('{res}', ts) AS bucket_start, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2, 3"""
+            for res in ["minute", "hour", "day"]
+        ),
         "asof_attribution": """
             WITH clicks AS (
               SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'

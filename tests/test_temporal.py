@@ -47,3 +47,26 @@ def test_asof_tolerance(spark):
     assert ok["r_rv"] == 5
     stale = asof_join(left, right, on="k", tolerance_us=60 * 1_000_000).collect()[0]
     assert stale["r_rv"] is None and stale["r_ts"] is None
+
+
+def test_rollup_cascade_matches_direct(spark):
+    """Cascade (hour from minute, day from hour) == direct per-resolution
+    GROUP BYs over raw -- the re-aggregability contract."""
+    from pyspark.sql import functions as F
+
+    from ala_name_matching_spark.operators.temporal import rollup_cascade
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["resolution"], r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in rollup_cascade(e).collect()
+    }
+    for res in ["minute", "hour", "day"]:
+        direct = {
+            (res, r["b"], r["event_type"]): (r["n"], r["sv"])
+            for r in e.groupBy(F.date_trunc(res, "ts").alias("b"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+            .collect()
+        }
+        sub = {k: v for k, v in got.items() if k[0] == res}
+        assert sub == direct
