@@ -278,6 +278,20 @@ def _q_neardup_cluster_sizes(spark, sf_dir):
     )
 
 
+def _q_heavy_hitter_tokens(spark, sf_dir):
+    # Misra-Gries sketch-then-verify: tokens with frequency > 0.5% of the
+    # corpus, EXACT via the mergeable-summary guarantee + a candidate-only
+    # verify pass (no full-vocabulary shuffle). Oracle: plain GROUP
+    # BY/HAVING -- the sketch's exactness contract makes it hash-matchable.
+    from ala_name_matching_spark.operators.sketches import heavy_hitters
+    from ala_name_matching_spark.operators.text_analysis import _tokens
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", phi=0.005)
+
+
 def _q_profile_documents(spark, sf_dir):
     # Deequ-style column profile: per-column n/null/distinct/min/max in one
     # single-row aggregate pass, unpivoted via stack (no driver loop).
@@ -1019,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "unigram_logprob": _q_unigram_logprob,
         "profile_documents": _q_profile_documents,
+        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "length_stats_by_lang": _q_length_stats_by_lang,
         "neardup_cluster_sizes": _q_neardup_cluster_sizes,
         "benchmark_contamination": _q_benchmark_contamination,
@@ -1421,6 +1436,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= o_orderdate
               AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
             GROUP BY o_orderpriority""",
+        "heavy_hitter_tokens": f"""
+            WITH toks AS (
+              SELECT unnest({_TOKS}) AS item FROM documents),
+            n AS (SELECT count(*) AS total FROM toks)
+            SELECT item, count(*) AS exact_count
+            FROM toks, n GROUP BY item, n.total
+            HAVING count(*) > 0.005 * n.total""",
         "rollup_cascade": " UNION ALL ".join(
             f"""
             SELECT '{res}' AS resolution,
