@@ -545,6 +545,15 @@ def _q_windowed_counts(spark, sf_dir):
     )
 
 
+def _q_scd2_user_versions(spark, sf_dir):
+    # SCD type-2: each user's event stream as versioned rows with
+    # [effective_from, effective_to) validity. One lead() window per key.
+    from ala_name_matching_spark.operators.temporal import scd2_intervals
+
+    e = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return scd2_intervals(e, key_cols="user_id", tiebreak="event_id")
+
+
 def _q_rollup_cascade(spark, sf_dir):
     # Hypertable rollup: minute/hour/day continuous aggregates, each coarser
     # level re-aggregated from the finer one (raw scanned ONCE). Oracle
@@ -1052,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": _q_asof_attribution,
         "windowed_counts": _q_windowed_counts,
         "rollup_cascade": _q_rollup_cascade,
+        "scd2_user_versions": _q_scd2_user_versions,
         "soundex_normalize": _q_soundex_normalize,
         "name_complete": _q_name_complete,
         "homonym_probe": _q_homonym_probe,
@@ -1436,6 +1446,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= o_orderdate
               AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
             GROUP BY o_orderpriority""",
+        "scd2_user_versions": """
+            SELECT user_id, event_id, event_type,
+                   ts AS effective_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS effective_to,
+                   (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL) AS is_current
+            FROM events""",
         "heavy_hitter_tokens": f"""
             WITH toks AS (
               SELECT unnest({_TOKS}) AS item FROM documents),

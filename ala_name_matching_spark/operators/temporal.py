@@ -157,3 +157,37 @@ def rollup_cascade(
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_cols: list[str] | str = "user_id",
+    ts_col: str = "ts",
+    attr_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: a change log -> versioned rows with
+    [effective_from, effective_to) validity intervals (effective_to null on
+    the current version). The other half of point-in-time correctness:
+    asof_join answers "which version was live at t", this builds the
+    versions themselves.
+
+    One window per key (lead over (ts, tiebreak)) -- a single shuffle on
+    the key, no self-join. Consecutive changes with identical attributes
+    are NOT collapsed (the log's grain is preserved); pre-dedupe upstream
+    if idempotent writes should merge.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if attr_cols is None:
+        attr_cols = [
+            c for c in changes.columns if c not in key_cols + [ts_col]
+        ]
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return changes.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("effective_from"),
+        F.lead(ts_col).over(w).alias("effective_to"),
+        (F.lead(ts_col).over(w).isNull()).alias("is_current"),
+    )

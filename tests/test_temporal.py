@@ -70,3 +70,29 @@ def test_rollup_cascade_matches_direct(spark):
         }
         sub = {k: v for k, v in got.items() if k[0] == res}
         assert sub == direct
+
+
+def test_scd2_intervals_contiguous(spark):
+    """Versions tile the timeline per key: from < to, next.from == prev.to,
+    exactly one current row per key."""
+    from collections import defaultdict
+
+    from ala_name_matching_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (1, pd.Timestamp("2024-01-01"), "a"),
+        (1, pd.Timestamp("2024-02-01"), "b"),
+        (1, pd.Timestamp("2024-03-01"), "c"),
+        (2, pd.Timestamp("2024-01-15"), "x"),
+    ]
+    df = _mk(spark, rows, ["k", "ts", "attr"])
+    out = scd2_intervals(df, key_cols="k").collect()
+    by_key = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["k"], r["effective_from"])):
+        by_key[r["k"]].append(r)
+    assert [r["attr"] for r in by_key[1]] == ["a", "b", "c"]
+    for versions in by_key.values():
+        assert sum(r["is_current"] for r in versions) == 1
+        assert versions[-1]["effective_to"] is None
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev["effective_to"] == nxt["effective_from"]
