@@ -74,6 +74,9 @@ def main():
         "cross_doc_dup_ngrams",
         "unigram_logprob",
         "mixture_weights",
+        "asof_attribution",
+        "rollup_cascade",
+        "heavy_hitter_tokens",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
