@@ -5,9 +5,10 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 52 of 57 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 65 of 70 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
-                  re-implementation for the phonetic blocking key); the 5
+                  re-implementation for the phonetic blocking key and an
+                  unrolled-CTE replay of the SemDeDup k-means loop); the 5
                   rows-only remainders are genuinely non-SQL (er_clusters:
                   fuzzy CC, gated by the pairwise-F1 test; simhash: blake2b
                   kernel, parity-tested vs scalar; ann_lsh_topk /
@@ -767,6 +768,29 @@ def _q_embedding_neardups_lsh(spark, sf_dir):
     return embedding_near_duplicates(base.unionByName(scaled), threshold=0.95)
 
 
+def _q_semdedup_prune(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023): k-means over embeddings, near-dup prune
+    # confined to within-cluster pairs. Deterministic end to end (lowest-id
+    # init, 6-dp rounding anchors, argmax tie-break to lower cluster_id) so
+    # the whole 2-iteration Lloyd loop + prune replays as unrolled DuckDB
+    # CTEs. Near-dups are planted as scaled copies (vec_id + 1000000,
+    # v * 1.001) -- colinear, so base and copy share a cluster by
+    # construction and every copy must be pruned (keep = false).
+    from ala_name_matching_spark.operators.semdedup import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    scaled = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.001).alias("embedding"),
+    )
+    return semdedup(
+        base.unionByName(scaled), n_clusters=8, iters=2, threshold=0.95, dim=64
+    )
+
+
 def _q_issue_flags(spark, sf_dir):
     # F10 -- marker/issue detection (?/cf./aff./spp. analogs). Marker-bearing
     # texts are constructed deterministically from doc_id so all flag paths
@@ -1075,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "cosine_neardups_exact": _q_cosine_neardups_exact,
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
+        "semdedup_prune": _q_semdedup_prune,
         "issue_flags": _q_issue_flags,
         "phrase_parse": _q_phrase_parse,
         "phrase_join": _q_phrase_join,
@@ -1116,6 +1141,22 @@ _CANON = (
 )
 _BK = "lower(split_part(text, ' ', 1)) || '|' || lower(split_part(text, ' ', 2))"
 _TOKS = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+
+def _semdedup_oracle() -> str:
+    # the same planted-copy union as _q_semdedup_prune, replayed through the
+    # generated 2-iteration unrolled-Lloyd SQL
+    from ala_name_matching_spark.operators.semdedup import semdedup_oracle_sql
+
+    aug = (
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings"
+        " UNION ALL SELECT vec_id + 1000000,"
+        " list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)"
+        " FROM embeddings)"
+    )
+    return semdedup_oracle_sql(
+        n_clusters=8, iters=2, threshold=0.95, dim=64, table=aug
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1585,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((cum - 1) / 64) AS BIGINT) AS seq_end,
                    floor((cum - n_tokens) / 64) != floor((cum - 1) / 64) AS spans_boundary
             FROM c""",
+        "semdedup_prune": _semdedup_oracle(),
         "embedding_neardups_lsh": """
             WITH aug AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
