@@ -791,6 +791,21 @@ def _q_semdedup_prune(spark, sf_dir):
     )
 
 
+def _q_prefix_containment(spark, sf_dir):
+    # sort-based strict-prefix containment (truncated re-crawl class).
+    # Planted: every doc gets a half-length twin (doc_id + 2000000), which
+    # must flag contained=true; the word-salad originals have no organic
+    # prefix relations, so the expected split is exact.
+    from ala_name_matching_spark.operators.dedup import prefix_containment_flags
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    halves = d.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(length(text)/2) as int))").alias("text"),
+    )
+    return prefix_containment_flags(d.unionByName(halves))
+
+
 def _q_issue_flags(spark, sf_dir):
     # F10 -- marker/issue detection (?/cf./aff./spp. analogs). Marker-bearing
     # texts are constructed deterministically from doc_id so all flag paths
@@ -1100,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardups_exact": _q_cosine_neardups_exact,
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "semdedup_prune": _q_semdedup_prune,
+        "prefix_containment": _q_prefix_containment,
         "issue_flags": _q_issue_flags,
         "phrase_parse": _q_phrase_parse,
         "phrase_join": _q_phrase_join,
@@ -1627,6 +1643,19 @@ def oracle_sql() -> dict[str, str]:
                    floor((cum - n_tokens) / 64) != floor((cum - 1) / 64) AS spans_boundary
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
+        "prefix_containment": """
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000,
+                     substr(text, 1, CAST(floor(length(text) / 2) AS INT))
+              FROM documents),
+            t AS (SELECT DISTINCT text AS _t FROM aug),
+            s AS (SELECT _t, lead(_t) OVER (ORDER BY _t) AS nxt FROM t),
+            c AS (SELECT _t FROM s
+                  WHERE nxt IS NOT NULL AND starts_with(nxt, _t))
+            SELECT a.doc_id, (c._t IS NOT NULL) AS contained
+            FROM aug a LEFT JOIN c ON a.text = c._t""",
         "embedding_neardups_lsh": """
             WITH aug AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

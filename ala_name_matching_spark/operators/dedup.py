@@ -18,7 +18,7 @@ free-text corpora. Scale notes per function.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -713,4 +713,65 @@ def dedup_keep_best(
             "quality",
             (F.col("doc_id") == F.col("b.best_id")).alias("keep"),
         )
+    )
+
+
+# --- Prefix-containment dedup (sort-based, zero pair blowup) -------------------
+
+def prefix_containment_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_len: int = 16,
+) -> DataFrame:
+    """(id, contained) -- contained=true iff the doc's text is a STRICT
+    prefix of some other doc's text (truncated re-crawls, cut-off mirrors:
+    the containment class exact dedup misses because the hashes differ).
+
+    Sort-based, no candidate pairs anywhere. Identity: in a set of
+    DISTINCT strings under lexicographic (byte) order, `a` is a prefix of
+    SOME member iff it is a prefix of its immediate successor -- any
+    string between `a` and a superstring `b` must itself start with `a`
+    (were it to diverge from `a` at position i < len(a), it would order
+    after `b`). So one distinct + one ordered window replaces the
+    quadratic substring join.
+
+    Scale shape: texts >= `bucket_len` chars are windowed PARTITIONED BY
+    their `bucket_len`-char prefix -- a superstring shares the bucket by
+    construction and the identity holds within the bucket (the bucket is
+    an order-contiguous slice of the distinct set), so no single-partition
+    global sort ever happens. Texts shorter than `bucket_len` (a corpus
+    rarity) take a broadcast probe against the corpus instead. At scale,
+    join the flags back on xxhash64(text) rather than the raw text to
+    keep the shuffle key narrow; the oracle-parity version joins on text.
+    """
+    t = docs.select(F.col(text_col).alias("_t")).distinct()
+    long_side = (
+        t.filter(F.length("_t") >= bucket_len)
+        .withColumn("_bkt", F.substring("_t", 1, bucket_len))
+    )
+    w = Window.partitionBy("_bkt").orderBy("_t")
+    contained_long = (
+        long_side.withColumn("_nxt", F.lead("_t").over(w))
+        .filter(F.col("_nxt").isNotNull() & F.col("_nxt").startswith(F.col("_t")))
+        .select("_t")
+    )
+    shorts = t.filter(F.length("_t") < bucket_len)
+    contained_short = (
+        t.alias("all")
+        .join(
+            F.broadcast(shorts.select(F.col("_t").alias("_s"))),
+            F.col("all._t").startswith(F.col("_s")) & (F.col("all._t") != F.col("_s")),
+        )
+        .select(F.col("_s").alias("_t"))
+        .distinct()
+    )
+    contained = contained_long.unionByName(contained_short).distinct().withColumn(
+        "_c", F.lit(True)
+    )
+    return docs.join(
+        contained, docs[text_col] == contained["_t"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("_c"), F.lit(False)).alias("contained"),
     )
