@@ -806,6 +806,22 @@ def _q_prefix_containment(spark, sf_dir):
     return prefix_containment_flags(d.unionByName(halves))
 
 
+def _q_bm25_topk(spark, sf_dir):
+    # Lucene-replacement lane: inverted postings + BM25 ranked retrieval
+    # (Lucene's default similarity since v6 -- the scoring the reference's
+    # searchers actually run). Queries synthesized from every 25th doc's
+    # first three tokens; rank on the 6-dp-rounded score, tie-break doc_id.
+    from ala_name_matching_spark.operators.dedup import tokens_col
+    from ala_name_matching_spark.operators.retrieval import bm25_topk
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    q = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens_col(F.col("text")), 1, 3), " ").alias("qtext"),
+    )
+    return bm25_topk(d, q, k=5)
+
+
 def _q_issue_flags(spark, sf_dir):
     # F10 -- marker/issue detection (?/cf./aff./spp. analogs). Marker-bearing
     # texts are constructed deterministically from doc_id so all flag paths
@@ -1116,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "semdedup_prune": _q_semdedup_prune,
         "prefix_containment": _q_prefix_containment,
+        "bm25_topk": _q_bm25_topk,
         "issue_flags": _q_issue_flags,
         "phrase_parse": _q_phrase_parse,
         "phrase_join": _q_phrase_join,
@@ -1643,6 +1660,39 @@ def oracle_sql() -> dict[str, str]:
                    floor((cum - n_tokens) / 64) != floor((cum - 1) / 64) AS spans_boundary
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
+        "bm25_topk": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            posts AS (
+              SELECT doc_id, u.term, count(*) AS tf
+              FROM toks, unnest(t) AS u(term)
+              WHERE u.term <> '' GROUP BY doc_id, u.term),
+            dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+            ncnt AS (SELECT count(*) AS n FROM documents),
+            stats AS (SELECT avg(dl) AS avgdl FROM dl),
+            dft AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+            qterms AS (
+              SELECT doc_id AS query_id, u.term
+              FROM toks, unnest(list_distinct(t[1:3])) AS u(term)
+              WHERE doc_id % 25 = 0 AND u.term <> ''),
+            scored AS (
+              SELECT q.query_id, p.doc_id,
+                     round(sum(
+                       ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5)) *
+                       p.tf * (1.2 + 1) /
+                       (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+                     ), 6) AS score
+              FROM posts p
+              JOIN qterms q USING (term)
+              JOIN dft d USING (term)
+              JOIN dl l ON p.doc_id = l.doc_id
+              CROSS JOIN ncnt n CROSS JOIN stats s
+              GROUP BY q.query_id, p.doc_id)
+            SELECT query_id, doc_id, score, rank FROM (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rank
+              FROM scored) WHERE rank <= 5""",
         "prefix_containment": """
             WITH aug AS (
               SELECT doc_id, text FROM documents

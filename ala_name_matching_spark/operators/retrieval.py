@@ -1,0 +1,135 @@
+"""Ranked retrieval: inverted postings index + BM25 scoring, DataFrame-native.
+
+This is the Spark-first replacement for the reference's core capability --
+ala-name-matching IS a Lucene search engine (ALANameSearcher wraps four
+Lucene directories; every match mode bottoms out in TermQuery scoring,
+`ALANameSearcher.java` searchers over the cb/irmng/vernacular indexes),
+and Lucene's default similarity has been BM25 since Lucene 6. Rather than
+porting an index file format, the index IS a table:
+
+  postings(term, doc_id, tf)   one explode + groupBy -- partial-aggregated,
+                               shuffle linear in corpus tokens
+  doclen(doc_id, dl)           one narrow projection
+  stats(n_docs, avgdl)         two scalars
+
+and a query is a broadcast equi-join on `term` + one groupBy(query, doc)
+sum + per-query top-k window. At 100 TB: the postings build shuffles each
+token once (the same cost class as the MinHash signature build); queries
+never touch the corpus text again -- the scan is postings-only, pruned to
+the queried terms by the broadcast hash join (a few rows per term). Skewed
+terms (stopwords) are the hot-block analog: drop them by df ceiling
+(`max_df_ratio`) exactly as Lucene users do, which also bounds per-term
+posting lists.
+
+Scoring is the Lucene/Robertson BM25 form:
+  idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+  score(q, d) = sum_t idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+Determinism contract for the cross-engine oracle: scores are rounded to
+6 dp BEFORE ranking, ties break on doc_id -- so Spark and DuckDB rank
+identical values identically regardless of float-summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ala_name_matching_spark.operators.dedup import tokens_col
+
+K1 = 1.2
+B = 0.75
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """(term, doc_id, tf) postings. Tokens staged in their own projection
+    (see shingles_from_tokens PERF note) then exploded once; tf via one
+    partial-aggregated groupBy. `max_df_ratio` drops terms appearing in
+    more than that fraction of docs (stopword/hot-list cap)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    posts = (
+        toks.select("doc_id", F.explode_outer("toks").alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    if max_df_ratio is not None:
+        n_docs = docs.count()
+        df_t = posts.groupBy("term").agg(F.count("*").alias("df"))
+        keep = df_t.filter(F.col("df") <= max_df_ratio * n_docs).select("term")
+        posts = posts.join(F.broadcast(keep), "term")
+    return posts
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl) -- token count per doc, same kernel as the postings."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).alias("dl"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Top-k BM25 docs per query: (query_id, doc_id, score, rank).
+
+    Query terms are DISTINCT per query (Lucene BooleanQuery of unique
+    TermQueries -- the reference's searcher builds exactly that shape,
+    one clause per field token). The query side is broadcast; the corpus
+    side is postings-only. Rank on the 6-dp-rounded score, tie-break
+    doc_id ascending (A2 tie-break discipline).
+    """
+    posts = build_postings(docs, id_col, text_col)
+    dl = doc_lengths(docs, id_col, text_col)
+    n_docs = docs.count()
+    stats = dl.agg(F.avg("dl").alias("avgdl")).first()
+    avgdl = float(stats["avgdl"])
+
+    df_t = posts.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(tokens_col(F.col(query_text_col)))).alias(
+                "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    # df stats restricted to the queried terms BEFORE broadcasting -- the
+    # corpus-wide term dictionary never leaves the executors
+    df_q = df_t.join(F.broadcast(qterms.select("term").distinct()), "term")
+    scored = (
+        posts.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_q), "term")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
