@@ -822,6 +822,12 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5)
 
 
+def _q_char_entropy(spark, sf_dir):
+    from ala_name_matching_spark.operators.text_analysis import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _q_issue_flags(spark, sf_dir):
     # F10 -- marker/issue detection (?/cf./aff./spp. analogs). Marker-bearing
     # texts are constructed deterministically from doc_id so all flag paths
@@ -1133,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": _q_semdedup_prune,
         "prefix_containment": _q_prefix_containment,
         "bm25_topk": _q_bm25_topk,
+        "char_entropy": _q_char_entropy,
         "issue_flags": _q_issue_flags,
         "phrase_parse": _q_phrase_parse,
         "phrase_join": _q_phrase_join,
@@ -1660,6 +1667,16 @@ def oracle_sql() -> dict[str, str]:
                    floor((cum - n_tokens) / 64) != floor((cum - 1) / 64) AS spans_boundary
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
+        "char_entropy": """
+            WITH chars AS (
+              SELECT doc_id, length(text) AS n, substr(text, i.i, 1) AS ch
+              FROM documents, unnest(generate_series(1, length(text))) AS i(i)
+              WHERE length(text) > 0),
+            counts AS (
+              SELECT doc_id, n, ch, count(*) AS c
+              FROM chars GROUP BY doc_id, n, ch)
+            SELECT doc_id, round(-sum((c / n) * ln(c / n)), 6) AS char_entropy
+            FROM counts GROUP BY doc_id, n""",
         "bm25_topk": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             posts AS (

@@ -394,3 +394,40 @@ def fingerprint_col(text: Column) -> Column:
     """
     toks = F.array_sort(F.array_distinct(_tokens(text)))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, char_entropy) -- Shannon entropy (nats) of the character
+    distribution per doc. Low entropy flags degenerate/repetitive text
+    (keyboard mashing, padding runs) that token-level quality rules miss;
+    the standard cheap stand-in for compression-ratio filtering when no
+    codec is in the loop.
+
+    Pure built-ins: chars via sequence+substr (explodes len(text) narrow
+    rows -- the same cost class as the token/shingle explodes; the count
+    aggregation is partial, so the exchange carries (doc, char) partial
+    counts, not raw chars). Entropy is assembled from exact integer counts,
+    rounded to 6 dp for cross-engine determinism.
+    """
+    t = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    chars = t.select(
+        "_id",
+        "_n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n")),
+                lambda i: F.col("_t").substr(i, F.lit(1)),
+            )
+        ).alias("_ch"),
+    )
+    counts = chars.groupBy("_id", "_n", "_ch").agg(F.count("*").alias("_c"))
+    p = F.col("_c") / F.col("_n")
+    return counts.groupBy("_id", "_n").agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy")
+    ).select(F.col("_id").alias(id_col), "char_entropy")

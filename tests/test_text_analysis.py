@@ -204,3 +204,19 @@ def test_unigram_logprob_hand_math(spark):
     )
     out2 = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(d2).collect()}
     assert out2[1] < out2[0]
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from ala_name_matching_spark.operators.text_analysis import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "aabb"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["char_entropy"] for r in char_entropy(docs).collect()}
+    assert got[1] == 0.0                       # single repeated char
+    assert got[2] == round(math.log(4), 6)     # uniform over 4 chars
+    assert got[3] == round(math.log(2), 6)     # two chars, equal mass
+    assert 4 not in got                        # empty text filtered
