@@ -5,17 +5,19 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 65 of 70 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 68 of 74 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
-                  unrolled-CTE replay of the SemDeDup k-means loop); the 5
+                  unrolled-CTE replay of the SemDeDup k-means loop); the 6
                   rows-only remainders are genuinely non-SQL (er_clusters:
                   fuzzy CC, gated by the pairwise-F1 test; simhash: blake2b
                   kernel, parity-tested vs scalar; ann_lsh_topk /
                   ann_ivf_topk: approximate by design, recall-floor-gated
                   vs cosine_topk in tests -- IVF at nprobe=all additionally
                   asserted equal to brute force;
-                  spelling_collision_qa: F6 kernel, golden-tested).
+                  spelling_collision_qa: F6 kernel, golden-tested;
+                  double_metaphone_keys: branchy automaton, classic golden
+                  vectors).
 
 Column names are aliased identically on both sides; floats are rounded on
 both sides to survive value-hash comparison.
@@ -822,6 +824,27 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5)
 
 
+def _q_double_metaphone_keys(spark, sf_dir):
+    # rows-only: the DM automaton is a branchy per-word state machine with
+    # no SQL analog; behavior is pinned by the golden vectors in
+    # tests/test_double_metaphone.py (classic published pairs). Keys over
+    # the first token of each doc -- the union-of-two-keys blocking column
+    # (primary + alternate) a person-name tier would explode on.
+    from ala_name_matching_spark.functions.double_metaphone import (
+        double_metaphone_udf,
+    )
+    from ala_name_matching_spark.operators.dedup import tokens_col
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.element_at(tokens_col(F.col("text")), 1).alias("word")
+    )
+    return d.select(
+        "doc_id",
+        "word",
+        double_metaphone_udf(F.col("word")).alias("dm"),
+    ).select("doc_id", "word", "dm.primary", "dm.alternate")
+
+
 def _q_char_entropy(spark, sf_dir):
     from ala_name_matching_spark.operators.text_analysis import char_entropy
 
@@ -1162,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "spelling_collision_qa": _q_spelling_collision_qa,
+        "double_metaphone_keys": _q_double_metaphone_keys,
     }
 
 

@@ -1,0 +1,89 @@
+"""Double Metaphone goldens: functions/double_metaphone.py.
+
+Hand-derived encodings for the classic vectors published with the
+algorithm (Philips, CUJ 2000) plus cross-spelling match properties --
+the behavior the alternate key exists for.
+"""
+
+from ala_name_matching_spark.functions.double_metaphone import (
+    double_metaphone,
+    double_metaphone_udf,
+)
+
+GOLDENS = {
+    # the canonical demonstration pair: SMITH/SCHMIDT overlap on XMT
+    "smith": ("SM0", "XMT"),
+    "smyth": ("SM0", "XMT"),
+    "schmidt": ("XMT", "SMT"),
+    "johnson": ("JNSN", "ANSN"),
+    "williams": ("ALMS", "FLMS"),
+    "thomas": ("TMS", "TMS"),
+    "catherine": ("K0RN", "KTRN"),
+    "katherine": ("K0RN", "KTRN"),
+    "jose": ("HS", "HS"),
+    "xavier": ("SF", "SFR"),
+    "wasserman": ("ASRM", "FSRM"),
+    "vasserman": ("FSRM", "FSRM"),
+    "filipowicz": ("FLPT", "FLPF"),
+    "school": ("SKL", "SKL"),
+    "sugar": ("XKR", "SKR"),
+    "island": ("ALNT", "ALNT"),
+    "ghost": ("KST", "KST"),
+    "edge": ("AJ", "AJ"),
+    "edgar": ("ATKR", "ATKR"),
+    "thumb": ("0M", "TM"),
+    "cabrillo": ("KPRL", "KPR"),
+    "caesar": ("SSR", "SSR"),
+    "michael": ("MKL", "MXL"),
+    "orchestra": ("ARKS", "ARKS"),
+    "accident": ("AKST", "AKST"),
+    "knight": ("NT", "NT"),
+    "pneumonia": ("NMN", "NMN"),
+    "wrestle": ("RSTL", "RSTL"),
+    "psalm": ("SLM", "SLM"),
+    "gnome": ("NM", "NM"),
+    "zhao": ("J", "J"),
+    "laugh": ("LF", "LF"),
+    "breaux": ("PR", "PR"),
+}
+
+
+def test_goldens():
+    for word, expected in GOLDENS.items():
+        assert double_metaphone(word) == expected, word
+
+
+def test_cross_spelling_blocking_property():
+    # the alternate key is the second-chance bucket: these spellings must
+    # share at least one of the two keys (union-of-keys blocking)
+    pairs = [
+        ("smith", "schmidt"),
+        ("catherine", "katherine"),
+        ("wasserman", "vasserman"),
+        ("smith", "smyth"),
+    ]
+    for a, b in pairs:
+        ka, kb = set(double_metaphone(a)), set(double_metaphone(b))
+        assert ka & kb, (a, b, ka, kb)
+
+
+def test_shape_invariants():
+    for w in GOLDENS:
+        p, a = double_metaphone(w)
+        assert len(p) <= 4 and len(a) <= 4
+        assert p == p.upper() and a == a.upper()
+    assert double_metaphone("") == ("", "")
+    assert double_metaphone(None) is None
+
+
+def test_udf_struct_output(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("smith",), ("schmidt",), (None,)], "word string"
+    )
+    out = df.select("word", double_metaphone_udf(F.col("word")).alias("k")).collect()
+    got = {r["word"]: r["k"] for r in out}
+    assert tuple(got["smith"]) == ("SM0", "XMT")
+    assert tuple(got["schmidt"]) == ("XMT", "SMT")
+    assert got[None]["primary"] is None and got[None]["alternate"] is None
