@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 68 of 74 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 69 of 75 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
                   unrolled-CTE replay of the SemDeDup k-means loop); the 6
@@ -845,6 +845,35 @@ def _q_double_metaphone_keys(spark, sf_dir):
     ).select("doc_id", "word", "dm.primary", "dm.alternate")
 
 
+def _q_fuzzy_bm25_topk(spark, sf_dir):
+    # Taxamatch-style fuzzy ranked retrieval: BM25 where BOTH sides pass
+    # through the treatWord phonetic analyzer (Lucene analyzer-symmetry).
+    # Queries are the first 3 tokens of every 25th doc with planted
+    # phonetic-class misspellings (e->i, o->a on non-initial chars --
+    # exactly the vowel folds treatWord collapses), so the fuzzy lane must
+    # rank the source doc while an exact-term search would miss the
+    # corrupted terms entirely. Oracle composes the independent DuckDB
+    # treat_word chain with the BM25 SQL.
+    from ala_name_matching_spark.functions.phonetic import phonetic_tokens_udf
+    from ala_name_matching_spark.operators.dedup import tokens_col
+    from ala_name_matching_spark.operators.retrieval import bm25_topk
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks3 = F.slice(tokens_col(F.col("text")), 1, 3)
+    corrupted = F.transform(
+        toks3,
+        lambda w: F.concat(
+            w.substr(F.lit(1), F.lit(1)),
+            F.translate(w.substr(F.lit(2), F.length(w)), "eo", "ia"),
+        ),
+    )
+    q = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(corrupted, " ").alias("qtext"),
+    )
+    return bm25_topk(d, q, k=5, analyzer=phonetic_tokens_udf)
+
+
 def _q_char_entropy(spark, sf_dir):
     from ala_name_matching_spark.operators.text_analysis import char_entropy
 
@@ -1162,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": _q_semdedup_prune,
         "prefix_containment": _q_prefix_containment,
         "bm25_topk": _q_bm25_topk,
+        "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
         "char_entropy": _q_char_entropy,
         "issue_flags": _q_issue_flags,
         "phrase_parse": _q_phrase_parse,
@@ -1221,6 +1251,49 @@ def _semdedup_oracle() -> str:
     return semdedup_oracle_sql(
         n_clusters=8, iters=2, threshold=0.95, dim=64, table=aug
     )
+
+
+def _fuzzy_bm25_oracle() -> str:
+    # corpus + corrupted-query sides both pass through the independent
+    # DuckDB treat_word chain (prefixes c/q), then the standard BM25 SQL
+    qsrc = (
+        "(SELECT doc_id, array_to_string(list_transform("
+        + _TOKS
+        + "[1:3], w -> w[1] || translate(w[2:], 'eo', 'ia')), ' ') AS text"
+        " FROM documents WHERE doc_id % 25 = 0)"
+    )
+    return f"""
+        WITH {_treated_tokens_ctes("documents", "c")},
+        {_treated_tokens_ctes(qsrc, "q")},
+        posts AS (
+          SELECT doc_id, u.term, count(*) AS tf
+          FROM cs4, unnest(treated) AS u(term) GROUP BY doc_id, u.term),
+        dl AS (SELECT doc_id, len(treated) AS dl FROM cs4),
+        ncnt AS (SELECT count(*) AS n FROM cs4),
+        stats AS (SELECT avg(dl) AS avgdl FROM dl),
+        dft AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+        qterms AS (
+          SELECT doc_id AS query_id, u.term
+          FROM qs4, unnest(list_distinct(treated)) AS u(term)),
+        scored AS (
+          SELECT q.query_id, p.doc_id,
+                 round(sum(
+                   ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5)) *
+                   p.tf * (1.2 + 1) /
+                   (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+                 ), 6) AS score
+          FROM posts p
+          JOIN qterms q USING (term)
+          JOIN dft d USING (term)
+          JOIN dl l ON p.doc_id = l.doc_id
+          CROSS JOIN ncnt n CROSS JOIN stats s
+          GROUP BY q.query_id, p.doc_id)
+        SELECT query_id, doc_id, score, rank FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rank
+          FROM scored) WHERE rank <= 5"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1691,6 +1764,7 @@ def oracle_sql() -> dict[str, str]:
                    floor((cum - n_tokens) / 64) != floor((cum - 1) / 64) AS spans_boundary
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
+        "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
         "char_entropy": """
             WITH chars AS (
               SELECT doc_id, length(text) AS n, substr(text, i.i, 1) AS ch
@@ -2115,7 +2189,11 @@ def oracle_sql() -> dict[str, str]:
 # the engine's fuzzy BLOCKING KEY itself into an oracle-checked artifact.
 
 
-def _phonetic_key_sql() -> str:
+def _treated_tokens_ctes(src: str = "documents", p: str = "") -> str:
+    """CTE chain `{p}t .. {p}s4` producing (doc_id, text, treated) -- the
+    per-token treat_word pipeline, reusable by any oracle that needs the
+    phonetic term stream (compound key s5, fuzzy BM25 postings). `src` may
+    be a table name or a parenthesized subquery with (doc_id, text)."""
     acc_from = "ÁÉÍÓÚÀÈÌÒÙÂÊÎÔÛÄËÏÖÜÃÑÕÅÇØ"
     acc_to = "AEIOUAEIOUAEIOUAEIOUANOACO"
     # TaxonNameSoundEx.normalize (phonetic.soundex_normalize)
@@ -2151,26 +2229,33 @@ def _phonetic_key_sql() -> str:
         "THEN acc ELSE acc || c END)"
     )
     return f"""
-        WITH t AS (
+        {p}t AS (
           SELECT doc_id, text,
                  list_filter(string_split_regex(replace(text, '.', ' '), '\\s+'),
                              x -> x <> '')[1:64] AS raw
-          FROM documents
-        ), s1 AS (
+          FROM {src}
+        ), {p}s1 AS (
           SELECT doc_id, text,
                  list_filter(list_transform(raw, w -> {norm}),
                              n -> n IS NOT NULL) AS norms
-          FROM t
-        ), s2 AS (
-          SELECT doc_id, text, list_transform(norms, n -> {lead}) AS led FROM s1
-        ), s3 AS (
-          SELECT doc_id, text, list_transform(led, ld -> {temp}) AS tmps FROM s2
-        ), s4 AS (
+          FROM {p}t
+        ), {p}s2 AS (
+          SELECT doc_id, text, list_transform(norms, n -> {lead}) AS led
+          FROM {p}s1
+        ), {p}s3 AS (
+          SELECT doc_id, text, list_transform(led, ld -> {temp}) AS tmps
+          FROM {p}s2
+        ), {p}s4 AS (
           SELECT doc_id, text,
                  list_filter(list_transform(tmps, tmp -> {squeeze}),
                              k -> k <> '') AS treated
-          FROM s3
-        ), s5 AS (
+          FROM {p}s3
+        )"""
+
+
+def _phonetic_key_sql() -> str:
+    return f"""
+        WITH {_treated_tokens_ctes()}, s5 AS (
           SELECT doc_id, text, treated,
                  CASE WHEN len(treated) = 0 THEN NULL ELSE
                    [treated[1]] ||

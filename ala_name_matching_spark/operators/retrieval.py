@@ -40,19 +40,27 @@ from ala_name_matching_spark.operators.dedup import tokens_col
 K1 = 1.2
 B = 0.75
 
+# An "analyzer" is any Column -> Column producing the term array for a text
+# column -- tokens_col for standard retrieval, phonetic_tokens_udf for the
+# Taxamatch-style fuzzy lane (misspelling-invariant terms). The SAME
+# analyzer must run on both the corpus and the query side, mirroring
+# Lucene's analyzer-symmetry contract (the reference indexes and queries
+# through the same TaxonNameSoundEx treatment).
+
 
 def build_postings(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df_ratio: float | None = None,
+    analyzer=tokens_col,
 ) -> DataFrame:
     """(term, doc_id, tf) postings. Tokens staged in their own projection
     (see shingles_from_tokens PERF note) then exploded once; tf via one
     partial-aggregated groupBy. `max_df_ratio` drops terms appearing in
     more than that fraction of docs (stopword/hot-list cap)."""
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
+        F.col(id_col).alias("doc_id"), analyzer(F.col(text_col)).alias("toks")
     )
     posts = (
         toks.select("doc_id", F.explode_outer("toks").alias("term"))
@@ -69,12 +77,16 @@ def build_postings(
 
 
 def doc_lengths(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer=tokens_col,
 ) -> DataFrame:
-    """(doc_id, dl) -- token count per doc, same kernel as the postings."""
+    """(doc_id, dl) -- analyzed-term count per doc, same kernel as the
+    postings (BM25's dl must count what the postings count)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens_col(F.col(text_col))).alias("dl"),
+        F.size(analyzer(F.col(text_col))).alias("dl"),
     )
 
 
@@ -88,6 +100,7 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "qtext",
+    analyzer=tokens_col,
 ) -> DataFrame:
     """Top-k BM25 docs per query: (query_id, doc_id, score, rank).
 
@@ -97,8 +110,8 @@ def bm25_topk(
     side is postings-only. Rank on the 6-dp-rounded score, tie-break
     doc_id ascending (A2 tie-break discipline).
     """
-    posts = build_postings(docs, id_col, text_col)
-    dl = doc_lengths(docs, id_col, text_col)
+    posts = build_postings(docs, id_col, text_col, analyzer=analyzer)
+    dl = doc_lengths(docs, id_col, text_col, analyzer=analyzer)
     n_docs = docs.count()
     stats = dl.agg(F.avg("dl").alias("avgdl")).first()
     avgdl = float(stats["avgdl"])
@@ -107,7 +120,7 @@ def bm25_topk(
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.explode(F.array_distinct(tokens_col(F.col(query_text_col)))).alias(
+            F.explode(F.array_distinct(analyzer(F.col(query_text_col)))).alias(
                 "term"
             ),
         )

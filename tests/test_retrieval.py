@@ -83,3 +83,22 @@ def test_tie_break_on_doc_id(spark):
     got = bm25_topk(docs, q, k=2).orderBy("rank").collect()
     assert [r["doc_id"] for r in got] == [3, 7]
     assert got[0]["score"] == got[1]["score"]
+
+
+def test_fuzzy_analyzer_survives_phonetic_misspelling(spark):
+    # the vowel folds treatWord collapses: "delta" vs "dilta" -> same term.
+    # Fuzzy lane ranks the source doc; the exact lane finds nothing.
+    from ala_name_matching_spark.functions.phonetic import phonetic_tokens_udf
+
+    docs = _df(
+        spark,
+        [
+            (0, "delta epsilon request"),
+            (1, "totally unrelated words"),
+        ],
+    )
+    q = _df(spark, [(9, "dilta ipsilon")], "query_id bigint, qtext string")
+    fuzzy = bm25_topk(docs, q, k=2, analyzer=phonetic_tokens_udf).collect()
+    assert fuzzy and fuzzy[0]["doc_id"] == 0 and fuzzy[0]["rank"] == 1
+    exact = bm25_topk(docs, q, k=2).collect()
+    assert exact == []
