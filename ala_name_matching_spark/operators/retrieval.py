@@ -110,11 +110,25 @@ def bm25_topk(
     side is postings-only. Rank on the 6-dp-rounded score, tie-break
     doc_id ascending (A2 tie-break discipline).
     """
-    posts = build_postings(docs, id_col, text_col, analyzer=analyzer)
-    dl = doc_lengths(docs, id_col, text_col, analyzer=analyzer)
-    n_docs = docs.count()
-    stats = dl.agg(F.avg("dl").alias("avgdl")).first()
-    avgdl = float(stats["avgdl"])
+    # analyze ONCE: postings, df stats and doc lengths all derive from one
+    # persisted analyzed projection -- matters most for the fuzzy lane,
+    # where the analyzer is an Arrow UDF pass over the corpus (unpersisted,
+    # the lazy DAG re-runs it three times). At index-build-once scale use
+    # build_postings/doc_lengths to materialize these as tables instead.
+    analyzed = docs.select(
+        F.col(id_col).alias("doc_id"), analyzer(F.col(text_col)).alias("_toks")
+    )
+    analyzed.persist()
+    posts = (
+        analyzed.select("doc_id", F.explode_outer("_toks").alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    posts.persist()
+    dl = analyzed.select("doc_id", F.size("_toks").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
 
     df_t = posts.groupBy("term").agg(F.count("*").alias("df"))
     qterms = (

@@ -77,6 +77,10 @@ def main():
         "asof_attribution",
         "rollup_cascade",
         "heavy_hitter_tokens",
+        "bm25_topk",
+        "fuzzy_bm25_topk",
+        "semdedup_prune",
+        "prefix_containment",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
