@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 69 of 75 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 70 of 76 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
                   unrolled-CTE replay of the SemDeDup k-means loop); the 6
@@ -874,6 +874,27 @@ def _q_fuzzy_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5, analyzer=phonetic_tokens_udf)
 
 
+def _q_ngram_containment(spark, sf_dir):
+    # quote/partial-dup detection: containment over word-4-gram sets (the
+    # asymmetric complement of Jaccard -- a 20-token quote inside a long
+    # doc scores ~1.0 containment but ~0.1 Jaccard). Planted: every 10th
+    # doc gets a quote twin (doc_id + 3000000, tokens 5..24), whose shingle
+    # set is fully contained in its source.
+    from ala_name_matching_spark.operators.dedup import (
+        ngram_containment_pairs,
+        tokens_col,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    quotes = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.slice(tokens_col(F.col("text")), 5, 20), " ").alias("text"),
+    )
+    return ngram_containment_pairs(
+        d.unionByName(quotes), shingle_n=4, threshold=0.9, max_df=100
+    )
+
+
 def _q_char_entropy(spark, sf_dir):
     from ala_name_matching_spark.operators.text_analysis import char_entropy
 
@@ -1192,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_containment": _q_prefix_containment,
         "bm25_topk": _q_bm25_topk,
         "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
+        "ngram_containment": _q_ngram_containment,
         "char_entropy": _q_char_entropy,
         "issue_flags": _q_issue_flags,
         "phrase_parse": _q_phrase_parse,
@@ -1765,6 +1787,39 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
+        "ngram_containment": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 3000000, array_to_string({_TOKS}[5:24], ' ')
+              FROM documents WHERE doc_id % 10 = 0),
+            toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+              FROM aug),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 3, 1)),
+                                           i -> array_to_string(t[i:i+3], ' '))) AS g
+              FROM toks),
+            kept AS (
+              SELECT g FROM (SELECT g, count(*) AS c FROM grams GROUP BY g)
+              WHERE c <= 100),
+            gk AS (SELECT doc_id, g FROM grams JOIN kept USING (g)),
+            cnt AS (SELECT doc_id, count(*) AS n_sh FROM gk GROUP BY doc_id),
+            shared AS (
+              SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r,
+                     count(*) AS shared
+              FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT s.doc_id_l, s.doc_id_r, s.shared,
+                   round(s.shared / cl.n_sh, 6) AS containment_l,
+                   round(s.shared / cr.n_sh, 6) AS containment_r
+            FROM shared s
+            JOIN cnt cl ON s.doc_id_l = cl.doc_id
+            JOIN cnt cr ON s.doc_id_r = cr.doc_id
+            WHERE greatest(round(s.shared / cl.n_sh, 6),
+                           round(s.shared / cr.n_sh, 6)) >= 0.9""",
         "char_entropy": """
             WITH chars AS (
               SELECT doc_id, length(text) AS n, substr(text, i.i, 1) AS ch

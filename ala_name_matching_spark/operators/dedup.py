@@ -775,3 +775,68 @@ def prefix_containment_flags(
         F.col(id_col),
         F.coalesce(F.col("_c"), F.lit(False)).alias("contained"),
     )
+
+
+# --- N-gram containment (quote / partial-duplication detection) ----------------
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs where one doc's shingle set is largely CONTAINED in another's:
+    containment(A->B) = |sh(A) & sh(B)| / |sh(A)|. Catches quotes and
+    partial duplication that symmetric Jaccard under-scores (a 20-token
+    quote inside a 200-token doc has Jaccard ~0.1 but containment 1.0).
+
+    Count-based, never materializing array intersections: one shingle
+    explode, an equi-self-join on the shingle (shared-count groupBy), and
+    a join against per-doc shingle counts -- |A & B| is just the number of
+    co-occurring distinct shingles, so the whole operator is the
+    conditional-sum shape (see cross_doc_dup_ngrams). Hot shingles
+    (boilerplate) are the skew hazard: `max_df` drops shingles appearing
+    in more than that many docs BEFORE the self-join -- the same
+    stopword-class bound as retrieval's max_df_ratio; counts (and thus
+    containment denominators) are over the kept shingles, mirrored
+    exactly in the oracle.
+
+    Output: (doc_id_l, doc_id_r, shared, containment_l, containment_r)
+    with doc_id_l < doc_id_r, filtered on max(containment) >= threshold.
+    """
+    sh = shingle_explode(docs, id_col, text_col, shingle_n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("g")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("g")
+        )
+        sh = sh.join(F.broadcast(keep), "g")
+    sh = sh.persist()
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    shared = (
+        sh.select("g", F.col("doc_id").alias("doc_id_l"))
+        .join(sh.select("g", F.col("doc_id").alias("doc_id_r")), "g")
+        .filter(F.col("doc_id_l") < F.col("doc_id_r"))
+        .groupBy("doc_id_l", "doc_id_r")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            cnt.select(F.col("doc_id").alias("doc_id_l"), F.col("n_sh").alias("n_l")),
+            "doc_id_l",
+        )
+        .join(
+            cnt.select(F.col("doc_id").alias("doc_id_r"), F.col("n_sh").alias("n_r")),
+            "doc_id_r",
+        )
+        .withColumn("containment_l", F.round(F.col("shared") / F.col("n_l"), 6))
+        .withColumn("containment_r", F.round(F.col("shared") / F.col("n_r"), 6))
+        .filter(
+            F.greatest(F.col("containment_l"), F.col("containment_r")) >= threshold
+        )
+        .select("doc_id_l", "doc_id_r", "shared", "containment_l", "containment_r")
+    )

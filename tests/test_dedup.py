@@ -286,3 +286,42 @@ def test_shingles_match_python_reference(spark, toks, n):
     k = max(len(ref_toks) - (n - 1), 1)
     expect = sorted({" ".join(ref_toks[i : i + n]) for i in range(k)})
     assert got == expect
+
+
+def test_ngram_containment_detects_quote(spark):
+    from ala_name_matching_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(10, 30))  # 20-token slice
+    other = " ".join(f"x{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, quote), (3, other)], "doc_id bigint, text string"
+    )
+    got = ngram_containment_pairs(docs, shingle_n=4, threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_id_l"], r["doc_id_r"]) == (1, 2)
+    assert r["containment_r"] == 1.0  # quote fully contained in source
+    assert r["containment_l"] < 0.5  # but the source is NOT a dup of the quote
+    # the same pair under symmetric Jaccard scores far below any dedup bar
+    cands = spark.createDataFrame([(1, 2)], "doc_id_l bigint, doc_id_r bigint")
+    j = ngram_jaccard_pairs(docs, cands, shingle_n=4, threshold=0.0).collect()
+    assert j[0]["jaccard"] < 0.5
+
+
+def test_ngram_containment_max_df_drops_boilerplate(spark):
+    from ala_name_matching_spark.operators.dedup import ngram_containment_pairs
+
+    # every doc is mostly the same boilerplate header; bodies are disjoint.
+    # 4 of each doc's 5 grams are header-only (df=5) -> containment 0.8
+    # uncapped; with the header grams dropped (df > 2) no pair survives.
+    header = "standard header boilerplate line one two three"
+    rows = [(i, f"{header} body{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with_cap = ngram_containment_pairs(docs, shingle_n=4, threshold=0.5, max_df=2)
+    assert with_cap.count() == 0
+    no_cap = ngram_containment_pairs(docs, shingle_n=4, threshold=0.5)
+    assert no_cap.count() > 0  # boilerplate grams alone push pairs over
