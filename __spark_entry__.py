@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 70 of 76 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 71 of 77 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
                   unrolled-CTE replay of the SemDeDup k-means loop); the 6
@@ -874,6 +874,21 @@ def _q_fuzzy_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5, analyzer=phonetic_tokens_udf)
 
 
+def _q_phrase_match(spark, sf_dir):
+    # positional-index exact-phrase search (Lucene PhraseQuery analog):
+    # queries are tokens 4..8 of every 25th doc, so each query matches its
+    # source at least once; the vote-on-start algorithm needs no rescans.
+    from ala_name_matching_spark.operators.dedup import tokens_col
+    from ala_name_matching_spark.operators.retrieval import phrase_match
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    q = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens_col(F.col("text")), 4, 5), " ").alias("qtext"),
+    )
+    return phrase_match(d, q)
+
+
 def _q_ngram_containment(spark, sf_dir):
     # quote/partial-dup detection: containment over word-4-gram sets (the
     # asymmetric complement of Jaccard -- a 20-token quote inside a long
@@ -1214,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
         "ngram_containment": _q_ngram_containment,
+        "phrase_match": _q_phrase_match,
         "char_entropy": _q_char_entropy,
         "issue_flags": _q_issue_flags,
         "phrase_parse": _q_phrase_parse,
@@ -1787,6 +1803,25 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
+        "phrase_match": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            posts AS (
+              SELECT doc_id, t[i.i] AS term, i.i AS pos
+              FROM toks, unnest(generate_series(1, len(t))) AS i(i)),
+            q AS (
+              SELECT doc_id AS query_id, t[4:8] AS qt
+              FROM toks WHERE doc_id % 25 = 0),
+            qt AS (
+              SELECT query_id, qt[j.j] AS term, j.j AS j, len(qt) AS nq
+              FROM q, unnest(generate_series(1, len(qt))) AS j(j)),
+            votes AS (
+              SELECT qt.query_id, p.doc_id, p.pos - qt.j AS start, qt.nq
+              FROM posts p JOIN qt USING (term)),
+            full_starts AS (
+              SELECT query_id, doc_id, start, nq, count(*) AS c
+              FROM votes GROUP BY 1, 2, 3, 4)
+            SELECT query_id, doc_id, count(*) AS n_hits
+            FROM full_starts WHERE c = nq GROUP BY 1, 2""",
         "ngram_containment": f"""
             WITH aug AS (
               SELECT doc_id, text FROM documents

@@ -160,3 +160,55 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def build_positional_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer=tokens_col,
+) -> DataFrame:
+    """(doc_id, term, pos) positional postings -- the PhraseQuery side of
+    the Lucene-replacement lane (Lucene stores positions per posting for
+    exactly this). One posexplode; positions are 0-based."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), analyzer(F.col(text_col)).alias("_toks")
+    ).select("doc_id", F.posexplode("_toks").alias("pos", "term"))
+
+
+def phrase_match(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    analyzer=tokens_col,
+) -> DataFrame:
+    """(query_id, doc_id, n_hits) -- exact-phrase occurrences per doc.
+
+    The classic positional-index phrase algorithm: each query term j joins
+    the postings on `term`, every match votes for the phrase start
+    `pos - j`, and a start where the vote count equals the phrase length
+    has ALL terms at consecutive positions. No string rescans, no
+    substring joins -- the corpus is touched once to build postings; the
+    query fan-out is a broadcast join exactly like bm25_topk. Overlapping
+    occurrences count separately (each has its own start). Works under
+    any analyzer, including the phonetic one (fuzzy phrase search).
+    """
+    posts = build_positional_postings(docs, id_col, text_col, analyzer)
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        analyzer(F.col(query_text_col)).alias("_qt"),
+    ).select(
+        "query_id", F.size("_qt").alias("nq"), F.posexplode("_qt").alias("j", "term")
+    )
+    votes = posts.join(F.broadcast(qt), "term").select(
+        "query_id", "doc_id", (F.col("pos") - F.col("j")).alias("start"), "nq"
+    )
+    full = (
+        votes.groupBy("query_id", "doc_id", "start", "nq")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") == F.col("nq"))
+    )
+    return full.groupBy("query_id", "doc_id").agg(F.count("*").alias("n_hits"))

@@ -102,3 +102,35 @@ def test_fuzzy_analyzer_survives_phonetic_misspelling(spark):
     assert fuzzy and fuzzy[0]["doc_id"] == 0 and fuzzy[0]["rank"] == 1
     exact = bm25_topk(docs, q, k=2).collect()
     assert exact == []
+
+
+def test_phrase_match_counts_overlapping_occurrences(spark):
+    from ala_name_matching_spark.operators.retrieval import phrase_match
+
+    docs = _df(
+        spark,
+        [
+            (0, "a b a b a b"),       # "a b a b" occurs at starts 0 and 2
+            (1, "a b c a b"),         # phrase absent (no "a b a b")
+            (2, "b a b a"),           # absent
+        ],
+    )
+    q = _df(spark, [(9, "a b a b")], "query_id bigint, qtext string")
+    got = {r["doc_id"]: r["n_hits"] for r in phrase_match(docs, q).collect()}
+    assert got == {0: 2}
+
+
+def test_phrase_match_requires_order_and_adjacency(spark):
+    from ala_name_matching_spark.operators.retrieval import phrase_match
+
+    docs = _df(
+        spark,
+        [
+            (0, "alpha beta gamma"),
+            (1, "beta alpha gamma"),    # right terms, wrong order
+            (2, "alpha gamma beta"),    # non-adjacent
+        ],
+    )
+    q = _df(spark, [(1, "alpha beta")], "query_id bigint, qtext string")
+    got = {r["doc_id"]: r["n_hits"] for r in phrase_match(docs, q).collect()}
+    assert got == {0: 1}
