@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 71 of 77 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 73 of 79 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
                   unrolled-CTE replay of the SemDeDup k-means loop); the 6
@@ -874,6 +874,30 @@ def _q_fuzzy_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5, analyzer=phonetic_tokens_udf)
 
 
+def _q_order_cube(spark, sf_dir):
+    # OLAP cube: all 4 grouping-set combinations in one pass (Expand, not
+    # 4 scans); NULL marks the rolled-up level (status/priority never null
+    # in the data, so the marker is unambiguous).
+    o = _read(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def _q_table_checksum(spark, sf_dir):
+    # anti-entropy primitive: per-returnflag (n_rows, checksum) for the
+    # lineitem content columns -- one partial-agg pass, order-insensitive.
+    from ala_name_matching_spark.operators.profiling import content_checksum
+
+    li = _read(spark, sf_dir, "lineitem")
+    return content_checksum(
+        li,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_shipdate"],
+        group_col="l_returnflag",
+    )
+
+
 def _q_phrase_match(spark, sf_dir):
     # positional-index exact-phrase search (Lucene PhraseQuery analog):
     # queries are tokens 4..8 of every 25th doc, so each query matches its
@@ -1230,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
         "ngram_containment": _q_ngram_containment,
         "phrase_match": _q_phrase_match,
+        "order_cube": _q_order_cube,
+        "table_checksum": _q_table_checksum,
         "char_entropy": _q_char_entropy,
         "issue_flags": _q_issue_flags,
         "phrase_parse": _q_phrase_parse,
@@ -1803,6 +1829,17 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
+        "order_cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "table_checksum": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   sum(CAST(('0x' || substr(md5(
+                         l_orderkey || '|' || l_partkey || '|' || l_suppkey
+                         || '|' || l_linenumber || '|' || l_shipdate), 1, 8))
+                       AS BIGINT)) AS checksum
+            FROM lineitem GROUP BY l_returnflag""",
         "phrase_match": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             posts AS (

@@ -72,3 +72,31 @@ def profile_columns(
             F.lit(len(cols)), *stack_args
         ).alias("col_name", "n_null", "n_distinct", "min_str", "max_str"),
     ).select("col_name", "n", "n_null", "n_distinct", "min_str", "max_str")
+
+
+def content_checksum(
+    df: DataFrame, cols: list[str], group_col: str | None = None
+) -> DataFrame:
+    """Order-insensitive content checksum: sum of per-row md5-prefix hashes.
+
+    The anti-entropy / replication-verification primitive: two tables (or
+    a table and its checkpoint restore, S3/S5 contract) hold identical row
+    multisets iff their (n_rows, checksum) agree -- computable stream-wise
+    on each side with ONE partial-aggregated pass, no sort, no join,
+    because integer sum is commutative-associative (the same mergeable-
+    summary argument as the Misra-Gries lane). Row hash = first 8 md5 hex
+    chars of the '|'-joined column values (caller picks columns with
+    engine-stable string forms: ints, strings, dates). Collisions: a
+    multiset difference escapes detection only if hash sums coincide,
+    ~2^-32 per differing row under the uniform-prefix model.
+    """
+    row_h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *[F.col(c) for c in cols])), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    keys = [group_col] if group_col else []
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n_rows"), F.sum(row_h).alias("checksum"))
+    )

@@ -27,3 +27,19 @@ def test_profile_columns_approx_path(spark):
     d = spark.createDataFrame(pd.DataFrame({"a": list(range(100))}))
     out = profile_columns(d, exact_distinct=False).collect()[0]
     assert out["n"] == 100 and abs(out["n_distinct"] - 100) <= 10
+
+
+def test_content_checksum_order_invariant_and_sensitive(spark):
+    from ala_name_matching_spark.operators.profiling import content_checksum
+
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    a = spark.createDataFrame(rows, "k bigint, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "k bigint, v string").repartition(3)
+    ca = content_checksum(a, ["k", "v"]).first()
+    cb = content_checksum(b, ["k", "v"]).first()
+    # row order and partitioning are invisible to the checksum
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+    # a single mutated cell changes it
+    c = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k bigint, v string")
+    cc = content_checksum(c, ["k", "v"]).first()
+    assert cc["checksum"] != ca["checksum"] and cc["n_rows"] == ca["n_rows"]
