@@ -130,16 +130,37 @@ def bm25_topk(
     stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
 
+    qterms = query_terms(queries, query_id_col, query_text_col, analyzer)
+    return bm25_score_candidates(posts, dl, n_docs, avgdl, qterms, k, k1, b)
+
+
+def query_terms(
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    analyzer=tokens_col,
+) -> DataFrame:
+    """(query_id, term) -- DISTINCT analyzed terms per query."""
+    return queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(analyzer(F.col(query_text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def bm25_score_candidates(
+    posts: DataFrame,
+    dl: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    k: int = 5,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Shared BM25 scoring tail over (term, doc_id, tf) postings + (doc_id,
+    dl) lengths -- used by bm25_topk (in-memory) and bm25_topk_from_index
+    (persisted/streaming-maintained index)."""
     df_t = posts.groupBy("term").agg(F.count("*").alias("df"))
-    qterms = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.explode(F.array_distinct(analyzer(F.col(query_text_col)))).alias(
-                "term"
-            ),
-        )
-        .filter(F.col("term") != "")
-    )
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
@@ -159,6 +180,65 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def build_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer=tokens_col,
+) -> None:
+    """Materialize the retrieval index: path/postings + path/doclen.
+
+    The reference's architecture verbatim -- expensive index build once
+    (DwcaNameIndexer -> Lucene dirs), cheap searches forever -- as two
+    parquet tables. BM25's global stats (df, N, avgdl) are DERIVED from
+    these at query time, which is what makes append-only incremental
+    maintenance sound (streaming/incremental.streaming_index_update):
+    appending a batch's postings/doclen rows updates every downstream
+    statistic by construction, no stats-rebuild job.
+    """
+    analyzed = docs.select(
+        F.col(id_col).alias("doc_id"), analyzer(F.col(text_col)).alias("_toks")
+    )
+    analyzed.persist()
+    (
+        analyzed.select("doc_id", F.explode_outer("_toks").alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    (
+        analyzed.select("doc_id", F.size("_toks").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/doclen")
+    )
+    analyzed.unpersist()
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = K1,
+    b: float = B,
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    analyzer=tokens_col,
+) -> DataFrame:
+    """Query a persisted (possibly streaming-appended) index. Scores are
+    identical to bm25_topk over the equivalent corpus (parity-tested)."""
+    posts = spark.read.parquet(f"{path}/postings")
+    dl = spark.read.parquet(f"{path}/doclen")
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+    qterms = query_terms(queries, query_id_col, query_text_col, analyzer)
+    return bm25_score_candidates(
+        posts, dl, int(stats["n"]), float(stats["avgdl"]), qterms, k, k1, b
     )
 
 

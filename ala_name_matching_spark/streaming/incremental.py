@@ -269,3 +269,60 @@ def windowed_turn_counts(stream: DataFrame, window: str = "5 minutes") -> DataFr
             "n_convs",
         )
     )
+
+
+def streaming_index_update(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer=None,
+):
+    """Incremental retrieval-index maintenance: per micro-batch, APPEND the
+    new docs' (term, doc_id, tf) postings and (doc_id, dl) rows to the
+    build_index layout. Because BM25's global stats (df, N, avgdl) are
+    derived from these tables at query time (bm25_topk_from_index), the
+    append alone keeps every downstream score consistent -- no stats
+    rebuild, no index rewrite. This is the streaming twin of the
+    reference's "index once, search forever" architecture, upgraded to
+    "index continuously": Lucene soft-commits ~= micro-batch appends.
+
+    Per-batch work is batch-sized (analyze + one partial-agg groupBy on
+    the new docs only); exactly-once comes from the foreachBatch
+    checkpoint. Assumes ids are not re-ingested (append-only corpus);
+    doc updates need a compact/rewrite pass, same as Lucene segment
+    merging -- see sources/readers.compact_table.
+    """
+    from ala_name_matching_spark.operators.dedup import tokens_col
+
+    analyzer = analyzer or tokens_col
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        analyzed = batch_df.select(
+            F.col(id_col).alias("doc_id"), analyzer(F.col(text_col)).alias("_toks")
+        )
+        analyzed.persist()
+        (
+            analyzed.select("doc_id", F.explode_outer("_toks").alias("term"))
+            .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .write.mode("append")
+            .parquet(f"{index_path}/postings")
+        )
+        (
+            analyzed.select("doc_id", F.size("_toks").alias("dl"))
+            .write.mode("append")
+            .parquet(f"{index_path}/doclen")
+        )
+        analyzed.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -303,3 +303,55 @@ def test_streaming_neardup_match(spark, tmp_path):
     }
     assert set(got) == {(1, 100)}
     assert got[(1, 100)] >= 0.5
+
+
+def test_streaming_index_update_bm25_parity(spark, tmp_path):
+    """Appending streamed docs to the persisted retrieval index must leave
+    bm25_topk_from_index EXACTLY equal to bm25_topk over the union corpus
+    (the derived-stats argument), and a term unique to a streamed doc must
+    retrieve it."""
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_index,
+    )
+    from ala_name_matching_spark.streaming.incremental import streaming_index_update
+
+    base_docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["alpha beta gamma", "beta gamma delta"],
+            }
+        )
+    )
+    idx = str(tmp_path / "bm25_index")
+    build_index(base_docs, idx)
+
+    new_rows = pd.DataFrame(
+        {"doc_id": [2, 3], "text": ["zeta eta theta", "alpha zeta beta"]}
+    )
+    src = str(tmp_path / "in_idx")
+    spark.createDataFrame(new_rows).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_index_update(stream, idx, str(tmp_path / "ckpt_idx"))
+    q.awaitTermination(120)
+
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [10, 11], "qtext": ["zeta", "beta gamma"]})
+    )
+    from_index = bm25_topk_from_index(spark, idx, queries, k=4).collect()
+    # "zeta" exists only in streamed docs -> they must surface
+    zeta_docs = {r["doc_id"] for r in from_index if r["query_id"] == 10}
+    assert zeta_docs == {2, 3}
+    # exact score parity with the one-shot batch engine on the union corpus
+    union = base_docs.unionByName(spark.createDataFrame(new_rows))
+    direct = bm25_topk(union, queries, k=4).collect()
+    key = lambda r: (r["query_id"], r["doc_id"], r["score"], r["rank"])
+    assert sorted(map(key, from_index)) == sorted(map(key, direct))
