@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 73 of 79 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 74 of 80 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
                   unrolled-CTE replay of the SemDeDup k-means loop); the 6
@@ -874,6 +874,28 @@ def _q_fuzzy_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5, analyzer=phonetic_tokens_udf)
 
 
+def _q_skew_salted_join(spark, sf_dir):
+    # replicate-and-scatter salted join on a PLANTED hot key (90% of
+    # events collapse onto key 0); result must equal the plain join,
+    # which is exactly what the oracle computes.
+    from ala_name_matching_spark.operators.blocking import salted_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.when(F.col("user_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+    )
+    dim = ev.select("k").distinct().withColumn(
+        "attr", F.concat(F.lit("grp-"), F.col("k").cast("string"))
+    )
+    joined = salted_join(ev, dim, on="k", row_col="event_id", n_salts=8)
+    return joined.groupBy("k", "attr").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+
+
 def _q_order_cube(spark, sf_dir):
     # OLAP cube: all 4 grouping-set combinations in one pass (Expand, not
     # 4 scans); NULL marks the rolled-up level (status/priority never null
@@ -1255,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _q_ngram_containment,
         "phrase_match": _q_phrase_match,
         "order_cube": _q_order_cube,
+        "skew_salted_join": _q_skew_salted_join,
         "table_checksum": _q_table_checksum,
         "char_entropy": _q_char_entropy,
         "issue_flags": _q_issue_flags,
@@ -1829,6 +1852,16 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
+        "skew_salted_join": """
+            WITH ev AS (
+              SELECT event_id, value,
+                     CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS k
+              FROM events),
+            dim AS (SELECT DISTINCT k, 'grp-' || k AS attr FROM ev)
+            SELECT ev.k, dim.attr, count(*) AS n,
+                   round(sum(ev.value), 4) AS total
+            FROM ev JOIN dim USING (k)
+            GROUP BY ev.k, dim.attr""",
         "order_cube": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                    round(sum(o_totalprice), 2) AS revenue

@@ -390,3 +390,37 @@ def salt_and_cap_blocks(
         ),
     )
     return salted, stats
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    row_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-immune equi-join: exact same rows as `fact.join(dim, on, how)`,
+    but a hot key's fact rows land on `n_salts` reducers instead of one.
+
+    The classic replicate-and-scatter: the dim side is exploded n_salts
+    times (each key appears once per salt), the fact side picks a salt
+    uniformly by hashing `row_col` (any row-unique column), and the join
+    key becomes (on, salt) -- every fact row still meets exactly one dim
+    replica, so the result multiset is unchanged for inner and left joins.
+    Use when the dim is too large to broadcast but fact keys are skewed
+    enough to overload single shuffle partitions; AQE's skew-join split
+    handles sort-merge skew adaptively, but this form also spreads the
+    HASH partitioning of any downstream same-key aggregation and works
+    with AQE off. Cost: dim shuffle volume x n_salts (the usual trade).
+
+    This is the relational generalization of the ER block salting
+    (salt_and_cap_blocks above) -- same trick, join-shaped.
+    """
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(row_col)), F.lit(n_salts)).cast("int")
+    )
+    return salted_fact.join(salted_dim, [on, "_salt"], how).drop("_salt")
