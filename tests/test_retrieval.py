@@ -134,3 +134,20 @@ def test_phrase_match_requires_order_and_adjacency(spark):
     q = _df(spark, [(1, "alpha beta")], "query_id bigint, qtext string")
     got = {r["doc_id"]: r["n_hits"] for r in phrase_match(docs, q).collect()}
     assert got == {0: 1}
+
+
+def test_fuzzy_phrase_match_under_phonetic_analyzer(spark):
+    # analyzer-pluggable phrase search: the misspelled phrase still matches
+    # because both sides pass through treatWord
+    from ala_name_matching_spark.functions.phonetic import phonetic_tokens_udf
+    from ala_name_matching_spark.operators.retrieval import phrase_match
+
+    docs = _df(spark, [(0, "delta epsilon request"), (1, "epsilon delta request")])
+    # corruptions on NON-INITIAL chars only (treatWord quarantines the
+    # first letter from the vowel folds): delta->dilta, epsilon->epsilan
+    q = _df(spark, [(1, "dilta epsilan")], "query_id bigint, qtext string")
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_match(docs, q, analyzer=phonetic_tokens_udf).collect()
+    }
+    assert got == {0: 1}  # order still enforced: doc 1 has the terms reversed
