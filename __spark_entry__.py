@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 74 of 80 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 75 of 81 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
                   unrolled-CTE replay of the SemDeDup k-means loop); the 6
@@ -874,6 +874,24 @@ def _q_fuzzy_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5, analyzer=phonetic_tokens_udf)
 
 
+def _q_winnowing_pairs(spark, sf_dir):
+    # MOSS winnowing: planted 25-token quote twins (doc_id + 4000000) must
+    # share fingerprints by the w + k - 1 guarantee (25 >= 5 + 4 - 1).
+    from ala_name_matching_spark.operators.dedup import (
+        tokens_col,
+        winnowing_candidate_pairs,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    quotes = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.array_join(F.slice(tokens_col(F.col("text")), 5, 25), " ").alias("text"),
+    )
+    return winnowing_candidate_pairs(
+        d.unionByName(quotes), k=4, w=5, min_shared=3, max_df=50
+    )
+
+
 def _q_skew_salted_join(spark, sf_dir):
     # replicate-and-scatter salted join on a PLANTED hot key (90% of
     # events collapse onto key 0); result must equal the plain join,
@@ -1278,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "order_cube": _q_order_cube,
         "skew_salted_join": _q_skew_salted_join,
+        "winnowing_pairs": _q_winnowing_pairs,
         "table_checksum": _q_table_checksum,
         "char_entropy": _q_char_entropy,
         "issue_flags": _q_issue_flags,
@@ -1852,6 +1871,47 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
+        "winnowing_pairs": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 4000000, array_to_string({_TOKS}[5:29], ' ')
+              FROM documents WHERE doc_id % 10 = 0),
+            toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+              FROM aug),
+            grams AS (
+              SELECT doc_id, greatest(len(t) - 3, 1) AS m, i.i AS pos,
+                     array_to_string(t[i.i:i.i+3], ' ') AS gram
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i(i)),
+            comb AS (
+              SELECT doc_id, m, pos,
+                     CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 2097152
+                     + (1048576 - pos) AS comb
+              FROM grams),
+            selraw AS (
+              SELECT doc_id, pos, m,
+                     min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                       AS w_min
+              FROM comb),
+            sel AS (
+              SELECT DISTINCT doc_id, w_min FROM selraw
+              WHERE pos <= greatest(m - 4, 1)),
+            fp AS (
+              SELECT DISTINCT doc_id,
+                     CAST(floor(w_min / 2097152) AS BIGINT) AS fp_hash
+              FROM sel),
+            kept AS (
+              SELECT fp_hash FROM (SELECT fp_hash, count(*) AS c FROM fp GROUP BY 1)
+              WHERE c <= 50),
+            fk AS (SELECT doc_id, fp_hash FROM fp JOIN kept USING (fp_hash))
+            SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r,
+                   count(*) AS shared_fps
+            FROM fk a JOIN fk b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3""",
         "skew_salted_join": """
             WITH ev AS (
               SELECT event_id, value,

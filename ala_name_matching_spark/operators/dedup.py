@@ -840,3 +840,115 @@ def ngram_containment_pairs(
         )
         .select("doc_id_l", "doc_id_r", "shared", "containment_l", "containment_r")
     )
+
+
+# --- Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) --------
+
+_WIN_POS_BITS = 20  # max 2^20 grams/doc; combined-key encoding below
+_WIN_POS_MOD = 1 << _WIN_POS_BITS
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """(doc_id, fp_hash, fp_pos) -- winnowing fingerprints: the RIGHTMOST
+    minimal k-gram hash in every window of w consecutive k-grams
+    ("Winnowing: Local Algorithms for Document Fingerprinting", Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 -- the MOSS kernel). Guarantee: any
+    shared token run of length >= w + k - 1 contributes at least one
+    SHARED fingerprint, while only ~2/(w+1) of grams are kept -- local
+    fingerprinting with a density bound, robust to content shifting
+    (position changes never change WHICH grams are selected, unlike
+    every-i-th-gram sampling).
+
+    Engine-portable selection trick: rightmost-min is encoded as the
+    plain integer MIN of `hash * 2^21 + (2^20 - pos)` over the window
+    frame (hash < 2^32 from the md5-prefix kernel, pos < 2^20), then
+    decoded -- both Spark and the SQL oracle compute the identical
+    BIGINT, no argmin/struct-ordering semantics to align. One posexplode
+    + one windowed min + one distinct; all JVM built-ins.
+    """
+    n_g = F.greatest(F.size(F.col("__toks")) - (k - 1), F.lit(1))
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            "doc_id",
+            n_g.alias("m"),
+            F.posexplode_outer(
+                F.transform(
+                    F.sequence(F.lit(1), n_g),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, k)),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .where(F.col("gram").isNotNull())
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    pos = F.col("pos0") + 1  # 1-based, mirrors the oracle's generate_series
+    combined = (h * F.lit(2 * _WIN_POS_MOD) + (F.lit(_WIN_POS_MOD) - pos)).alias(
+        "comb"
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos0")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    selected = (
+        grams.select("doc_id", "m", "pos0", combined)
+        .withColumn("w_min", F.min("comb").over(frame))
+        # only full windows select fingerprints (starts 1..m-w+1; everything
+        # if the doc is shorter than one window)
+        .filter(F.col("pos0") + 1 <= F.greatest(F.col("m") - (w - 1), F.lit(1)))
+        .select("doc_id", "w_min")
+        .distinct()
+    )
+    return selected.select(
+        "doc_id",
+        F.floor(F.col("w_min") / (2 * _WIN_POS_MOD)).cast("long").alias("fp_hash"),
+        (F.lit(_WIN_POS_MOD) - F.pmod(F.col("w_min"), F.lit(2 * _WIN_POS_MOD)))
+        .cast("int")
+        .alias("fp_pos"),
+    )
+
+
+def winnowing_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_id_l, doc_id_r, shared_fps) -- pairs sharing >= min_shared
+    winnowing fingerprints (by hash). The plagiarism/quote candidate
+    generator: by the winnowing guarantee a shared run of >= w + k - 1
+    tokens always contributes shared fingerprints, at ~2/(w+1) the index
+    size of full n-gram postings. Same skew discipline as the other
+    inverted lanes: `max_df` drops boilerplate fingerprints before the
+    self-join."""
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w).select(
+        "doc_id", "fp_hash"
+    ).distinct()
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp_hash")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fp_hash")
+        )
+        fps = fps.join(F.broadcast(keep), "fp_hash")
+    return (
+        fps.select("fp_hash", F.col("doc_id").alias("doc_id_l"))
+        .join(fps.select("fp_hash", F.col("doc_id").alias("doc_id_r")), "fp_hash")
+        .filter(F.col("doc_id_l") < F.col("doc_id_r"))
+        .groupBy("doc_id_l", "doc_id_r")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
