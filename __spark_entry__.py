@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 75 of 81 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 76 of 82 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
                   unrolled-CTE replay of the SemDeDup k-means loop); the 6
@@ -874,6 +874,14 @@ def _q_fuzzy_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5, analyzer=phonetic_tokens_udf)
 
 
+def _q_strip_dup_spans(spark, sf_dir):
+    # ExactSubstr-style removal product (Lee et al. 2022): every token
+    # covered by a cross-doc duplicated 4-gram is dropped, text rebuilt.
+    from ala_name_matching_spark.operators.dedup import strip_dup_spans
+
+    return strip_dup_spans(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _q_winnowing_pairs(spark, sf_dir):
     # MOSS winnowing: planted 25-token quote twins (doc_id + 4000000) must
     # share fingerprints by the w + k - 1 guarantee (25 >= 5 + 4 - 1).
@@ -1297,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cube": _q_order_cube,
         "skew_salted_join": _q_skew_salted_join,
         "winnowing_pairs": _q_winnowing_pairs,
+        "strip_dup_spans": _q_strip_dup_spans,
         "table_checksum": _q_table_checksum,
         "char_entropy": _q_char_entropy,
         "issue_flags": _q_issue_flags,
@@ -1871,6 +1880,37 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
+        "strip_dup_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            pos_tok AS (
+              SELECT doc_id, i.i AS pos, t[i.i] AS tok
+              FROM toks, unnest(generate_series(1, len(t))) AS i(i)),
+            grams AS (
+              SELECT doc_id, i.i AS pos,
+                     array_to_string(t[i.i:i.i+3], ' ') AS gram
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i(i)),
+            dup AS (
+              SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY 1)
+              WHERE nd >= 2),
+            covered AS (
+              SELECT DISTINCT g.doc_id, g.pos + o.o AS pos
+              FROM grams g JOIN dup USING (gram),
+                   unnest(generate_series(0, 3)) AS o(o)),
+            kept AS (
+              SELECT p.doc_id, p.pos, p.tok
+              FROM pos_tok p ANTI JOIN covered c
+                ON p.doc_id = c.doc_id AND p.pos = c.pos),
+            rebuilt AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS kept
+              FROM kept GROUP BY 1),
+            base AS (SELECT doc_id, count(*) AS n_tokens FROM pos_tok GROUP BY 1)
+            SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                   b.n_tokens,
+                   b.n_tokens - coalesce(r.kept, 0) AS n_removed
+            FROM base b LEFT JOIN rebuilt r USING (doc_id)""",
         "winnowing_pairs": f"""
             WITH aug AS (
               SELECT doc_id, text FROM documents

@@ -952,3 +952,83 @@ def winnowing_candidate_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def strip_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, clean_text, n_tokens, n_removed) -- rewrite each doc with every
+    token covered by a CROSS-DOC duplicated n-gram removed: the removal
+    product of ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" -- their suffix-array pass
+    finds spans repeated across the corpus and deletes them in place;
+    cross_doc_dup_ngrams above is the accounting twin of this operator).
+
+    Shape: positional grams (one explode), dup grams = grams in >=
+    `min_docs` DISTINCT docs (one partial-agg groupBy + broadcastable
+    semi-join back), covered positions = the n-token window of each dup
+    hit (sequence explode), rebuild = groupBy(doc) over the surviving
+    (pos, token) rows with an ordered concat. Every stage is linear and
+    partial-aggregated; nothing quadratic, no UDFs. At 100 TB the dup-gram
+    table is the big intermediate -- it is keyed by gram hash and can be
+    md5-narrowed exactly like exact_duplicates.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    pos_tok = toks.select(
+        "doc_id", F.posexplode_outer("__toks").alias("pos0", "tok")
+    ).where(F.col("tok").isNotNull())
+    n_g = F.greatest(F.size(F.col("__toks")) - (span_n - 1), F.lit(1))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.transform(
+                F.sequence(F.lit(1), n_g),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, span_n)),
+            )
+        ).alias("pos0", "gram"),
+    ).where(F.col("gram").isNotNull())
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos0"), F.col("pos0") + (span_n - 1))
+            ).alias("pos0"),
+        )
+        .distinct()
+    )
+    kept = pos_tok.join(covered, ["doc_id", "pos0"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("_kept"),
+    )
+    base = pos_tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

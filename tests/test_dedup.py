@@ -325,3 +325,36 @@ def test_ngram_containment_max_df_drops_boilerplate(spark):
     assert with_cap.count() == 0
     no_cap = ngram_containment_pairs(docs, shingle_n=4, threshold=0.5)
     assert no_cap.count() > 0  # boilerplate grams alone push pairs over
+
+
+def test_strip_dup_spans_removes_shared_span_only(spark):
+    from ala_name_matching_spark.operators.dedup import strip_dup_spans
+
+    shared = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (0, f"aaa bbb {shared} ccc ddd"),
+            (1, f"{shared} xxx yyy zzz www"),
+            (2, "totally disjoint text with nothing repeated here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in strip_dup_spans(docs, span_n=4).collect()}
+    # the shared 6-token run is excised from both docs, unique tokens stay
+    assert got[0]["clean_text"] == "aaa bbb ccc ddd"
+    assert got[1]["clean_text"] == "xxx yyy zzz www"
+    assert got[0]["n_removed"] == 6 and got[1]["n_removed"] == 6
+    assert got[2]["clean_text"] == docs.collect()[2]["text"]
+    assert got[2]["n_removed"] == 0
+
+
+def test_strip_dup_spans_fully_covered_doc_empties(spark):
+    from ala_name_matching_spark.operators.dedup import strip_dup_spans
+
+    same = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [(0, same), (1, same)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in strip_dup_spans(docs, span_n=4).collect()}
+    assert got[0]["clean_text"] == "" and got[1]["clean_text"] == ""
+    assert got[0]["n_removed"] == 4
