@@ -250,10 +250,18 @@ def build_positional_postings(
 ) -> DataFrame:
     """(doc_id, term, pos) positional postings -- the PhraseQuery side of
     the Lucene-replacement lane (Lucene stores positions per posting for
-    exactly this). One posexplode; positions are 0-based."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"), analyzer(F.col(text_col)).alias("_toks")
-    ).select("doc_id", F.posexplode("_toks").alias("pos", "term"))
+    exactly this). One posexplode; positions are 0-based. OUTER variant +
+    null filter, not plain posexplode: InferFiltersFromGenerate would push
+    a size(analyzer(text)) > 0 filter through the staged projection and
+    re-run the analyzer per row (the shingle_explode lesson, measured ~4x
+    here at sf0.1)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), analyzer(F.col(text_col)).alias("_toks")
+        )
+        .select("doc_id", F.posexplode_outer("_toks").alias("pos", "term"))
+        .where(F.col("term").isNotNull())
+    )
 
 
 def phrase_match(
@@ -277,11 +285,17 @@ def phrase_match(
     any analyzer, including the phonetic one (fuzzy phrase search).
     """
     posts = build_positional_postings(docs, id_col, text_col, analyzer)
-    qt = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        analyzer(F.col(query_text_col)).alias("_qt"),
-    ).select(
-        "query_id", F.size("_qt").alias("nq"), F.posexplode("_qt").alias("j", "term")
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            analyzer(F.col(query_text_col)).alias("_qt"),
+        )
+        .select(
+            "query_id",
+            F.size("_qt").alias("nq"),
+            F.posexplode_outer("_qt").alias("j", "term"),
+        )
+        .where(F.col("term").isNotNull())
     )
     votes = posts.join(F.broadcast(qt), "term").select(
         "query_id", "doc_id", (F.col("pos") - F.col("j")).alias("start"), "nq"

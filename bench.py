@@ -81,6 +81,9 @@ def main():
         "fuzzy_bm25_topk",
         "semdedup_prune",
         "prefix_containment",
+        "phrase_match",
+        "winnowing_pairs",
+        "strip_dup_spans",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
