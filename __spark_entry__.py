@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 76 of 82 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 77 of 83 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
                   unrolled-CTE replay of the SemDeDup k-means loop); the 6
@@ -874,6 +874,14 @@ def _q_fuzzy_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5, analyzer=phonetic_tokens_udf)
 
 
+def _q_gap_fill(spark, sf_dir):
+    # hypertable gap-fill: per-user minute grid with forward-filled values
+    from ala_name_matching_spark.operators.temporal import gap_fill
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") % 200 == 0)
+    return gap_fill(ev)
+
+
 def _q_strip_dup_spans(spark, sf_dir):
     # ExactSubstr-style removal product (Lee et al. 2022): every token
     # covered by a cross-doc duplicated 4-gram is dropped, text rebuilt.
@@ -1306,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": _q_skew_salted_join,
         "winnowing_pairs": _q_winnowing_pairs,
         "strip_dup_spans": _q_strip_dup_spans,
+        "gap_fill_minutes": _q_gap_fill,
         "table_checksum": _q_table_checksum,
         "char_entropy": _q_char_entropy,
         "issue_flags": _q_issue_flags,
@@ -1880,6 +1889,24 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
+        "gap_fill_minutes": """
+            WITH b AS (
+              SELECT user_id AS k, date_trunc('minute', ts) AS bt,
+                     round(avg(value), 6) AS v
+              FROM events WHERE user_id % 200 = 0 GROUP BY 1, 2),
+            bounds AS (SELECT k, min(bt) AS lo, max(bt) AS hi FROM b GROUP BY 1),
+            grid AS (
+              SELECT k, g.g AS bt
+              FROM bounds,
+                   unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS g(g)),
+            joined AS (
+              SELECT grid.k, grid.bt, b.v FROM grid LEFT JOIN b USING (k, bt))
+            SELECT k AS user_id, bt AS bucket_ts,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY k ORDER BY bt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+                   (v IS NULL) AS filled
+            FROM joined""",
         "strip_dup_spans": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             pos_tok AS (

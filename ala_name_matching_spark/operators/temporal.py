@@ -191,3 +191,49 @@ def scd2_intervals(
         F.lead(ts_col).over(w).alias("effective_to"),
         (F.lead(ts_col).over(w).isNull()).alias("is_current"),
     )
+
+
+def gap_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "minute",
+) -> DataFrame:
+    """(key, bucket_ts, value, filled) -- regular time grid per key with
+    forward-filled values: the hypertable gap-fill / interpolate operator
+    (TimescaleDB's time_bucket_gapfill; the read-side complement of the
+    rollup_cascade above). Missing buckets between a key's first and last
+    observation are materialized and carry the previous bucket's value.
+
+    Shape: one groupBy to bucket, one min/max agg per key, a sequence
+    explode for the grid (rows = grid size, narrow), a left join back,
+    and ONE ordered window per key for the last-non-null carry --
+    last(ignorenulls) over an unbounded-preceding frame is Spark's
+    LOCF idiom and stays a single exchange keyed on the key column.
+    """
+    b = events.groupBy(
+        F.col(key_col).alias("k"), F.date_trunc(bucket, F.col(ts_col)).alias("bt")
+    ).agg(F.round(F.avg(value_col), 6).alias("v"))
+    grid = (
+        b.groupBy("k")
+        .agg(F.min("bt").alias("lo"), F.max("bt").alias("hi"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval 1 {bucket}"))
+            ).alias("bt"),
+        )
+    )
+    joined = grid.join(b, ["k", "bt"], "left")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        F.col("bt").alias("bucket_ts"),
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+        F.col("v").isNull().alias("filled"),
+    )

@@ -96,3 +96,27 @@ def test_scd2_intervals_contiguous(spark):
         assert versions[-1]["effective_to"] is None
         for prev, nxt in zip(versions, versions[1:]):
             assert prev["effective_to"] == nxt["effective_from"]
+
+
+def test_gap_fill_forward_fills_missing_buckets(spark):
+    import datetime as dt
+
+    from ala_name_matching_spark.operators.temporal import gap_fill
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 30)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(minutes=3), 40.0),  # minutes 1,2 missing
+        (2, t0, 7.0),                             # single-bucket key
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["bucket_ts"].minute): (r["value"], r["filled"])
+        for r in gap_fill(ev).collect()
+    }
+    assert got[(1, 0)] == (10.0, False)
+    assert got[(1, 1)] == (10.0, True)   # carried forward
+    assert got[(1, 2)] == (10.0, True)
+    assert got[(1, 3)] == (40.0, False)
+    assert got[(2, 0)] == (7.0, False)
+    assert len(got) == 5  # grid never extends past a key's own bounds
