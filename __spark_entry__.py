@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 77 of 83 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 78 of 84 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
                   unrolled-CTE replay of the SemDeDup k-means loop); the 6
@@ -874,6 +874,17 @@ def _q_fuzzy_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5, analyzer=phonetic_tokens_udf)
 
 
+def _q_chunk_documents(spark, sf_dir):
+    # RAG/pretrain chunker: 32-token windows, stride 24 (overlap 8); the
+    # stride grid is extended one step past n-chunk+1 so the tail is
+    # always covered, and chunk_idx falls out of the grid arithmetic.
+    from ala_name_matching_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir).select("doc_id", "text"), chunk_tokens=32, stride=24
+    )
+
+
 def _q_gap_fill(spark, sf_dir):
     # hypertable gap-fill: per-user minute grid with forward-filled values
     from ala_name_matching_spark.operators.temporal import gap_fill
@@ -1315,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_pairs": _q_winnowing_pairs,
         "strip_dup_spans": _q_strip_dup_spans,
         "gap_fill_minutes": _q_gap_fill,
+        "chunk_documents": _q_chunk_documents,
         "table_checksum": _q_table_checksum,
         "char_entropy": _q_char_entropy,
         "issue_flags": _q_issue_flags,
@@ -1889,6 +1901,18 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
+        "chunk_documents": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            st AS (
+              SELECT doc_id, t,
+                     greatest(CAST(ceil((len(t) - 32) / 24) * 24 + 1 AS INT), 1)
+                       AS last_start
+              FROM toks)
+            SELECT doc_id,
+                   CAST((s.s - 1) / 24 AS INT) AS chunk_idx,
+                   array_to_string(t[s.s:s.s+31], ' ') AS chunk_text,
+                   len(t[s.s:s.s+31]) AS n_tokens
+            FROM st, unnest(generate_series(1, last_start, 24)) AS s(s)""",
         "gap_fill_minutes": """
             WITH b AS (
               SELECT user_id AS k, date_trunc('minute', ts) AS bt,

@@ -179,3 +179,53 @@ def mixture_weights(
         F.round(p, 6).alias("raw_share"),
         F.round(pa / F.sum(pa).over(everything), 6).alias("weight"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_tokens) -- fixed-size token windows
+    with overlap (stride < chunk_tokens): the RAG / pretraining chunker.
+    Complements pack_sequences (which concatenates ACROSS docs to a token
+    budget; this splits WITHIN docs to a context size).
+
+    Pure built-ins: the window starts are a sequence (1, 1+stride, ...)
+    capped so the final window is emitted exactly once even when the doc
+    tail is shorter than chunk_tokens; one posexplode_outer per doc
+    (staged tokens -- shingle_explode discipline). Map-only: no shuffle
+    at all; chunk rows inherit the input partitioning.
+    """
+    from ala_name_matching_spark.operators.dedup import tokens_col
+
+    n = F.size(F.col("__toks"))
+    # last start = the largest s in the stride grid with s <= n-chunk+1,
+    # floor'd to >= 1; short docs yield the single start 1
+    last_start = F.greatest(
+        (F.ceil((n - chunk_tokens) / stride) * stride + 1).cast("int"), F.lit(1)
+    )
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            "doc_id",
+            F.posexplode_outer(
+                F.transform(
+                    starts,
+                    lambda s: F.slice(F.col("__toks"), s, chunk_tokens),
+                )
+            ).alias("chunk_idx", "_ck"),
+        )
+        .where(F.col("_ck").isNotNull())
+        .select(
+            F.col("doc_id").alias(id_col),
+            "chunk_idx",
+            F.array_join("_ck", " ").alias("chunk_text"),
+            F.size("_ck").alias("n_tokens"),
+        )
+    )

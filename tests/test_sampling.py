@@ -94,3 +94,31 @@ def test_mixture_weights_math(spark):
     # alpha=1 preserves natural proportions
     nat = {r["source"]: r["weight"] for r in mixture_weights(docs, alpha=1.0).collect()}
     assert nat == {"A": 0.75, "B": 0.25}
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from ala_name_matching_spark.operators.sampling import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(57))
+    docs = spark.createDataFrame([(0, text), (1, "short doc only")],
+                                 "doc_id bigint, text string")
+    got = sorted(
+        (r["chunk_idx"], r["chunk_text"].split()[0], r["n_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=32, stride=24)
+        .filter("doc_id = 0").collect()
+    )
+    # starts at 1, 25, 49 (grid extended past n-chunk+1 to cover the tail)
+    assert got == [(0, "t0", 32), (1, "t24", 32), (2, "t48", 9)]
+    # coverage: every token appears in at least one chunk
+    chunks = chunk_documents(docs, chunk_tokens=32, stride=24).filter("doc_id = 0")
+    seen = set()
+    for r in chunks.collect():
+        seen.update(r["chunk_text"].split())
+    assert seen == {f"t{i}" for i in range(57)}
+    # sub-chunk doc -> exactly one whole-text chunk
+    short = (
+        chunk_documents(docs, chunk_tokens=32, stride=24)
+        .filter("doc_id = 1")
+        .collect()
+    )
+    assert len(short) == 1 and short[0]["n_tokens"] == 3
