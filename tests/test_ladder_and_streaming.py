@@ -355,3 +355,49 @@ def test_streaming_index_update_bm25_parity(spark, tmp_path):
     direct = bm25_topk(union, queries, k=4).collect()
     key = lambda r: (r["query_id"], r["doc_id"], r["score"], r["rank"])
     assert sorted(map(key, from_index)) == sorted(map(key, direct))
+
+
+def test_streamed_index_compaction_preserves_scores(spark, tmp_path):
+    """Close the segment-merge loop: micro-batch appends accrete small
+    postings files; compact_table bin-packs them and BM25 scores are
+    byte-identical before/after (compaction is pure layout)."""
+    import glob
+
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.retrieval import (
+        bm25_topk_from_index,
+        build_index,
+    )
+    from ala_name_matching_spark.sources.readers import compact_table
+    from ala_name_matching_spark.streaming.incremental import streaming_index_update
+
+    idx = str(tmp_path / "cidx")
+    build_index(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": ["alpha beta gamma"]})
+        ),
+        idx,
+    )
+    src = str(tmp_path / "cin")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["beta delta x", "alpha y z", "delta q r"]})
+    ).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # 3 micro-batches -> many small files
+        .parquet(src)
+    )
+    streaming_index_update(stream, idx, str(tmp_path / "cckpt")).awaitTermination(120)
+
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [1, 2], "qtext": ["delta", "alpha beta"]})
+    )
+    key = lambda r: (r["query_id"], r["doc_id"], r["score"], r["rank"])
+    before = sorted(map(key, bm25_topk_from_index(spark, idx, queries).collect()))
+    n_before = len(glob.glob(f"{idx}/postings/*.parquet"))
+    stats = compact_table(spark, f"{idx}/postings")
+    n_after = len(glob.glob(f"{idx}/postings/*.parquet"))
+    after = sorted(map(key, bm25_topk_from_index(spark, idx, queries).collect()))
+    assert after == before
+    assert n_after < n_before, (n_before, n_after, stats)

@@ -13,3 +13,18 @@ def test_filter_and_projection_pushed_to_parquet(spark, tmp_path):
     assert "PushedFilters: [" in plan and "GreaterThan(doc_id,90)" in plan
     # column pruning: the scan schema must not include the text payload
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_chunk_documents_is_map_only(spark, tmp_path):
+    """The chunker's 'zero shuffle' claim, asserted on the executed plan."""
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.sampling import chunk_documents
+
+    path = str(tmp_path / "chunk_docs")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(50), "text": ["a b c d e f g h"] * 50})
+    ).write.parquet(path)
+    df = chunk_documents(spark.read.parquet(path), chunk_tokens=4, stride=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
