@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 78 of 84 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 79 of 85 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
                   unrolled-CTE replay of the SemDeDup k-means loop); the 6
@@ -1001,6 +1001,30 @@ def _q_ngram_containment(spark, sf_dir):
     )
 
 
+def _q_hard_negatives(spark, sf_dir):
+    # DPR-style hard-negative mining: per query (gold = its source doc),
+    # the top BM25 hits EXCLUDING the gold, re-ranked -- the standard
+    # contrastive-training negative set, composed on the retrieval engine.
+    from ala_name_matching_spark.operators.dedup import tokens_col
+    from ala_name_matching_spark.operators.retrieval import bm25_topk
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    q = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens_col(F.col("text")), 1, 3), " ").alias("qtext"),
+    )
+    res = bm25_topk(d, q, k=6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select("query_id", "doc_id", "score", "neg_rank")
+    )
+
+
 def _q_char_entropy(spark, sf_dir):
     from ala_name_matching_spark.operators.text_analysis import char_entropy
 
@@ -1319,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_containment": _q_prefix_containment,
         "bm25_topk": _q_bm25_topk,
         "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
+        "hard_negatives": _q_hard_negatives,
         "ngram_containment": _q_ngram_containment,
         "phrase_match": _q_phrase_match,
         "order_cube": _q_order_cube,
@@ -2043,6 +2068,46 @@ def oracle_sql() -> dict[str, str]:
               FROM votes GROUP BY 1, 2, 3, 4)
             SELECT query_id, doc_id, count(*) AS n_hits
             FROM full_starts WHERE c = nq GROUP BY 1, 2""",
+        "hard_negatives": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            posts AS (
+              SELECT doc_id, u.term, count(*) AS tf
+              FROM toks, unnest(t) AS u(term)
+              WHERE u.term <> '' GROUP BY doc_id, u.term),
+            dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+            ncnt AS (SELECT count(*) AS n FROM documents),
+            stats AS (SELECT avg(dl) AS avgdl FROM dl),
+            dft AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+            qterms AS (
+              SELECT doc_id AS query_id, u.term
+              FROM toks, unnest(list_distinct(t[1:3])) AS u(term)
+              WHERE doc_id % 25 = 0 AND u.term <> ''),
+            scored AS (
+              SELECT q.query_id, p.doc_id,
+                     round(sum(
+                       ln(1 + (n.n - d.df + 0.5) / (d.df + 0.5)) *
+                       p.tf * (1.2 + 1) /
+                       (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+                     ), 6) AS score
+              FROM posts p
+              JOIN qterms q USING (term)
+              JOIN dft d USING (term)
+              JOIN dl l ON p.doc_id = l.doc_id
+              CROSS JOIN ncnt n CROSS JOIN stats s
+              GROUP BY q.query_id, p.doc_id),
+            top6 AS (
+              SELECT query_id, doc_id, score FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY score DESC, doc_id) AS rank
+                FROM scored) WHERE rank <= 6)
+            SELECT query_id, doc_id, score, neg_rank FROM (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS neg_rank
+              FROM top6 WHERE doc_id <> query_id) WHERE neg_rank <= 5""",
         "ngram_containment": f"""
             WITH aug AS (
               SELECT doc_id, text FROM documents
