@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 79 of 85 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 80 of 86 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
                   unrolled-CTE replay of the SemDeDup k-means loop); the 6
@@ -874,6 +874,25 @@ def _q_fuzzy_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5, analyzer=phonetic_tokens_udf)
 
 
+def _q_frame_schedule(spark, sf_dir):
+    # multimodal scheduling lane, metadata-only: media rows synthesized
+    # deterministically from doc_id arithmetic (kind cycle, duration from
+    # n_chars) so the schedule itself is oracle-checkable; the payload
+    # never enters the plan (column pruning keeps binaries on disk).
+    from ala_name_matching_spark.operators.multimodal import frame_schedule
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        (F.col("n_chars") * 7 % 4000).cast("int").alias("duration_ms"),
+    )
+    return frame_schedule(media, every_ms=200)
+
+
 def _q_chunk_documents(spark, sf_dir):
     # RAG/pretrain chunker: 32-token windows, stride 24 (overlap 8); the
     # stride grid is extended one step past n-chunk+1 so the tail is
@@ -1352,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_spans": _q_strip_dup_spans,
         "gap_fill_minutes": _q_gap_fill,
         "chunk_documents": _q_chunk_documents,
+        "frame_schedule": _q_frame_schedule,
         "table_checksum": _q_table_checksum,
         "char_entropy": _q_char_entropy,
         "issue_flags": _q_issue_flags,
@@ -1926,6 +1946,18 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
+        "frame_schedule": """
+            WITH media AS (
+              SELECT doc_id AS media_id,
+                     ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+                       AS kind,
+                     CAST(n_chars * 7 % 4000 AS INT) AS duration_ms
+              FROM documents)
+            SELECT media_id, kind,
+                   CAST(g.g / 200 AS INT) AS frame_idx,
+                   CAST(g.g AS INT) AS frame_ts_ms
+            FROM media, unnest(generate_series(0, duration_ms - 1, 200)) AS g(g)
+            WHERE kind <> 'image' AND duration_ms > 0""",
         "chunk_documents": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             st AS (

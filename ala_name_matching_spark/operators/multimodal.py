@@ -168,3 +168,23 @@ def resize_media(
 
     imgs = media.filter(F.col("kind") == "image")
     return imgs.repartition("media_id").mapInPandas(run, schema=schema)
+
+
+def frame_schedule(media: DataFrame, every_ms: int = 200) -> DataFrame:
+    """(media_id, kind, frame_idx, frame_ts_ms) -- the deterministic
+    sampling schedule for timed media, metadata-only (never touches the
+    payload column, so Parquet column pruning keeps the binary bytes on
+    disk). This is the plan-side half of frame_sample: at scale you
+    compute/join/store schedules freely and only the final decode stage
+    (the stubbed Arrow kernel) reads payload bytes. JVM sequence explode;
+    map-only."""
+    timed = media.filter(
+        (F.col("kind") != "image") & (F.col("duration_ms") > 0)
+    )
+    return timed.select(
+        "media_id",
+        "kind",
+        F.posexplode_outer(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_idx", "frame_ts_ms"),
+    ).where(F.col("frame_ts_ms").isNotNull())

@@ -62,3 +62,25 @@ def test_resize_media_stub_raises(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|PIL"):
         resize_media(synth_media(spark, n=3), fake=False).collect()
+
+
+def test_frame_schedule_matches_frame_sample_grid(spark):
+    """The metadata-only schedule must enumerate exactly the timestamps the
+    payload-reading frame_sample stub emits -- plan-side and decode-side
+    halves cannot drift."""
+    from ala_name_matching_spark.operators.multimodal import (
+        frame_sample,
+        frame_schedule,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=9)
+    sched = {
+        (r["media_id"], r["frame_ts_ms"])
+        for r in frame_schedule(media, every_ms=200).filter("kind = 'video'").collect()
+    }
+    sampled = {
+        (r["media_id"], r["frame_ts_ms"])
+        for r in frame_sample(media, every_ms=200, fake=True).collect()
+    }
+    assert sched == sampled and sched
