@@ -272,6 +272,7 @@ def phrase_match(
     query_id_col: str = "query_id",
     query_text_col: str = "qtext",
     analyzer=tokens_col,
+    anchored: bool = True,
 ) -> DataFrame:
     """(query_id, doc_id, n_hits) -- exact-phrase occurrences per doc.
 
@@ -279,12 +280,24 @@ def phrase_match(
     the postings on `term`, every match votes for the phrase start
     `pos - j`, and a start where the vote count equals the phrase length
     has ALL terms at consecutive positions. No string rescans, no
-    substring joins -- the corpus is touched once to build postings; the
-    query fan-out is a broadcast join exactly like bm25_topk. Overlapping
-    occurrences count separately (each has its own start). Works under
-    any analyzer, including the phonetic one (fuzzy phrase search).
+    substring joins; overlapping occurrences count separately (each has
+    its own start). Works under any analyzer, including the phonetic one
+    (fuzzy phrase search).
+
+    Rare-term anchoring (Lucene's lead-iterator discipline): a full-phrase
+    start MUST carry the query's LOWEST-df term at its slot, so the vote
+    stream is pre-filtered with a broadcast semi-join against the anchor
+    starts (postings of each query's rarest term, shifted by its slot).
+    This turns the big (query, doc, start) aggregation from sum-of-all-
+    posting-lists into |rarest-term postings| x phrase length -- the
+    decisive bound when every term is frequent (small vocabularies,
+    stopword phrases). The anchor table must be driver-collectable
+    (|postings of the rarest term| rows); for queries whose rarest term
+    is still huge, fall back to the unanchored form by passing
+    anchored=False.
     """
     posts = build_positional_postings(docs, id_col, text_col, analyzer)
+    posts.persist()
     qt = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -300,6 +313,26 @@ def phrase_match(
     votes = posts.join(F.broadcast(qt), "term").select(
         "query_id", "doc_id", (F.col("pos") - F.col("j")).alias("start"), "nq"
     )
+    if anchored:
+        # anchor = each query's lowest-df term (ties: lowest slot j); its
+        # postings, shifted by the slot, enumerate every POSSIBLE start
+        df_t = posts.groupBy("term").agg(F.count("*").alias("_df"))
+        df_q = df_t.join(F.broadcast(qt.select("term").distinct()), "term")
+        qdf = qt.join(F.broadcast(df_q), "term")
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("_df").asc(), F.col("j").asc()
+        )
+        rarest = (
+            qdf.withColumn("_rk", F.row_number().over(wq))
+            .filter(F.col("_rk") == 1)
+            .select("query_id", "term", F.col("j").alias("_ja"))
+        )
+        anchors = posts.join(F.broadcast(rarest), "term").select(
+            "query_id", "doc_id", (F.col("pos") - F.col("_ja")).alias("start")
+        )
+        votes = votes.join(
+            F.broadcast(anchors), ["query_id", "doc_id", "start"], "left_semi"
+        )
     full = (
         votes.groupBy("query_id", "doc_id", "start", "nq")
         .agg(F.count("*").alias("_c"))
