@@ -1405,11 +1405,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+def _unesc_sql(expr: str) -> str:
+    # F11 entity pass, mirroring normalize.HTML_ENTITIES (amp last)
+    for src, dst in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+    ]:
+        expr = f"replace({expr}, '{src}', '{dst}')"
+    return expr
+
+
 _CANON = (
     "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-    "regexp_replace(lower("
-    + _NORM
-    + "), '\\b(?:re|fwd|fw|aka|sic|etc)[.:]\\s*|\\[(?:sic|edited)\\]', ' ', 'g'),"
+    "regexp_replace("
+    + _unesc_sql("lower(" + _NORM + ")")
+    + ", '\\b(?:re|fwd|fw|aka|sic|etc)[.:]\\s*|\\[(?:sic|edited)\\]', ' ', 'g'),"
     " '\\[[^\\]]*\\]|\\{[^}]*\\}', ' ', 'g'),"  # F11 bracket pass
     " '\\band\\b', ' ', 'g'),"  # F11 author-and fold
     " '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))"

@@ -170,6 +170,24 @@ MARKER_PATTERN = r"(?i)\b(?:re|fwd|fw|aka|sic|etc)[.:]\s*|\[(?:sic|edited)\]"
 BRACKET_PATTERN = r"\[[^\]]*\]|\{[^}]*\}"
 AUTHOR_AND_PATTERN = r"\band\b"
 
+# F11 entity pass (the reference's builder normalise runs HTML unescape
+# before its other passes -- StringEscapeUtils.unescapeHtml4 at
+# ALANameAnalyser.java:652-665). Named entities only; &amp; decodes LAST so
+# double-encoded text ("&amp;lt;") naively resolves in one sweep the same
+# way the reference's single unescape call does. The decoded characters are
+# punctuation, so the canon punctuation pass then strips them.
+HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def html_unescape_col(col: Column) -> Column:
+    """F11 -- literal named-entity decode (chained replace, all JVM)."""
+    for src, dst in HTML_ENTITIES:
+        col = F.replace(col, F.lit(src), F.lit(dst))
+    return col
+
 
 def canon_text_from_norm(norm: Column) -> Column:
     """F12 canonical chain applied to an ALREADY-normalized column.
@@ -179,7 +197,7 @@ def canon_text_from_norm(norm: Column) -> Column:
     computing norm->canon->key as a chain of column references instead of
     three independent from-raw-text expressions cut p1's JVM regex work
     ~2.5x)."""
-    c = F.lower(norm)
+    c = html_unescape_col(F.lower(norm))  # F11 entity pass (lowercase forms)
     c = F.regexp_replace(c, MARKER_PATTERN, " ")
     c = F.regexp_replace(c, BRACKET_PATTERN, " ")  # F11 bracket pass
     c = F.regexp_replace(c, AUTHOR_AND_PATTERN, " ")  # F11 and-fold

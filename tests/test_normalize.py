@@ -140,3 +140,30 @@ def test_f11_builder_passes(spark):
     assert out[0] == out[1] == out[2] == "smith jones reviewed it"
     assert out[3] == out[4] == out[5] == "deploy done today"
     assert out[6] == "andover sandy land"
+
+
+def test_canon_html_unescape_pass(spark):
+    """F11 entity pass: encoded and decoded forms share one canon form;
+    double-encoded &amp;lt; resolves in the same single sweep as the
+    reference's one unescapeHtml4 call."""
+    from pyspark.sql import functions as F
+
+    from ala_name_matching_spark.functions.normalize import canon_text_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "Tom &amp; Jerry"),
+            (2, "Tom & Jerry"),
+            (3, "a &lt;b&gt; c"),
+            (4, 'say &quot;hi&quot; &apos;now&apos;'),
+            (5, "x&nbsp;y"),
+            (6, "&amp;lt;tag&amp;gt;"),
+        ],
+        "id bigint, text string",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", canon_text_col(F.col("text")).alias("c")).collect()}
+    assert got[1] == got[2] == "tom jerry"
+    assert got[3] == "a b c"
+    assert got[4] == "say hi now"
+    assert got[5] == "x y"
+    assert got[6] == "lt tag gt"  # naive single sweep, documented
