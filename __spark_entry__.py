@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 80 of 86 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 82 of 88 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key and an
                   unrolled-CTE replay of the SemDeDup k-means loop); the 6
@@ -960,6 +960,21 @@ def _q_skew_salted_join(spark, sf_dir):
     )
 
 
+def _q_event_pivot(spark, sf_dir):
+    # relational pivot: per-user event-type counts as columns. The value
+    # list is pinned (Catalyst otherwise runs an extra distinct job to
+    # discover it -- never do that at 100 TB); oracle is the conditional-
+    # aggregation form pivot desugars to.
+    ev = _read(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )
+
+
 def _q_order_cube(spark, sf_dir):
     # OLAP cube: all 4 grouping-set combinations in one pass (Expand, not
     # 4 scans); NULL marks the rolled-up level (status/priority never null
@@ -1366,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _q_ngram_containment,
         "phrase_match": _q_phrase_match,
         "order_cube": _q_order_cube,
+        "event_pivot": _q_event_pivot,
         "skew_salted_join": _q_skew_salted_join,
         "winnowing_pairs": _q_winnowing_pairs,
         "strip_dup_spans": _q_strip_dup_spans,
@@ -2070,6 +2086,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS shared_fps
             FROM fk a JOIN fk b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 3""",
+        "event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY user_id""",
         "skew_salted_join": """
             WITH ev AS (
               SELECT event_id, value,

@@ -28,3 +28,26 @@ def test_chunk_documents_is_map_only(spark, tmp_path):
     df = chunk_documents(spark.read.parquet(path), chunk_tokens=4, stride=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """A lang-partitioned write must let Catalyst prune directories at scan
+    time: the filter appears as a PartitionFilter, not a data Filter."""
+    import pandas as pd
+
+    path = str(tmp_path / "part_docs")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(90),
+            "text": ["x"] * 90,
+            "lang": (["en"] * 30 + ["fr"] * 30 + ["de"] * 30),
+        }
+    )
+    spark.createDataFrame(pdf).write.partitionBy("lang").parquet(path)
+    df = spark.read.parquet(path).filter("lang = 'fr'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert df.count() == 30
+    # and the pruned scan reads only the fr directory
+    scan_line = [l for l in plan.splitlines() if "Location" in l or "PartitionFilters" in l]
+    assert any("fr" in l or "PartitionFilters" in l for l in scan_line)
