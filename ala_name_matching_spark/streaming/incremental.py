@@ -326,3 +326,77 @@ def streaming_index_update(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_semdedup_match(
+    stream: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+):
+    """Streaming SemDeDup: arriving vectors are assigned to the CORPUS
+    k-means clusters and checked against the persisted members of their
+    own cluster only -- the batch semdedup's query-vs-index twin (exactly
+    the streaming_neardup_match pattern: expensive index once, per-batch
+    work bounded by the batch x its clusters).
+
+    The centroid matrix and the cluster-partitioned corpus are computed
+    once up front (in production: the committed semdedup index tables).
+    Per micro-batch: one Arrow matmul to assign, an equi-join on
+    cluster_id against the persisted members, exact cosine verify.
+    Appends (vec_id, corpus_vec_id, cluster_id, cosine, epoch)
+    exactly-once via the foreachBatch checkpoint.
+    """
+    from ala_name_matching_spark.operators.semdedup import (
+        _assign_udf,
+        kmeans_fit,
+        unit_rounded_col,
+    )
+    from ala_name_matching_spark.operators.similarity_search import cosine_col
+
+    if dim is None:
+        dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
+    cv = corpus.select(
+        F.col(id_col).alias("corpus_vec_id"), unit_rounded_col(F.col(vec_col)).alias("cnv")
+    )
+    cv.persist()
+    cents = kmeans_fit(
+        cv.select(F.col("corpus_vec_id").alias("vec_id"), F.col("cnv").alias("nv")),
+        n_clusters,
+        iters,
+        dim,
+    )
+    assign = _assign_udf(cents)
+    members = cv.withColumn("cluster_id", assign(F.col("cnv")))
+    members.persist()
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        q = batch_df.select(
+            F.col(id_col).alias("vec_id"), unit_rounded_col(F.col(vec_col)).alias("qnv")
+        ).withColumn("cluster_id", assign(F.col("qnv")))
+        matched = (
+            q.join(members, "cluster_id")
+            .withColumn("cosine", F.round(cosine_col(F.col("qnv"), F.col("cnv")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_id", "corpus_vec_id", "cluster_id", "cosine")
+        )
+        (
+            matched.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

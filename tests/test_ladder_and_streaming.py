@@ -401,3 +401,44 @@ def test_streamed_index_compaction_preserves_scores(spark, tmp_path):
     after = sorted(map(key, bm25_topk_from_index(spark, idx, queries).collect()))
     assert after == before
     assert n_after < n_before, (n_before, n_after, stats)
+
+
+def test_streaming_semdedup_match(spark, tmp_path):
+    """Arriving vectors match persisted corpus near-dups WITHIN their
+    k-means cluster: a colinear copy of a corpus vector matches it; an
+    orthogonal novel vector matches nothing."""
+    import numpy as np
+    import pandas as pd
+
+    from ala_name_matching_spark.streaming.incremental import streaming_semdedup_match
+
+    rng = np.random.RandomState(21)
+    base = rng.standard_normal((30, 16))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(30)],
+        "vec_id bigint, embedding array<double>",
+    )
+    src = str(tmp_path / "sd_in")
+    stream_rows = [
+        (100, [float(x) for x in base[7] * 3.0]),  # colinear with corpus 7
+        (101, [float(x) for x in rng.standard_normal(16)]),  # novel
+    ]
+    spark.createDataFrame(
+        stream_rows, "vec_id bigint, embedding array<double>"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "sd_out")
+    q = streaming_semdedup_match(
+        stream, corpus, out, str(tmp_path / "sd_ckpt"), n_clusters=4, threshold=0.95
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["vec_id"], r["corpus_vec_id"]): r["cosine"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (100, 7) in got and got[(100, 7)] >= 0.999999
+    assert not any(v == 101 for v, _ in got)
