@@ -888,6 +888,11 @@ def winnow_fingerprints(
             ).alias("pos0", "gram"),
         )
         .where(F.col("gram").isNotNull())
+        # the combined-key encoding reserves 2^20 positions; grams past
+        # that (docs > ~1M tokens) would silently alias -- drop them
+        # explicitly instead (fingerprinting the first 1M grams of a
+        # megadoc is the right behavior anyway)
+        .where(F.col("pos0") + 1 < _WIN_POS_MOD)
     )
     h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
     pos = F.col("pos0") + 1  # 1-based, mirrors the oracle's generate_series

@@ -90,10 +90,13 @@ def content_checksum(
     multiset difference escapes detection only if hash sums coincide,
     ~2^-32 per differing row under the uniform-prefix model.
     """
+    # nulls get an explicit sentinel: concat_ws SKIPS null columns, which
+    # would make (a, null, b) collide with (a, b, null) -- and SQL engines'
+    # `||` instead nulls the whole row. The sentinel makes both engines
+    # hash the same bytes and keeps null placement significant.
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in cols]
     row_h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", *[F.col(c) for c in cols])), 1, 8),
-        16,
-        10,
+        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8), 16, 10
     ).cast("long")
     keys = [group_col] if group_col else []
     return (

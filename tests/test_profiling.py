@@ -43,3 +43,13 @@ def test_content_checksum_order_invariant_and_sensitive(spark):
     c = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k bigint, v string")
     cc = content_checksum(c, ["k", "v"]).first()
     assert cc["checksum"] != ca["checksum"] and cc["n_rows"] == ca["n_rows"]
+
+
+def test_content_checksum_null_placement_significant(spark):
+    from ala_name_matching_spark.operators.profiling import content_checksum
+
+    a = spark.createDataFrame([(1, None, "b")], "k bigint, x string, y string")
+    b = spark.createDataFrame([(1, "b", None)], "k bigint, x string, y string")
+    ca = content_checksum(a, ["k", "x", "y"]).first()["checksum"]
+    cb = content_checksum(b, ["k", "x", "y"]).first()["checksum"]
+    assert ca != cb  # concat_ws would silently collide these
