@@ -87,3 +87,42 @@ def test_udf_struct_output(spark):
     assert tuple(got["smith"]) == ("SM0", "XMT")
     assert tuple(got["schmidt"]) == ("XMT", "SMT")
     assert got[None]["primary"] is None and got[None]["alternate"] is None
+
+
+# Extended pinned corpus: common surnames + rule-corner words. Derived by
+# hand-walking the published rule cascade (CIA->S/X, -ough silents, CC
+# palatalization, slavo-germanic W/CZ, pinyin ZH...); frozen here so any
+# cascade edit that changes an encoding must justify itself.
+EXTENDED = {
+    "jones": ("JNS", "ANS"),
+    "brown": ("PRN", "PRN"),
+    "garcia": ("KRS", "KRX"),
+    "rodriguez": ("RTRK", "RTRK"),
+    "nguyen": ("NKN", "NKN"),
+    "wright": ("RT", "RT"),
+    "knox": ("NKS", "NKS"),
+    "campbell": ("KMPL", "KMPL"),
+    "sanchez": ("SNXS", "SNKS"),
+    "chavez": ("XFS", "XFS"),
+    "rivera": ("RFR", "RFR"),
+    "gomez": ("KMS", "KMS"),
+    "diaz": ("TS", "TS"),
+    "cruz": ("KRS", "KRS"),
+    "ortiz": ("ARTS", "ARTS"),
+    "cagney": ("KKN", "KKN"),
+    "gebhart": ("KPRT", "JPRT"),
+    "bough": ("P", "P"),
+    "ranger": ("RNJR", "RNKR"),
+    "danger": ("TNJR", "TNKR"),
+    "wachowski": ("AKSK", "FKFS"),
+    "czerny": ("SRN", "XRN"),
+    "focaccia": ("FKX", "FKX"),
+    "zhivago": ("JFK", "JFK"),
+    "jose maria": ("HSMR", "HSMR"),
+    "mcclellan": ("MKLL", "MKLL"),
+}
+
+
+def test_extended_goldens():
+    for word, expected in EXTENDED.items():
+        assert double_metaphone(word) == expected, word
