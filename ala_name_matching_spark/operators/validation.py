@@ -237,3 +237,52 @@ def spelling_collision_qa(
         )
         .filter(F.col("n_variants") > 1)
     )
+
+
+def dm_fuzzy_lookup(
+    index: DataFrame,
+    queries: DataFrame,
+    name_col: str = "name",
+    query_col: str = "name",
+    k: int = 5,
+) -> DataFrame:
+    """Double-Metaphone fuzzy name lookup: block on the UNION of primary
+    and alternate keys from both sides, rerank candidates by vectorized
+    Jaro-Winkler. The cross-spelling second-chance bucket in action:
+    SMITH's alternate (XMT) meets SCHMIDT's primary, so Germanic/Anglo
+    spelling variants pair without any all-pairs scan -- the DM analog of
+    the J4 soundex blocking + A1 rerank ladder the reference runs
+    (fuzzy searches over phonetically-blocked candidates only).
+
+    Output: (query, name, jw, rank) -- top-k per query, A2 tie-break.
+    """
+    from ala_name_matching_spark.functions.double_metaphone import (
+        double_metaphone_udf,
+    )
+    from ala_name_matching_spark.functions.similarity import jaro_winkler_udf
+
+    def keyed(df: DataFrame, col: str, out: str) -> DataFrame:
+        return (
+            df.select(F.col(col).alias(out), double_metaphone_udf(F.col(col)).alias("_dm"))
+            .select(
+                out,
+                F.explode(
+                    F.array_distinct(F.array("_dm.primary", "_dm.alternate"))
+                ).alias("dm_key"),
+            )
+            .filter(F.col("dm_key") != "")
+        )
+
+    cands = (
+        keyed(queries, query_col, "query")
+        .join(keyed(index, name_col, "name"), "dm_key")
+        .select("query", "name")
+        .distinct()
+        .withColumn("jw", F.round(jaro_winkler_udf(F.col("query"), F.col("name")), 6))
+    )
+    w = Window.partitionBy("query").orderBy(F.col("jw").desc(), F.col("name").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query", "name", "jw", "rank")
+    )

@@ -203,3 +203,22 @@ def test_error_catalog_integrity():
     # and the catalog itself covers the reference's core enum families
     assert {"HOMONYM", "EXCLUDED", "ASSOCIATED_EXCLUDED", "MISAPPLIED",
             "PARENT_CHILD_SYNONYM", "QUESTION"} <= set(ERROR_CATALOG)
+
+
+def test_dm_fuzzy_lookup_cross_spelling(spark):
+    from ala_name_matching_spark.operators.validation import dm_fuzzy_lookup
+
+    index = spark.createDataFrame(
+        [("schmidt",), ("smith",), ("jones",), ("garcia",)], "name string"
+    )
+    queries = spark.createDataFrame([("smyth",), ("garsia",)], "name string")
+    got = {}
+    for r in dm_fuzzy_lookup(index, queries, k=3).collect():
+        got.setdefault(r["query"], []).append((r["rank"], r["name"]))
+    # smyth blocks with smith (shared SM0/XMT) AND schmidt (alternate XMT);
+    # JW reranks smith first
+    smyth = [n for _, n in sorted(got["smyth"])]
+    assert smyth[0] == "smith" and "schmidt" in smyth
+    # garsia: CIA fold -> same S-key family as garcia
+    assert [n for _, n in sorted(got["garsia"])][0] == "garcia"
+    assert "jones" not in {n for ns in got.values() for _, n in ns}
