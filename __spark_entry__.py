@@ -1669,7 +1669,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_documents": " UNION ALL ".join(
             f"""
             SELECT '{c}' AS col_name, count(*) AS n,
-                   sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_null,
                    count(DISTINCT {c}) AS n_distinct,
                    CAST(min({c}) AS VARCHAR) AS min_str,
                    CAST(max({c}) AS VARCHAR) AS max_str
@@ -1692,7 +1693,8 @@ def oracle_sql() -> dict[str, str]:
             bg AS (
               SELECT doc_id, unnest(bigrams) AS bg FROM base),
             counts AS (
-              SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS n_bigrams
+              SELECT doc_id, max(c) AS top_bigram_count,
+                     CAST(sum(c) AS BIGINT) AS n_bigrams
               FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
               GROUP BY 1)
             SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
@@ -1883,7 +1885,8 @@ def oracle_sql() -> dict[str, str]:
             per AS (
               SELECT user_id, session_id, count(*) AS n_events
               FROM s GROUP BY user_id, session_id)
-            SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events
+            SELECT user_id, count(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events
             FROM per GROUP BY user_id""",
         "windowed_counts": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -1965,7 +1968,7 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS cum
               FROM m)
             SELECT doc_id, shard, n_tokens,
-                   cum - n_tokens AS start_offset,
+                   CAST(cum - n_tokens AS BIGINT) AS start_offset,
                    CAST(floor((cum - n_tokens) / 64) AS BIGINT) AS seq_start,
                    CAST(floor((cum - 1) / 64) AS BIGINT) AS seq_end,
                    floor((cum - n_tokens) / 64) != floor((cum - 1) / 64) AS spans_boundary
@@ -2110,10 +2113,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         "table_checksum": """
             SELECT l_returnflag, count(*) AS n_rows,
-                   sum(CAST(('0x' || substr(md5(
+                   CAST(sum(CAST(('0x' || substr(md5(
                          l_orderkey || '|' || l_partkey || '|' || l_suppkey
                          || '|' || l_linenumber || '|' || l_shipdate), 1, 8))
-                       AS BIGINT)) AS checksum
+                       AS BIGINT)) AS BIGINT) AS checksum
             FROM lineitem GROUP BY l_returnflag""",
         "phrase_match": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -2464,12 +2467,14 @@ def oracle_sql() -> dict[str, str]:
                      + 2 * row_number() OVER (PARTITION BY c.pid ORDER BY c.id)
                      - 1 AS lft
               FROM c JOIN npos ON c.pid = npos.id)
-            SELECT id AS node_id, lft, lft + 2 * size - 1 AS rgt, 0 AS depth
+            SELECT id AS node_id, CAST(lft AS BIGINT) AS lft,
+                   CAST(lft + 2 * size - 1 AS BIGINT) AS rgt, 0 AS depth
             FROM rpos
             UNION ALL
-            SELECT id, lft, lft + 2 * size - 1, 1 FROM npos
+            SELECT id, CAST(lft AS BIGINT), CAST(lft + 2 * size - 1 AS BIGINT), 1
+            FROM npos
             UNION ALL
-            SELECT id, lft, lft + 1, 2 FROM cpos""",
+            SELECT id, CAST(lft AS BIGINT), CAST(lft + 1 AS BIGINT), 2 FROM cpos""",
         # exact token-3-gram Jaccard over ALL pairs >= 0.4: valid as the LSH
         # query's oracle because at 16 hashes / 8 bands the planted near-dup
         # pairs (J > 0.9) have candidate probability ~1 -- verified
@@ -2596,7 +2601,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": f"""
             WITH agg AS (
               SELECT source, count(*) AS n_docs,
-                     sum(len(string_split({_NORM}, ' '))) AS n_tokens
+                     CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
               FROM documents GROUP BY source
             ), shares AS (
               SELECT source, n_docs, n_tokens,

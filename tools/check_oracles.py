@@ -67,8 +67,19 @@ def main():
                 print(f"[rows-only] {name}: {len(svals)} rows")
                 continue
             rel = con.sql(oracles[name])
-            dcols, dvals = frame_to_rows([d[0] for d in rel.description], rel.fetchall())
             status = []
+            # Regression guard (VERDICT r02 #1): DuckDB HUGEINT (int128)
+            # serializes differently from BIGINT in the driver's hasher, so
+            # an oracle emitting HUGEINT hash-mismatches even when values are
+            # bit-identical. Every integer aggregate must be CAST AS BIGINT.
+            hug = [
+                d[0]
+                for d, t in zip(rel.description, rel.types)
+                if "HUGEINT" in str(t).upper()
+            ]
+            if hug:
+                status.append(f"HUGEINT columns {hug} (cast to BIGINT in oracle)")
+            dcols, dvals = frame_to_rows([d[0] for d in rel.description], rel.fetchall())
             if scols != dcols:
                 status.append(f"SCHEMA spark={scols} duck={dcols}")
             if len(svals) != len(dvals):
