@@ -170,9 +170,11 @@ MARKER_PATTERN = r"(?i)\b(?:re|fwd|fw|aka|sic|etc)[.:]\s*|\[(?:sic|edited)\]"
 BRACKET_PATTERN = r"\[[^\]]*\]|\{[^}]*\}"
 AUTHOR_AND_PATTERN = r"\band\b"
 
-# F11 entity pass (the reference's builder normalise runs HTML unescape
-# before its other passes -- StringEscapeUtils.unescapeHtml4 at
-# ALANameAnalyser.java:652-665). Named entities only; &amp; decodes LAST so
+# F11 entity pass. The reference's only HTML-entity handling is the ' &AMP; '
+# -> ' & ' fold in TaxonNameSoundEx.treatWord:65; the five additional named
+# entities here are an INTENTIONAL extension beyond the reference (web-scraped
+# transcript text carries them routinely, taxonomic source files do not).
+# &amp; decodes LAST so
 # double-encoded text ("&amp;lt;") naively resolves in one sweep the same
 # way the reference's single unescape call does. The decoded characters are
 # punctuation, so the canon punctuation pass then strips them.

@@ -416,7 +416,22 @@ def salted_join(
 
     This is the relational generalization of the ER block salting
     (salt_and_cap_blocks above) -- same trick, join-shaped.
+
+    Only fact-preserving join types are supported: with the dim side
+    replicated n_salts times, a right/full join would emit each UNMATCHED
+    dim row once per replica (matched rows are fine -- each fact row meets
+    exactly one replica -- but dim rows with no fact partner survive in all
+    n_salts copies).
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched dim rows "
+            f"{n_salts}x (dim side is replicated); use one of {sorted(allowed)}"
+        )
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -816,30 +816,44 @@ def ngram_containment_pairs(
         )
         sh = sh.join(F.broadcast(keep), "g")
     sh = sh.persist()
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    shared = (
-        sh.select("g", F.col("doc_id").alias("doc_id_l"))
-        .join(sh.select("g", F.col("doc_id").alias("doc_id_r")), "g")
-        .filter(F.col("doc_id_l") < F.col("doc_id_r"))
-        .groupBy("doc_id_l", "doc_id_r")
-        .agg(F.count("*").alias("shared"))
-    )
-    return (
-        shared.join(
-            cnt.select(F.col("doc_id").alias("doc_id_l"), F.col("n_sh").alias("n_l")),
-            "doc_id_l",
+    try:
+        cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        shared = (
+            sh.select("g", F.col("doc_id").alias("doc_id_l"))
+            .join(sh.select("g", F.col("doc_id").alias("doc_id_r")), "g")
+            .filter(F.col("doc_id_l") < F.col("doc_id_r"))
+            .groupBy("doc_id_l", "doc_id_r")
+            .agg(F.count("*").alias("shared"))
         )
-        .join(
-            cnt.select(F.col("doc_id").alias("doc_id_r"), F.col("n_sh").alias("n_r")),
-            "doc_id_r",
+        out = (
+            shared.join(
+                cnt.select(
+                    F.col("doc_id").alias("doc_id_l"), F.col("n_sh").alias("n_l")
+                ),
+                "doc_id_l",
+            )
+            .join(
+                cnt.select(
+                    F.col("doc_id").alias("doc_id_r"), F.col("n_sh").alias("n_r")
+                ),
+                "doc_id_r",
+            )
+            .withColumn("containment_l", F.round(F.col("shared") / F.col("n_l"), 6))
+            .withColumn("containment_r", F.round(F.col("shared") / F.col("n_r"), 6))
+            .filter(
+                F.greatest(F.col("containment_l"), F.col("containment_r"))
+                >= threshold
+            )
+            .select(
+                "doc_id_l", "doc_id_r", "shared", "containment_l", "containment_r"
+            )
         )
-        .withColumn("containment_l", F.round(F.col("shared") / F.col("n_l"), 6))
-        .withColumn("containment_r", F.round(F.col("shared") / F.col("n_r"), 6))
-        .filter(
-            F.greatest(F.col("containment_l"), F.col("containment_r")) >= threshold
-        )
-        .select("doc_id_l", "doc_id_r", "shared", "containment_l", "containment_r")
-    )
+        # eager: the persisted shingle table feeds three consumers above;
+        # materialize the (small) pair result so the corpus-sized cache can
+        # be released instead of leaking across calls
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 # --- Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) --------

@@ -126,12 +126,20 @@ def bm25_topk(
         .agg(F.count("*").alias("tf"))
     )
     posts.persist()
-    dl = analyzed.select("doc_id", F.size("_toks").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    try:
+        dl = analyzed.select("doc_id", F.size("_toks").alias("dl"))
+        stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+        n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
 
-    qterms = query_terms(queries, query_id_col, query_text_col, analyzer)
-    return bm25_score_candidates(posts, dl, n_docs, avgdl, qterms, k, k1, b)
+        qterms = query_terms(queries, query_id_col, query_text_col, analyzer)
+        out = bm25_score_candidates(posts, dl, n_docs, avgdl, qterms, k, k1, b)
+        # materialize the (queries x k)-sized result eagerly so the big
+        # caches can be released before returning -- otherwise every call
+        # leaks corpus-sized cached blocks for the session's lifetime
+        return out.localCheckpoint(eager=True)
+    finally:
+        posts.unpersist()
+        analyzed.unpersist()
 
 
 def query_terms(
@@ -199,25 +207,37 @@ def build_index(
     maintenance sound (streaming/incremental.streaming_index_update):
     appending a batch's postings/doclen rows updates every downstream
     statistic by construction, no stats-rebuild job.
+
+    Layout: both tables are partitioned by `epoch` (the batch build writes
+    epoch=-1) so streaming appends (one partition per micro-batch, dynamic
+    overwrite -- see streaming/incremental._write_epoch_idempotent) land in
+    the SAME directory structure; mixing partitioned and unpartitioned files
+    under one root would break Spark's partition discovery.
     """
     analyzed = docs.select(
         F.col(id_col).alias("doc_id"), analyzer(F.col(text_col)).alias("_toks")
     )
     analyzed.persist()
-    (
-        analyzed.select("doc_id", F.explode_outer("_toks").alias("term"))
-        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/postings")
-    )
-    (
-        analyzed.select("doc_id", F.size("_toks").alias("dl"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/doclen")
-    )
-    analyzed.unpersist()
+    try:
+        (
+            analyzed.select("doc_id", F.explode_outer("_toks").alias("term"))
+            .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("epoch", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(f"{path}/postings")
+        )
+        (
+            analyzed.select("doc_id", F.size("_toks").alias("dl"))
+            .withColumn("epoch", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(f"{path}/doclen")
+        )
+    finally:
+        analyzed.unpersist()
 
 
 def bm25_topk_from_index(
@@ -233,8 +253,11 @@ def bm25_topk_from_index(
 ) -> DataFrame:
     """Query a persisted (possibly streaming-appended) index. Scores are
     identical to bm25_topk over the equivalent corpus (parity-tested)."""
-    posts = spark.read.parquet(f"{path}/postings")
-    dl = spark.read.parquet(f"{path}/doclen")
+    # column-explicit reads: the on-disk tables carry an `epoch` partition
+    # column (batch build = -1, one per streaming micro-batch) that scoring
+    # must not see
+    posts = spark.read.parquet(f"{path}/postings").select("term", "doc_id", "tf")
+    dl = spark.read.parquet(f"{path}/doclen").select("doc_id", "dl")
     stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
     qterms = query_terms(queries, query_id_col, query_text_col, analyzer)
     return bm25_score_candidates(
@@ -298,6 +321,22 @@ def phrase_match(
     """
     posts = build_positional_postings(docs, id_col, text_col, analyzer)
     posts.persist()
+    try:
+        return _phrase_match_body(
+            posts, queries, query_id_col, query_text_col, analyzer, anchored
+        )
+    finally:
+        posts.unpersist()
+
+
+def _phrase_match_body(
+    posts: DataFrame,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    analyzer,
+    anchored: bool,
+) -> DataFrame:
     qt = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -338,4 +377,8 @@ def phrase_match(
         .agg(F.count("*").alias("_c"))
         .filter(F.col("_c") == F.col("nq"))
     )
-    return full.groupBy("query_id", "doc_id").agg(F.count("*").alias("n_hits"))
+    out = full.groupBy("query_id", "doc_id").agg(F.count("*").alias("n_hits"))
+    # eager: the persisted postings are consumed here (twice when anchored),
+    # so the caller (phrase_match) can unpersist them on return instead of
+    # leaking a corpus-sized cache per call
+    return out.localCheckpoint(eager=True)

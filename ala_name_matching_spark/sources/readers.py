@@ -102,6 +102,7 @@ def compact_table(
     path: str,
     target_file_mb: int = 128,
     slack: float = 1.5,
+    collapse_partitions: dict | None = None,
 ) -> dict:
     """S3 -- small-file compaction of a parquet table directory (the
     reference's index optimize/forceMerge(1), DwcaNameIndexer.java:614-626;
@@ -125,6 +126,15 @@ def compact_table(
     after the tmp rewrite -- any concurrent change aborts the swap, leaving
     the original untouched and the tmp dir removed. A crash between delete
     and rename is recoverable from the tmp dir.
+
+    `collapse_partitions` handles tables whose layout is partitioned by a
+    lineage column (the retrieval index's `epoch`): pass {"epoch": -1} to
+    rewrite every partition's rows under the single given value while
+    KEEPING the partitionBy layout -- the Lucene forceMerge analogy
+    (segment identity is gone, directory contract preserved, so future
+    streaming appends still land in a consistent structure). Without it a
+    partitioned table would be rewritten flat and the next epoch=N append
+    would create a conflicting directory structure.
 
     Returns {files_before, bytes_total, files_after, compacted} (+
     skipped_reason when refused).
@@ -151,12 +161,18 @@ def compact_table(
     if len(files) <= n_target * slack:
         return stats
     tmp = path.rstrip("/") + "._compact_tmp"
-    (
-        spark.read.parquet(path)
-        .coalesce(n_target)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    df = spark.read.parquet(path)
+    if collapse_partitions:
+        for c, v in collapse_partitions.items():
+            df = df.withColumn(c, F.lit(v))
+        writer = (
+            df.coalesce(n_target)
+            .write.mode("overwrite")
+            .partitionBy(*collapse_partitions)
+        )
+    else:
+        writer = df.coalesce(n_target).write.mode("overwrite")
+    writer.parquet(tmp)
     # best-effort concurrent-writer guard: abort if the listing changed
     # while we rewrote (still a race window -- see docstring contract)
     if sorted(_list_data_files(spark, path)) != sorted(files):

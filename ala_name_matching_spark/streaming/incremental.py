@@ -3,8 +3,9 @@
 The reference is batch-only (index build + point queries; SURVEY.md §2.7
 "Streaming: none"). This module is the Spark-native extension the north_star
 architecture implies: new transcript turns arrive as a stream and are matched
-against the existing cluster state with the same tier ladder, exactly-once
-via foreachBatch.
+against the existing cluster state with the same tier ladder; sinks are
+effectively exactly-once (foreachBatch checkpoint + epoch-partitioned
+idempotent writes -- see _write_epoch_idempotent).
 
 Design for scale:
   * state (the clustered feature table) lives in the checkpointed table
@@ -31,6 +32,26 @@ TRANSCRIPT_DDL = (
 )
 
 
+def _write_epoch_idempotent(df: DataFrame, epoch_id: int, path: str) -> None:
+    """Idempotent micro-batch sink. foreachBatch's checkpoint guarantees
+    at-least-once INVOCATION, not exactly-once side effects: a batch that
+    fails after a partial parquet append is replayed with the same epoch_id,
+    and a plain `mode("append")` would then double-write its rows (for the
+    retrieval index that silently double-counts tf/df/N and corrupts every
+    BM25 score). Writing each batch under its `epoch=<id>` partition with
+    DYNAMIC partition overwrite makes the replay REPLACE its own partition
+    (orphan part-files from the failed attempt included) while leaving all
+    other epochs untouched -- append-only across epochs, idempotent within
+    one, which upgrades the sink to effectively-exactly-once."""
+    (
+        df.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(path)
+    )
+
+
 def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of transcript turns (parquet drops into `path`).
 
@@ -52,19 +73,15 @@ def incremental_match(
 ):
     """Match each arriving turn against the cluster-representative index.
 
-    foreachBatch applies the batch search ladder to the micro-batch --
-    exactly-once append of (query_id, index_id, score, match_type) to
-    `out_path`. Returns the StreamingQuery (caller stops it).
+    foreachBatch applies the batch search ladder to the micro-batch and
+    writes (query_id, index_id, score, match_type) to `out_path` --
+    effectively exactly-once via the epoch-partitioned idempotent sink
+    (_write_epoch_idempotent). Returns the StreamingQuery (caller stops it).
     """
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        matched = search_ladder(batch_df, index)
-        (
-            matched.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        _write_epoch_idempotent(search_ladder(batch_df, index), epoch_id, out_path)
 
     return (
         stream.writeStream.foreachBatch(handle)
@@ -200,7 +217,8 @@ def streaming_neardup_match(
     band keys (minhash_band_table -- the exact operator the batch self-join
     uses, so the two lanes cannot drift) are joined against the corpus band
     table, and candidates are verified with exact cross-table Jaccard.
-    Appends (doc_id_l=query, doc_id_r=corpus, jaccard, epoch) exactly-once.
+    Writes (doc_id_l=query, doc_id_r=corpus, jaccard, epoch) effectively
+    exactly-once (epoch-partitioned idempotent sink).
 
     SCALE: the corpus band table is computed ONCE and persisted (in
     production it is the committed index table, not a cache); per
@@ -233,11 +251,7 @@ def streaming_neardup_match(
         verified = jaccard_verify_cross(
             batch_df, corpus, cands, id_col, text_col, shingle_n, threshold
         )
-        (
-            verified.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        _write_epoch_idempotent(verified, epoch_id, out_path)
 
     return (
         stream.writeStream.foreachBatch(handle)
@@ -289,8 +303,12 @@ def streaming_index_update(
     "index continuously": Lucene soft-commits ~= micro-batch appends.
 
     Per-batch work is batch-sized (analyze + one partial-agg groupBy on
-    the new docs only); exactly-once comes from the foreachBatch
-    checkpoint. Assumes ids are not re-ingested (append-only corpus);
+    the new docs only). The foreachBatch checkpoint alone is only
+    at-least-once; effectively-exactly-once comes from writing each batch
+    under its epoch partition with dynamic overwrite
+    (_write_epoch_idempotent), so a replayed batch replaces -- not
+    re-appends -- its own postings/doclen rows, and tf/df/N stay exact.
+    Assumes ids are not re-ingested (append-only corpus);
     doc updates need a compact/rewrite pass, same as Lucene segment
     merging -- see sources/readers.compact_table.
     """
@@ -305,20 +323,18 @@ def streaming_index_update(
             F.col(id_col).alias("doc_id"), analyzer(F.col(text_col)).alias("_toks")
         )
         analyzed.persist()
-        (
-            analyzed.select("doc_id", F.explode_outer("_toks").alias("term"))
-            .filter(F.col("term").isNotNull() & (F.col("term") != ""))
-            .groupBy("term", "doc_id")
-            .agg(F.count("*").alias("tf"))
-            .write.mode("append")
-            .parquet(f"{index_path}/postings")
-        )
-        (
-            analyzed.select("doc_id", F.size("_toks").alias("dl"))
-            .write.mode("append")
-            .parquet(f"{index_path}/doclen")
-        )
-        analyzed.unpersist()
+        try:
+            posts = (
+                analyzed.select("doc_id", F.explode_outer("_toks").alias("term"))
+                .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+                .groupBy("term", "doc_id")
+                .agg(F.count("*").alias("tf"))
+            )
+            _write_epoch_idempotent(posts, epoch_id, f"{index_path}/postings")
+            dl = analyzed.select("doc_id", F.size("_toks").alias("dl"))
+            _write_epoch_idempotent(dl, epoch_id, f"{index_path}/doclen")
+        finally:
+            analyzed.unpersist()
 
     return (
         stream.writeStream.foreachBatch(handle)
@@ -350,8 +366,8 @@ def streaming_semdedup_match(
     once up front (in production: the committed semdedup index tables).
     Per micro-batch: one Arrow matmul to assign, an equi-join on
     cluster_id against the persisted members, exact cosine verify.
-    Appends (vec_id, corpus_vec_id, cluster_id, cosine, epoch)
-    exactly-once via the foreachBatch checkpoint.
+    Writes (vec_id, corpus_vec_id, cluster_id, cosine, epoch) effectively
+    exactly-once (epoch-partitioned idempotent sink).
     """
     from ala_name_matching_spark.operators.semdedup import (
         _assign_udf,
@@ -388,11 +404,7 @@ def streaming_semdedup_match(
             .filter(F.col("cosine") >= threshold)
             .select("vec_id", "corpus_vec_id", "cluster_id", "cosine")
         )
-        (
-            matched.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        _write_epoch_idempotent(matched, epoch_id, out_path)
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -395,9 +395,11 @@ def test_streamed_index_compaction_preserves_scores(spark, tmp_path):
     )
     key = lambda r: (r["query_id"], r["doc_id"], r["score"], r["rank"])
     before = sorted(map(key, bm25_topk_from_index(spark, idx, queries).collect()))
-    n_before = len(glob.glob(f"{idx}/postings/*.parquet"))
-    stats = compact_table(spark, f"{idx}/postings")
-    n_after = len(glob.glob(f"{idx}/postings/*.parquet"))
+    n_before = len(glob.glob(f"{idx}/postings/**/*.parquet", recursive=True))
+    stats = compact_table(
+        spark, f"{idx}/postings", collapse_partitions={"epoch": -1}
+    )
+    n_after = len(glob.glob(f"{idx}/postings/**/*.parquet", recursive=True))
     after = sorted(map(key, bm25_topk_from_index(spark, idx, queries).collect()))
     assert after == before
     assert n_after < n_before, (n_before, n_after, stats)
@@ -442,3 +444,57 @@ def test_streaming_semdedup_match(spark, tmp_path):
     }
     assert (100, 7) in got and got[(100, 7)] >= 0.999999
     assert not any(v == 101 for v, _ in got)
+
+
+def test_streaming_index_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r02 (medium): foreachBatch is at-least-once -- a replayed
+    micro-batch must not double-append postings (which would double-count
+    tf/df/N and corrupt every BM25 score). Simulate a full replay by
+    re-running the SAME source through streaming_index_update with a FRESH
+    checkpoint: identical files, identical epoch ids. The epoch-partitioned
+    dynamic-overwrite sink must leave the index byte-equal, scores exact."""
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_index,
+    )
+    from ala_name_matching_spark.streaming.incremental import streaming_index_update
+
+    base_docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["alpha beta gamma"]})
+    )
+    idx = str(tmp_path / "ridx")
+    build_index(base_docs, idx)
+    new_rows = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["beta delta delta", "alpha epsilon"]}
+    )
+    src = str(tmp_path / "rin")
+    spark.createDataFrame(new_rows).repartition(2).write.parquet(src)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        streaming_index_update(stream, idx, str(tmp_path / ckpt)).awaitTermination(120)
+
+    run("rckpt1")
+    posts_once = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/postings").collect())
+    )
+    run("rckpt2")  # fresh checkpoint = every batch replays with same epochs
+    posts_twice = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/postings").collect())
+    )
+    assert posts_twice == posts_once  # no duplicate postings rows
+
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [1, 2], "qtext": ["delta", "alpha"]})
+    )
+    union = base_docs.unionByName(spark.createDataFrame(new_rows))
+    key = lambda r: (r["query_id"], r["doc_id"], r["score"], r["rank"])
+    assert sorted(map(key, bm25_topk_from_index(spark, idx, queries).collect())) == \
+        sorted(map(key, bm25_topk(union, queries).collect()))
