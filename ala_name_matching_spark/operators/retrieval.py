@@ -296,6 +296,7 @@ def phrase_match(
     query_text_col: str = "qtext",
     analyzer=tokens_col,
     anchored: bool = True,
+    broadcast_anchor_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """(query_id, doc_id, n_hits) -- exact-phrase occurrences per doc.
 
@@ -314,19 +315,31 @@ def phrase_match(
     This turns the big (query, doc, start) aggregation from sum-of-all-
     posting-lists into |rarest-term postings| x phrase length -- the
     decisive bound when every term is frequent (small vocabularies,
-    stopword phrases). The anchor table must be driver-collectable
-    (|postings of the rarest term| rows); for queries whose rarest term
-    is still huge, fall back to the unanchored form by passing
-    anchored=False.
+    stopword phrases).
+
+    The anchor pre-filter is applied as a BROADCAST semi-join only while
+    the anchor table is provably small: its exact size is the sum of the
+    rarest terms' df values (already computed for anchor selection), and
+    when that exceeds `broadcast_anchor_max_rows` the same semi-join runs
+    as a shuffle join instead -- identical output, no oversized broadcast.
+    The guard is automatic; callers never need to size the corpus
+    themselves (anchored=False remains available to skip anchoring
+    entirely).
     """
     posts = build_positional_postings(docs, id_col, text_col, analyzer)
     posts.persist()
     try:
         return _phrase_match_body(
-            posts, queries, query_id_col, query_text_col, analyzer, anchored
+            posts, queries, query_id_col, query_text_col, analyzer,
+            anchored, broadcast_anchor_max_rows,
         )
     finally:
         posts.unpersist()
+
+
+# test introspection: how the last phrase_match call shipped its anchor
+# semi-join ("broadcast" | "shuffle" | None when anchored=False)
+_LAST_ANCHOR_MODE = None
 
 
 def _phrase_match_body(
@@ -336,7 +349,10 @@ def _phrase_match_body(
     query_text_col: str,
     analyzer,
     anchored: bool,
+    broadcast_anchor_max_rows: int = 5_000_000,
 ) -> DataFrame:
+    global _LAST_ANCHOR_MODE
+    _LAST_ANCHOR_MODE = None
     qt = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -364,14 +380,24 @@ def _phrase_match_body(
         rarest = (
             qdf.withColumn("_rk", F.row_number().over(wq))
             .filter(F.col("_rk") == 1)
-            .select("query_id", "term", F.col("j").alias("_ja"))
+            .select("query_id", "term", F.col("j").alias("_ja"), "_df")
         )
-        anchors = posts.join(F.broadcast(rarest), "term").select(
+        # auto-guard (VERDICT r02 #2): the anchor table has EXACTLY
+        # sum(rarest._df) rows, known before building it; broadcast only
+        # under the cap, otherwise ship the same semi-join through the
+        # shuffle. The extra action is a tiny aggregate over one row per
+        # query, on top of the already-persisted postings.
+        est_row = rarest.agg(F.sum("_df").alias("s")).first()
+        est = int(est_row["s"] or 0)
+        anchors = posts.join(F.broadcast(rarest.drop("_df")), "term").select(
             "query_id", "doc_id", (F.col("pos") - F.col("_ja")).alias("start")
         )
-        votes = votes.join(
-            F.broadcast(anchors), ["query_id", "doc_id", "start"], "left_semi"
-        )
+        if est <= broadcast_anchor_max_rows:
+            _LAST_ANCHOR_MODE = "broadcast"
+            anchors = F.broadcast(anchors)
+        else:
+            _LAST_ANCHOR_MODE = "shuffle"
+        votes = votes.join(anchors, ["query_id", "doc_id", "start"], "left_semi")
     full = (
         votes.groupBy("query_id", "doc_id", "start", "nq")
         .agg(F.count("*").alias("_c"))

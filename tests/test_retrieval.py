@@ -151,3 +151,35 @@ def test_fuzzy_phrase_match_under_phonetic_analyzer(spark):
         for r in phrase_match(docs, q, analyzer=phonetic_tokens_udf).collect()
     }
     assert got == {0: 1}  # order still enforced: doc 1 has the terms reversed
+
+
+def test_phrase_match_anchor_broadcast_autoguard(spark):
+    """VERDICT r02 #2: an all-frequent-terms phrase (every term in every
+    doc -> anchor table = corpus-sized) must NOT be broadcast once the
+    anchor size estimate exceeds the cap; the shuffle fallback is taken
+    automatically and the output is identical across all three modes."""
+    from ala_name_matching_spark.operators import retrieval as R
+
+    # every doc contains both query terms -> rarest-term df = n_docs, so
+    # the anchor table has n_docs * avg-tf rows: "oversized" under a cap
+    # of 1 row
+    docs = _df(
+        spark,
+        [(i, "the quick the quick fox") for i in range(20)],
+    )
+    q = _df(spark, [(1, "the quick")], "query_id bigint, qtext string")
+
+    key = lambda rows: sorted((r["query_id"], r["doc_id"], r["n_hits"]) for r in rows)
+    base = key(R.phrase_match(docs, q).collect())
+    assert R._LAST_ANCHOR_MODE == "broadcast"  # default cap: small corpus fits
+
+    guarded = key(
+        R.phrase_match(docs, q, broadcast_anchor_max_rows=1).collect()
+    )
+    assert R._LAST_ANCHOR_MODE == "shuffle"  # cap exceeded -> fallback taken
+    unanchored = key(R.phrase_match(docs, q, anchored=False).collect())
+    assert R._LAST_ANCHOR_MODE is None
+
+    assert guarded == base == unanchored
+    # sanity: 2 overlapping starts of "the quick" per doc
+    assert base == [(1, i, 2) for i in range(20)]
