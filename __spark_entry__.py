@@ -1278,28 +1278,66 @@ def _q_mixture_weights(spark, sf_dir):
     return mixture_weights(_docs(spark, sf_dir), alpha=0.7)
 
 
+def _ann_planted_corpus_and_queries(spark, sf_dir):
+    """Shared planted-top-k fixture for the ANN oracles: each query vector
+    (vec_id < 20) gets FIVE scaled copies (vec_id + j*1000000, v * (1 +
+    j/1000), j=1..5). Colinear copies have cosine exactly 1.0 (rounds to
+    1.0 at 6 dp; the organic uniform-random vectors never exceed ~0.95), so
+    the true top-5 per query is analytically known: the copies, ranked by
+    vec_id (= by j) under the rounded-cosine tie-break. Both ANN structures
+    provably return them -- hyperplane signs are scale-invariant (same
+    buckets in every LSH table) and the IVF kernel L2-normalizes before
+    assignment (same home list as the query, which probes its own home
+    first) -- so the approximate engines' output equals the exact SQL truth
+    set and the two rows are fully value-checked, not rows-only."""
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    copies = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.array([F.lit(j) for j in range(1, 6)])).alias("j"),
+        )
+        .select(
+            (F.col("vec_id") + F.col("j") * 1000000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") * (F.lit(1.0) + F.col("j") / F.lit(1000.0)),
+            ).alias("embedding"),
+        )
+    )
+    return base.unionByName(copies), base.filter(F.col("vec_id") < 20)
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     from ala_name_matching_spark.operators.similarity_search import lsh_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
-    # multi-table + 1-probe config: recall@5 = 0.82 vs cosine_topk on this
-    # fixture (uniform random vectors, ANN's worst case; floor asserted in
-    # tests/test_similarity_search.py)
-    return lsh_topk(emb, queries, dim=64, k=5, n_planes=8, n_tables=16, multiprobe=1)
+    corpus, queries = _ann_planted_corpus_and_queries(spark, sf_dir)
+    # multi-table + 1-probe config: recall@5 = 0.82 vs cosine_topk on the
+    # ORGANIC fixture (uniform random vectors, ANN's worst case; floor
+    # asserted in tests/test_similarity_search.py); the planted copies make
+    # the driver row value-checked (see _ann_planted_corpus_and_queries)
+    return lsh_topk(
+        corpus, queries, dim=64, k=5, n_planes=8, n_tables=16, multiprobe=1,
+        rank_rounded=True,
+    )
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
     from ala_name_matching_spark.operators.similarity_search import ivf_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
+    corpus, queries = _ann_planted_corpus_and_queries(spark, sf_dir)
     # IVF-flat scale path: 16-list coarse quantizer trained on a bounded
     # deterministic sample, queries probe the 6 nearest lists. recall@5 =
-    # 0.79 vs cosine_topk on this fixture (uniform random vectors, ANN's
-    # worst case); nprobe=16 reproduces brute force exactly -- both
-    # asserted in tests/test_similarity_search.py
-    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=6)
+    # 0.79 vs cosine_topk on the ORGANIC fixture; nprobe=16 reproduces
+    # brute force exactly (tests/test_similarity_search.py); the planted
+    # copies make the driver row value-checked
+    return ivf_topk(
+        corpus, queries, k=5, n_centroids=16, nprobe=6, rank_rounded=True
+    )
 
 
 def _q_spelling_collision_qa(spark, sf_dir):
@@ -2277,6 +2315,26 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.95""",
+        # ANN planted-top-k truth sets (VERDICT r02 #3): the engine output
+        # over the copy-augmented corpus provably equals this analytic set
+        # -- 5 colinear copies per query at cosine exactly 1.0, ranked by
+        # vec_id under the rounded-cosine tie-break; no organic vector
+        # rounds to 1.0 (uniform 64-d, max organic cosine << 0.95). See
+        # _ann_planted_corpus_and_queries for the recall-1.0 argument.
+        "ann_lsh_topk": """
+            SELECT e.vec_id AS query_id,
+                   e.vec_id + g.j * 1000000 AS vec_id,
+                   CAST(1.0 AS DOUBLE) AS cosine,
+                   CAST(g.j AS INT) AS rank
+            FROM embeddings e, generate_series(1, 5) AS g(j)
+            WHERE e.vec_id < 20""",
+        "ann_ivf_topk": """
+            SELECT e.vec_id AS query_id,
+                   e.vec_id + g.j * 1000000 AS vec_id,
+                   CAST(1.0 AS DOUBLE) AS cosine,
+                   CAST(g.j AS INT) AS rank
+            FROM embeddings e, generate_series(1, 5) AS g(j)
+            WHERE e.vec_id < 20""",
         "cosine_neardups_exact": """
             SELECT a.vec_id AS vec_id_l, b.vec_id AS vec_id_r,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -136,8 +136,15 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_tables: int = 8,
     multiprobe: int = 1,
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """ANN top-k: multi-table hyperplane LSH, exact cosine on candidates.
+
+    `rank_rounded=True` ranks on the 6-dp-ROUNDED cosine (tie-break vec_id
+    asc) instead of the raw double: needed when candidates tie at the same
+    true cosine (planted colinear copies), where raw-double ordering is
+    last-ulp noise that independent engines disagree on. Emitted cosines
+    are 6-dp-rounded either way.
 
     Structure (classic LSH index): `n_tables` independent tables of
     `n_planes` bits each; a candidate is any corpus vector sharing >= 1
@@ -184,8 +191,9 @@ def lsh_topk(
         .dropDuplicates(["query_id", "vec_id"])
         .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
     )
+    order_col = F.round(F.col("cosine"), 6) if rank_rounded else F.col("cosine")
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
+        order_col.desc(), F.col("vec_id").asc()
     )
     return (
         scored.filter(F.col("query_id") != F.col("vec_id"))
@@ -275,10 +283,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """IVF-flat ANN top-k: probe the nprobe nearest inverted lists, exact
     cosine rerank on the candidates. Output schema matches brute_force_topk
-    for drop-in recall measurement.
+    for drop-in recall measurement. `rank_rounded` as in lsh_topk (rank on
+    the 6-dp cosine for cross-engine-stable ordering of exact ties).
 
     Scale shape at 100 TB: training touches a bounded sample; the corpus is
     assigned once (narrow Arrow matmul, no shuffle) and the candidate join
@@ -305,8 +315,9 @@ def ivf_topk(
     scored = c.join(q, "list_id").withColumn(
         "cosine", cosine_col(F.col("qv"), F.col("cv"))
     )
+    order_col = F.round(F.col("cosine"), 6) if rank_rounded else F.col("cosine")
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
+        order_col.desc(), F.col("vec_id").asc()
     )
     return (
         scored.filter(F.col("query_id") != F.col("vec_id"))
