@@ -1201,7 +1201,9 @@ def _q_rematch_stragglers(spark, sf_dir):
 # --- rows-only checks (genuinely not SQL-expressible) -----------------------
 
 def _q_er_clusters(spark, sf_dir):
-    # the full fuzzy pipeline (phonetic UDF + CC) -- rows-only check
+    # the full fuzzy pipeline (phonetic UDF + blocking + scoring + CC +
+    # election) -- FULLY value-checked since r03 against the stage-by-stage
+    # DuckDB replay in _er_clusters_oracle()
     from ala_name_matching_spark.plans.pipeline import cluster_summary, run_pipeline
     from ala_name_matching_spark.sources.transcripts import transcripts_from_documents
 
@@ -2670,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
                    round(p, 6) AS raw_share,
                    round(pow(p, 0.7) / sum(pow(p, 0.7)) OVER (), 6) AS weight
             FROM shares""",
+        "er_clusters": _er_clusters_oracle(),
         "rematch_stragglers": f"""
             WITH d AS (SELECT doc_id AS record_id, {_CANON} AS canon_text FROM documents),
             cl AS (SELECT record_id, canon_text,
@@ -2756,6 +2759,151 @@ def _treated_tokens_ctes(src: str = "documents", p: str = "") -> str:
                              k -> k <> '') AS treated
           FROM {p}s3
         )"""
+
+
+def _er_clusters_oracle() -> str:
+    """The FLAGSHIP oracle: the entire ER pipeline replayed in DuckDB.
+
+    Mirrors plans/pipeline.run_pipeline + cluster_summary stage by stage:
+    transcript projection (sources/transcripts.transcripts_from_documents),
+    canonical grouping on (canon_key, role, tool) with placeholder salting
+    (operators/blocking), the phonetic compound blocking key over group-rep
+    canon_text (the independently-verified treat_word CTE chain), candidate
+    pairs within blocks, the full A1 score (JW on 64-char-capped canon text
+    -- DuckDB's jaro_winkler_similarity agrees EXACTLY with the vectorized
+    kernel on every sf0.01 pair; Levenshtein; Jaccard over treated tokens;
+    role/tool context sims with skipped-null renormalization), the V5/A4
+    homonym gate with the JW >= 0.8 author waiver, threshold 0.855 (closest
+    real pair sits 0.024 away -- no boundary risk on the fixed fixture),
+    recursive-CTE transitive closure over canonical + fuzzy edges
+    (cluster_id = min member record_id, the engine's label semantics), and
+    the B7 deterministic election (priority = canon length, placeholders
+    demoted to -(2^40), ties to min record_id). Salting is a provable no-op
+    at this scale (max block 3 << cap 200)."""
+    reps_src = (
+        "(SELECT record_id AS doc_id, canon_text AS text FROM reps0 "
+        "WHERE canon_text IS NOT NULL)"
+    )
+    jw = "jaro_winkler_similarity({l}[1:64], {r}[1:64])"
+    prep = "regexp_replace({t}, '[\\p{{P}}\\s]', '', 'g')"
+    return f"""
+        WITH RECURSIVE feat AS (
+          SELECT 'd' || CAST(doc_id // 10 AS VARCHAR) || '#'
+                     || CAST(doc_id % 10 AS VARCHAR) AS record_id,
+                 coalesce(lang, 'und') AS role,
+                 source AS tool,
+                 {_CANON} AS canon_text
+          FROM documents
+        ), keyed AS (
+          SELECT *,
+                 CASE WHEN canon_text IS NULL OR length(canon_text) < 2
+                      THEN '__ph__' || record_id ELSE canon_text END AS canon_key,
+                 coalesce(tool, '<null>') AS tool_c
+          FROM feat
+        ), grp AS (
+          SELECT canon_key, role, tool_c, min(record_id) AS group_rep
+          FROM keyed GROUP BY 1, 2, 3
+        ), members AS (
+          SELECT k.record_id, g.group_rep
+          FROM keyed k JOIN grp g USING (canon_key, role, tool_c)
+        ), reps0 AS (
+          SELECT group_rep AS record_id, role,
+                 CASE WHEN starts_with(canon_key, '__ph__') THEN NULL
+                      ELSE canon_key END AS canon_text,
+                 CASE WHEN tool_c = '<null>' THEN NULL ELSE tool_c END AS tool
+          FROM grp
+        ), {_treated_tokens_ctes(reps_src, "er")},
+        r5 AS (
+          SELECT doc_id, text, treated,
+                 CASE WHEN len(treated) = 0 THEN NULL ELSE
+                   [treated[1]] ||
+                   list_transform(treated[2:6],
+                     k -> CASE WHEN k LIKE '%IS' OR k LIKE '%IM' OR k LIKE '%AS'
+                               THEN k[1:len(k)-2] || 'A' ELSE k END)
+                 END AS parts
+          FROM ers4
+        ), rkey AS (
+          SELECT doc_id AS record_id, list_distinct(treated) AS ptoks,
+                 CASE WHEN parts IS NULL THEN NULL ELSE
+                   array_to_string(
+                     parts || ['<null>' for _ in range(6 - len(parts))], '|')
+                   || '|' ||
+                   coalesce(nullif(regexp_replace(text, '[^0-9]', '', 'g')[1:16],
+                                   ''), '<nodigits>')
+                 END AS phonetic_key
+          FROM r5
+        ), rfull AS (
+          SELECT r.record_id, r.role, r.tool, r.canon_text,
+                 k.ptoks, k.phonetic_key
+          FROM reps0 r JOIN rkey k USING (record_id)
+          WHERE k.phonetic_key IS NOT NULL AND length(k.phonetic_key) > 0
+        ), scored AS (
+          SELECT l.record_id AS rid_l, r.record_id AS rid_r,
+                 {jw.format(l="l.canon_text", r="r.canon_text")} AS jw,
+                 1.0 - levenshtein(l.canon_text, r.canon_text) * 1.0
+                     / greatest(length(l.canon_text), length(r.canon_text)) AS lev,
+                 CASE WHEN len(list_distinct(list_concat(l.ptoks, r.ptoks))) = 0
+                      THEN 1.0
+                      ELSE len(list_intersect(l.ptoks, r.ptoks)) * 1.0
+                           / len(list_distinct(list_concat(l.ptoks, r.ptoks)))
+                 END AS tok,
+                 CASE WHEN l.role IS NULL AND r.role IS NULL THEN NULL
+                      WHEN l.role IS NULL OR r.role IS NULL THEN 0.5
+                      WHEN l.role = r.role THEN 1.0 ELSE 0.0 END AS role_sim,
+                 CASE WHEN l.tool IS NULL AND r.tool IS NULL THEN NULL
+                      WHEN l.tool IS NULL OR r.tool IS NULL THEN 0.5
+                      WHEN l.tool = r.tool THEN 1.0 ELSE 0.0 END AS tool_sim,
+                 ((l.role IS NOT NULL AND r.role IS NOT NULL
+                   AND l.role <> r.role)
+                  OR (l.tool IS NOT NULL AND r.tool IS NOT NULL
+                      AND l.tool <> r.tool
+                      AND NOT coalesce(
+                        {jw.format(l=prep.format(t="l.tool"),
+                                   r=prep.format(t="r.tool"))} >= 0.8,
+                        false))) AS conflict
+          FROM rfull l JOIN rfull r
+            ON l.phonetic_key = r.phonetic_key AND l.record_id < r.record_id
+        ), fuzzy AS (
+          SELECT rid_l AS src, rid_r AS dst
+          FROM scored
+          WHERE NOT conflict
+            AND (8.0 * (0.4 * jw + 0.3 * lev + 0.3 * tok)
+                 + coalesce(role_sim, 0) + coalesce(tool_sim, 0))
+                / (8.0 + CASE WHEN role_sim IS NOT NULL THEN 1.0 ELSE 0.0 END
+                       + CASE WHEN tool_sim IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                >= 0.855
+        ), alledges AS (
+          SELECT record_id AS src, group_rep AS dst FROM members
+          UNION ALL SELECT src, dst FROM fuzzy
+        ), sym AS (
+          SELECT src AS a, dst AS b FROM alledges
+          UNION ALL SELECT dst AS a, src AS b FROM alledges
+        ), reach AS (
+          SELECT record_id AS id, record_id AS r FROM keyed
+          UNION
+          SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.id
+        ), lab AS (
+          SELECT id AS record_id, min(r) AS cluster_id FROM reach GROUP BY id
+        ), prio AS (
+          SELECT k.record_id, l.cluster_id, k.canon_text,
+                 CASE WHEN starts_with(k.canon_key, '__ph__')
+                      THEN -1099511627776
+                      ELSE length(k.canon_text) END AS p
+          FROM keyed k JOIN lab l USING (record_id)
+        ), win AS (
+          SELECT cluster_id, canon_text AS representative_text,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY p DESC, record_id ASC) AS rn
+          FROM prio
+        )
+        SELECT p.cluster_id,
+               count(*) AS cluster_size,
+               min(p.record_id) AS first_record,
+               min(w.representative_text) AS representative_text
+        FROM prio p
+        JOIN (SELECT cluster_id, representative_text FROM win WHERE rn = 1) w
+          USING (cluster_id)
+        GROUP BY p.cluster_id"""
 
 
 def _phonetic_key_sql() -> str:
