@@ -1342,6 +1342,88 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+# Double-Metaphone fuzzy-lookup fixture (VERDICT r02 #7). Literal surname
+# index + misspelled queries; the oracle carries each string's (primary,
+# alternate) DM keys as a precomputed VALUES table -- the keys are pinned by
+# the golden-vector tests (tests/test_double_metaphone.py: Philips's classic
+# vectors + the frozen corpus), so the oracle independently re-runs the
+# union-of-keys blocking join + JW rerank machinery on top of them.
+_DM_INDEX = [
+    "SMITH", "SMYTH", "SMYTHE", "SCHMIDT", "SCHMITT", "SCHNEIDER", "SNYDER",
+    "JOHNSON", "JONSON", "JANSEN", "MEYER", "MAYER", "MAIER", "MUELLER",
+    "MILLER", "PETERSON", "PEDERSEN", "THOMPSON", "THOMSON", "WRIGHT",
+    "WHITE", "WITT", "KATHERINE", "CATHERINE", "KATHRYN", "FISCHER",
+    "FISHER", "WALSH", "WELCH", "BAUER", "BOWER", "COHEN", "KOHN",
+    "GARCIA", "GARZA",
+]
+_DM_QUERIES = [
+    "SMITTH", "MILLAR", "PETTERSON", "JOHNSEN", "BAUR", "FISCHAR",
+    "CATHARINE", "MUELER", "SHNEIDER", "WRYGHT",  # WRYGHT: GH hardens to K
+    # -> no shared bucket with WRIGHT -> provably zero candidates (miss lane)
+]
+# (string -> (primary, alternate)) for every fixture string, from the
+# golden-tested kernel; spot-checkable against Philips (2000) by hand.
+_DM_KEYS = {
+    "SMITH": ("SM0", "XMT"), "SMYTH": ("SM0", "XMT"), "SMYTHE": ("SM0", "XMT"),
+    "SCHMIDT": ("XMT", "SMT"), "SCHMITT": ("XMT", "SMT"),
+    "SCHNEIDER": ("XNTR", "SNTR"), "SNYDER": ("SNTR", "XNTR"),
+    "JOHNSON": ("JNSN", "ANSN"), "JONSON": ("JNSN", "ANSN"),
+    "JANSEN": ("JNSN", "ANSN"), "MEYER": ("MR", "MR"), "MAYER": ("MR", "MR"),
+    "MAIER": ("MR", "MR"), "MUELLER": ("MLR", "MLR"), "MILLER": ("MLR", "MLR"),
+    "PETERSON": ("PTRS", "PTRS"), "PEDERSEN": ("PTRS", "PTRS"),
+    "THOMPSON": ("TMPS", "TMPS"), "THOMSON": ("TMSN", "TMSN"),
+    "WRIGHT": ("RT", "RT"), "WHITE": ("AT", "AT"), "WITT": ("AT", "FT"),
+    "KATHERINE": ("K0RN", "KTRN"), "CATHERINE": ("K0RN", "KTRN"),
+    "KATHRYN": ("K0RN", "KTRN"), "FISCHER": ("FXR", "FSKR"),
+    "FISHER": ("FXR", "FXR"), "WALSH": ("ALX", "FLX"), "WELCH": ("ALX", "FLK"),
+    "BAUER": ("PR", "PR"), "BOWER": ("PR", "PR"), "COHEN": ("KHN", "KHN"),
+    "KOHN": ("KN", "KN"), "GARCIA": ("KRS", "KRX"), "GARZA": ("KRS", "KRS"),
+    "SMITTH": ("SM0", "XMT"), "MILLAR": ("MLR", "MLR"),
+    "PETTERSON": ("PTRS", "PTRS"), "JOHNSEN": ("JNSN", "ANSN"),
+    "BAUR": ("PR", "PR"), "FISCHAR": ("FXR", "FXR"),
+    "CATHARINE": ("K0RN", "KTRN"), "MUELER": ("MLR", "MLR"),
+    "SHNEIDER": ("XNTR", "XNTR"), "WRYGHT": ("RKT", "RKT"),
+}
+
+
+def _q_dm_fuzzy_lookup(spark, sf_dir):
+    # Double-Metaphone fuzzy lookup (union-of-keys blocking + JW rerank) --
+    # the lane the north-star names explicitly; fixture above, oracle joins
+    # on the golden-pinned precomputed keys
+    from ala_name_matching_spark.operators.validation import dm_fuzzy_lookup
+
+    idx = spark.createDataFrame([(n,) for n in _DM_INDEX], "name string")
+    qs = spark.createDataFrame([(q,) for q in _DM_QUERIES], "name string")
+    return dm_fuzzy_lookup(idx, qs, k=3)
+
+
+def _dm_fuzzy_oracle() -> str:
+    def vals(names):
+        return ", ".join(
+            f"('{n}', '{_DM_KEYS[n][0]}', '{_DM_KEYS[n][1]}')" for n in names
+        )
+
+    return f"""
+        WITH idx(name, p, a) AS (VALUES {vals(_DM_INDEX)}),
+        qry(query, p, a) AS (VALUES {vals(_DM_QUERIES)}),
+        ikeys AS (
+          SELECT name, u.k AS dm_key
+          FROM idx, unnest(list_distinct([p, a])) AS u(k) WHERE u.k <> ''),
+        qkeys AS (
+          SELECT query, u.k AS dm_key
+          FROM qry, unnest(list_distinct([p, a])) AS u(k) WHERE u.k <> ''),
+        cand AS (SELECT DISTINCT query, name FROM qkeys JOIN ikeys USING (dm_key)),
+        scored AS (
+          SELECT query, name,
+                 round(jaro_winkler_similarity(query, name), 6) AS jw
+          FROM cand)
+        SELECT query, name, jw, rank FROM (
+          SELECT query, name, jw,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY jw DESC, name ASC) AS rank
+          FROM scored) WHERE rank <= 3"""
+
+
 def _q_spelling_collision_qa(spark, sf_dir):
     # B9 -- per-parent spelling-collision QA keyed on the F6 full-name
     # soundEx (alphabetize-after-first-letter, TaxonNameSoundEx.java:168-238
@@ -1451,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardups": _q_simhash_neardups,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "dm_fuzzy_lookup": _q_dm_fuzzy_lookup,
         "spelling_collision_qa": _q_spelling_collision_qa,
         "double_metaphone_keys": _q_double_metaphone_keys,
     }
@@ -2673,6 +2756,7 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(p, 0.7) / sum(pow(p, 0.7)) OVER (), 6) AS weight
             FROM shares""",
         "er_clusters": _er_clusters_oracle(),
+        "dm_fuzzy_lookup": _dm_fuzzy_oracle(),
         "rematch_stragglers": f"""
             WITH d AS (SELECT doc_id AS record_id, {_CANON} AS canon_text FROM documents),
             cl AS (SELECT record_id, canon_text,
