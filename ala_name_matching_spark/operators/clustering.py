@@ -550,11 +550,41 @@ def attach_cluster_columns(
     ONE join on the 128-bit group hash -- broadcast when the group-label
     table is small (it is, by construction: groups are the contraction of
     exact duplicates), so the wide record rows never shuffle. Beyond
-    `broadcast_threshold_rows` the join falls back to a hash join on
-    (_g1,_g2) -- the same shuffle the record-level formulation paid anyway.
+    `broadcast_threshold_rows` the in-memory fallback is a hash join on
+    (_g1,_g2); for COMMITTED tables at that scale use
+    attach_cluster_columns_bucketed instead -- bucketed layouts make the
+    same join exchange-free on both sides.
     """
     gf = _maybe_broadcast(group_full, n_groups, broadcast_threshold_rows)
     out = _keyed_records(records).join(gf, ["_g1", "_g2"]).drop("_g1", "_g2")
+    return out.withColumn(
+        "is_representative", F.col("record_id") == F.col("representative_id")
+    )
+
+
+def attach_cluster_columns_bucketed(
+    spark, features_table: str, labels_table: str
+) -> DataFrame:
+    """Beyond-broadcast attach lane: exchange-free wide view from COMMITTED
+    bucketed tables (closes the >8M-group full-shuffle fallback caveat).
+
+    When the group-label table exceeds the broadcast threshold, the plain
+    fallback hash join re-shuffles the wide record rows (text payload
+    included) on every derivation of the wide view. Instead, commit BOTH
+    the P1 feature table and the P5 label table hash-bucketed on
+    (_g1, _g2) -- exactly the join keys; Spark's planner requires all
+    cluster keys to match the bucket spec before trusting the layout --
+    with the same bucket count (sources/bucketed.write_bucketed), and the
+    equi-join plans with ZERO Exchange on either side --
+    the label shuffle is paid once at write time and amortized over every
+    read, the record payload never shuffles at all
+    (tests/test_bucketed.py::test_bucketed_attach_has_no_exchange asserts
+    the executed plan). Bucket count is a layout contract shared by the
+    two tables (write_bucketed docstring).
+    """
+    recs = spark.table(features_table)
+    labs = spark.table(labels_table)
+    out = recs.join(labs, ["_g1", "_g2"]).drop("_g1", "_g2")
     return out.withColumn(
         "is_representative", F.col("record_id") == F.col("representative_id")
     )

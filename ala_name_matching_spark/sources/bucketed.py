@@ -23,22 +23,26 @@ def write_bucketed(
     df: DataFrame,
     name: str,
     path: str,
-    bucket_by: str,
+    bucket_by: str | list[str],
     n_buckets: int = 8,
 ) -> None:
     """Save `df` as an external parquet table hash-bucketed (and sorted)
-    on `bucket_by`.
+    on `bucket_by` (one column or a list).
 
     Bucket count is a layout contract: join partners must agree on
-    (column, n_buckets) to join exchange-free, so treat it like a schema
+    (columns, n_buckets) to join exchange-free, so treat it like a schema
     field -- pick once per key domain (e.g. 2048 for record ids at 100 TB)
-    and record it with the table.
+    and record it with the table. Bucket on EXACTLY the join keys: Spark's
+    planner requires all join keys to match the bucket spec before it
+    trusts the layout (requireAllClusterKeysForCoPartition, default true)
+    -- a subset bucketing is 'disabled by query planner' and re-shuffles.
     """
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
     (
         df.write.mode("overwrite")
         .format("parquet")
-        .bucketBy(n_buckets, bucket_by)
-        .sortBy(bucket_by)
+        .bucketBy(n_buckets, *cols)
+        .sortBy(*cols)
         .option("path", path)
         .saveAsTable(name)
     )
