@@ -37,14 +37,41 @@ TIER_PHONETIC = 3
 DEFAULT_BLOCK_CAP = 200
 
 
-def with_record_id(df: DataFrame) -> DataFrame:
-    """Stable unique record id `conv_id#turn_idx`.
+def with_record_id(df: DataFrame, binary: bool = False) -> DataFrame:
+    """Stable unique record id.
 
-    String, not a 64-bit hash: at 10^12 rows a 64-bit hash would collide
-    (birthday bound), and (conv_id, turn_idx) is unique by contract
-    (FIXTURES.md §1). Min-aggregation over strings is what the connected-
-    components labels use.
+    Default lane -- `conv_id#turn_idx` string: human-readable, unique by
+    contract ((conv_id, turn_idx) is unique, FIXTURES.md §1), and NOT a
+    64-bit hash, which would collide at 10^12 rows (birthday bound).
+
+    `binary=True` -- fixed 20-byte binary id: big-endian bytes of TWO
+    independent xxhash64 runs over conv_id (a 128-bit conversation hash)
+    followed by the 4-byte turn index. Shuffle/label economics: CC labels,
+    edges, and the pair table all key on record_id, and a long conv string
+    rides each of them ~3x heavier than 20 fixed bytes at 10^12 rows.
+    Collision analysis: turn_idx rides in clear, so two records collide
+    only if two DISTINCT conv_ids collide on BOTH 64-bit hashes; at 10^11
+    conversations the expected number of colliding pairs is C(10^11, 2) /
+    2^128 ~= 1.5e-17 -- negligible (vs ~0.24 expected collisions for a
+    single 64-bit hash at that scale, which is why one xxhash64 is not
+    enough). BinaryType orders by unsigned lexicographic comparison in
+    Spark, numpy 'S' and pyarrow binary agree, so min-label CC semantics
+    are identical across the JVM and driver union-find lanes
+    (tests/test_pipeline_e2e.py::test_binary_id_lane_cluster_parity).
     """
+    if binary:
+        h = lambda c: F.to_binary(F.lpad(F.hex(c), 16, "0"), F.lit("hex"))
+        return df.withColumn(
+            "record_id",
+            F.concat(
+                h(F.xxhash64(F.col("conv_id"))),
+                h(F.xxhash64(F.col("conv_id"), F.lit(0x5F3759DF))),
+                F.to_binary(
+                    F.lpad(F.hex(F.col("turn_idx").cast("long")), 8, "0"),
+                    F.lit("hex"),
+                ),
+            ),
+        )
     return df.withColumn(
         "record_id",
         F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string")),
@@ -56,6 +83,7 @@ def with_blocking_columns(
     text_col: str = "text",
     include_tokens: bool = True,
     include_phonetic: bool = True,
+    binary_ids: bool = False,
 ) -> DataFrame:
     """Adds norm_text / canon_text / canon_key (+ phonetic columns).
 
@@ -79,8 +107,11 @@ def with_blocking_columns(
     # work -- measured as p1's dominant JVM cost at 1.2M turns)
     out = df.withColumn("norm_text", norm_text_col(c))
     out = out.withColumn("canon_text", canon_text_from_norm(F.col("norm_text")))
+    # binary record ids must salt placeholders via hex (a binary->string
+    # cast UTF-8-decodes and can merge distinct ids on invalid sequences)
+    rid = F.hex(F.col("record_id")) if binary_ids else F.col("record_id")
     out = out.withColumn(
-        "canon_key", canon_key_from_canon(F.col("canon_text"), F.col("record_id"))
+        "canon_key", canon_key_from_canon(F.col("canon_text"), rid)
     )
     if not include_phonetic:
         return out
@@ -92,7 +123,7 @@ def with_blocking_columns(
     return out.drop("_ph")
 
 
-def pipeline_features(df: DataFrame) -> DataFrame:
+def pipeline_features(df: DataFrame, binary_ids: bool = False) -> DataFrame:
     """The committed P1 artifact: original columns + record_id + canon_key +
     the 128-bit group hash (_g1,_g2).
 
@@ -105,7 +136,11 @@ def pipeline_features(df: DataFrame) -> DataFrame:
     p6's assignment probe read ONLY fixed-width columns (no text, no
     per-record hashing) -- Catalyst prunes the scan to (record_id,_g1,_g2).
     """
-    out = with_blocking_columns(with_record_id(df), include_phonetic=False)
+    out = with_blocking_columns(
+        with_record_id(df, binary=binary_ids),
+        include_phonetic=False,
+        binary_ids=binary_ids,
+    )
     cols = [c for c in out.columns if c not in ("norm_text", "canon_text")]
     return out.select(
         *cols,
