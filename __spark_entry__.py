@@ -5,19 +5,20 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 81 of 87 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. 87 of 88 queries are
                   oracle-checked (incl. an independent DuckDB treat_word
-                  re-implementation for the phonetic blocking key and an
-                  unrolled-CTE replay of the SemDeDup k-means loop); the 6
-                  rows-only remainders are genuinely non-SQL (er_clusters:
-                  fuzzy CC, gated by the pairwise-F1 test; simhash: blake2b
-                  kernel, parity-tested vs scalar; ann_lsh_topk /
-                  ann_ivf_topk: approximate by design, recall-floor-gated
-                  vs cosine_topk in tests -- IVF at nprobe=all additionally
-                  asserted equal to brute force;
-                  spelling_collision_qa: F6 kernel, golden-tested;
-                  double_metaphone_keys: branchy automaton, classic golden
-                  vectors).
+                  re-implementation for the phonetic blocking key, an
+                  unrolled-CTE replay of the SemDeDup k-means loop, a
+                  recursive-CTE closure replay of the full ER pipeline, a
+                  bit-exact SQL replay of the SimHash kernel in its
+                  pigeonhole regime, an independent F6-soundEx SQL chain,
+                  and planted-colinear-copy constructions that make the
+                  approximate ANN top-k rows analytically pinned); the one
+                  rows-only remainder is double_metaphone_keys (450-line
+                  branchy automaton with no SQL analog -- behavior pinned
+                  by classic published golden vectors in
+                  tests/test_double_metaphone.py, and its fuzzy-lookup lane
+                  dm_fuzzy_lookup IS value-checked via golden-pinned keys).
 
 Column names are aliased identically on both sides; floats are rounded on
 both sides to survive value-hash comparison.
@@ -1221,9 +1222,15 @@ def _q_phonetic_keys(spark, sf_dir):
 
 
 def _q_simhash_neardups(spark, sf_dir):
+    # max_hamming = n_bands - 1 (3 at the default 4 bands): the pigeonhole
+    # regime, where banded candidate generation PROVABLY finds every
+    # qualifying pair -- so the banded engine output equals the exact
+    # all-pairs truth set the oracle computes (the md5-prefix token hash is
+    # replayed in SQL; higher radii, where recall is probabilistic, stay
+    # covered by tests/test_dedup.py). Value-checked since r03.
     from ala_name_matching_spark.operators.dedup import simhash_near_duplicates
 
-    return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=8)
+    return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
 
 
 def _q_minhash_lsh_neardups(spark, sf_dir):
@@ -2756,7 +2763,39 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(p, 0.7) / sum(pow(p, 0.7)) OVER (), 6) AS weight
             FROM shares""",
         "er_clusters": _er_clusters_oracle(),
+        # SimHash replayed bit-for-bit: md5-prefix token hashes, +-1 votes
+        # per bit, sign fingerprint with int64 two's complement (bit 63 =
+        # -2^63), exact all-pairs hamming -- valid as the banded engine
+        # query's oracle because max_hamming=3 = n_bands-1 is the pigeonhole
+        # regime (recall provably 1.0)
+        "simhash_neardups": f"""
+            WITH toks AS (
+              SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t
+              FROM documents),
+            th AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(u.t), 1, 16)) AS UBIGINT) AS h
+              FROM toks, unnest(t) AS u(t)),
+            votes AS (
+              SELECT doc_id, b.b AS b,
+                     sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, generate_series(0, 63) AS b(b) GROUP BY 1, 2),
+            fps AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN
+                          CASE WHEN b = 63 THEN -9223372036854775808
+                               ELSE (CAST(1 AS BIGINT) << b) END
+                          ELSE 0 END) AS BIGINT) AS fp
+              FROM votes GROUP BY doc_id),
+            allfp AS (
+              SELECT d.doc_id, coalesce(f.fp, 0) AS fp
+              FROM documents d LEFT JOIN fps f USING (doc_id))
+            SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+            FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
         "dm_fuzzy_lookup": _dm_fuzzy_oracle(),
+        "spelling_collision_qa": _spelling_collision_oracle(),
         "rematch_stragglers": f"""
             WITH d AS (SELECT doc_id AS record_id, {_CANON} AS canon_text FROM documents),
             cl AS (SELECT record_id, canon_text,
@@ -2988,6 +3027,66 @@ def _er_clusters_oracle() -> str:
         JOIN (SELECT cluster_id, representative_text FROM win WHERE rn = 1) w
           USING (cluster_id)
         GROUP BY p.cluster_id"""
+
+
+def _spelling_collision_oracle() -> str:
+    """B9 replayed in SQL: the F6 full-name soundEx
+    (functions/phonetic.full_soundex -- upper, first-match leading digraph
+    rewrite, sequential tail folds on the string past the first char,
+    any-char consecutive-repeat squeeze, per-word first-letter +
+    alphabetized remainder) over the first-4-token canonical prefix, then
+    the per-role collision count. An independent second implementation of
+    the F6 kernel, like the treat_word CTE chain is for F5."""
+    leading = [
+        ("AE", "E"), ("CN", "N"), ("CT", "T"), ("CZ", "C"), ("DJ", "J"),
+        ("EA", "E"), ("EU", "U"), ("GN", "N"), ("KN", "N"), ("MN", "N"),
+        ("OE", "E"), ("QU", "Q"), ("PS", "S"), ("PT", "T"), ("TS", "S"),
+        ("X", "Z"),
+    ]  # the Æ entry is unreachable from canon_text ([a-z0-9 ] only)
+    lead = "(CASE " + " ".join(
+        f"WHEN starts_with(u0, '{s}') THEN '{d}' || u0[{len(s) + 1}:]"
+        for s, d in leading
+    ) + " ELSE u0 END)"
+    tail = "u1[2:]"
+    for s, d in [("AE", "I"), ("IA", "A"), ("OE", "I"), ("OI", "A"),
+                 ("MC", "MAC"), ("SC", "S")]:  # _F6_TAIL, sequential
+        tail = f"replace({tail}, '{s}', '{d}')"
+    squeeze = (
+        "list_reduce(string_split(u2, ''), "
+        "(acc, c) -> CASE WHEN right(acc, 1) = c THEN acc ELSE acc || c END)"
+    )
+    word = (
+        "CASE WHEN length(w) <= 1 THEN w ELSE "
+        "w[1] || array_to_string(list_sort(string_split(w[2:], '')), '') END"
+    )
+    return f"""
+        WITH sc0 AS (
+          SELECT coalesce(lang, 'und') AS role, {_CANON} AS canon_text
+          FROM documents
+        ), sc1 AS (
+          SELECT role, canon_text,
+                 upper(array_to_string(
+                   (string_split(canon_text, ' '))[1:4], ' ')) AS u0
+          FROM sc0 WHERE canon_text IS NOT NULL
+        ), sc2 AS (
+          SELECT role, canon_text, {lead} AS u1 FROM sc1
+        ), sc3 AS (
+          SELECT role, canon_text,
+                 CASE WHEN length(u1) > 1 THEN u1[1] || {tail} ELSE u1 END AS u2
+          FROM sc2
+        ), sc4 AS (
+          SELECT role, canon_text,
+                 CASE WHEN length(u2) = 0 THEN '' ELSE {squeeze} END AS u3
+          FROM sc3
+        ), sc5 AS (
+          SELECT role, canon_text,
+                 array_to_string(list_transform(
+                   string_split(u3, ' '), w -> {word}), ' ') AS soundex_key
+          FROM sc4
+        )
+        SELECT role, soundex_key, count(DISTINCT canon_text) AS n_variants
+        FROM sc5 WHERE soundex_key <> ''
+        GROUP BY role, soundex_key HAVING count(DISTINCT canon_text) > 1"""
 
 
 def _phonetic_key_sql() -> str:

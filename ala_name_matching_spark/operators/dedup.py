@@ -401,14 +401,17 @@ def jaccard_verify_cross(
 def _simhash_series(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-vectorized kernel).
 
-    Per token a deterministic 64-bit hash (blake2b) votes +-1 per bit;
+    Per token a deterministic 64-bit hash (the big-endian first 8 bytes of
+    md5 -- chosen over blake2b in r03 so a second engine can replay the
+    fingerprint: DuckDB's md5() makes the whole kernel SQL-expressible and
+    the simhash_neardups driver row value-checked) votes +-1 per bit;
     fingerprint = sign vector (bit b set iff the batch-summed vote > 0).
     Returned as int64 (two's complement). Vectorized batch shape (round-2
     verdict item 4 -- the old per-row python loop with a 64-iteration inner
     loop per token was the slowest kernel in BENCH_r01):
 
       1. factorize the batch's flattened token stream -- each DISTINCT token
-         is blake2b-hashed exactly once (natural text is token-repetitive);
+         is md5-hashed exactly once (natural text is token-repetitive);
       2. one numpy shift unpacks all 64 bits of every distinct hash at once;
       3. per-doc vote sums via np.add.reduceat over the flat (token, 64)
          vote matrix -- no per-doc python loop;
@@ -427,9 +430,7 @@ def _simhash_series(texts: pd.Series) -> pd.Series:
         codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
         hs = np.fromiter(
             (
-                int.from_bytes(
-                    hashlib.blake2b(u.encode(), digest_size=8).digest(), "big"
-                )
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
                 for u in uniques
             ),
             dtype=np.uint64,
