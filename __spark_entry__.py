@@ -5,20 +5,17 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. 87 of 88 queries are
-                  oracle-checked (incl. an independent DuckDB treat_word
+oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 88 queries are
+                  value-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key, an
                   unrolled-CTE replay of the SemDeDup k-means loop, a
                   recursive-CTE closure replay of the full ER pipeline, a
                   bit-exact SQL replay of the SimHash kernel in its
                   pigeonhole regime, an independent F6-soundEx SQL chain,
-                  and planted-colinear-copy constructions that make the
-                  approximate ANN top-k rows analytically pinned); the one
-                  rows-only remainder is double_metaphone_keys (450-line
-                  branchy automaton with no SQL analog -- behavior pinned
-                  by classic published golden vectors in
-                  tests/test_double_metaphone.py, and its fuzzy-lookup lane
-                  dm_fuzzy_lookup IS value-checked via golden-pinned keys).
+                  planted-colinear-copy constructions that make the
+                  approximate ANN top-k rows analytically pinned, and
+                  hand-derived published-vector pins for the Double
+                  Metaphone automaton).
 
 Column names are aliased identically on both sides; floats are rounded on
 both sides to survive value-hash comparison.
@@ -825,25 +822,65 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5)
 
 
+# Hand-derived golden encodings: Philips's classic CUJ-2000 vectors plus the
+# frozen rule-corner corpus (CIA->S/X, -ough silents, CC palatalization,
+# slavo-germanic W/CZ, pinyin ZH, ...). Same pins as
+# tests/test_double_metaphone.py GOLDENS/EXTENDED -- hand-walked from the
+# PUBLISHED cascade, so the VALUES oracle below is an independent derivation
+# of the expected keys, not a snapshot of this engine's output (a drift test
+# asserts the two pin sets stay identical).
+_DM_GOLDEN = {
+    "smith": ("SM0", "XMT"), "smyth": ("SM0", "XMT"), "schmidt": ("XMT", "SMT"),
+    "johnson": ("JNSN", "ANSN"), "williams": ("ALMS", "FLMS"),
+    "thomas": ("TMS", "TMS"), "catherine": ("K0RN", "KTRN"),
+    "katherine": ("K0RN", "KTRN"), "jose": ("HS", "HS"),
+    "xavier": ("SF", "SFR"), "wasserman": ("ASRM", "FSRM"),
+    "vasserman": ("FSRM", "FSRM"), "filipowicz": ("FLPT", "FLPF"),
+    "school": ("SKL", "SKL"), "sugar": ("XKR", "SKR"),
+    "island": ("ALNT", "ALNT"), "ghost": ("KST", "KST"), "edge": ("AJ", "AJ"),
+    "edgar": ("ATKR", "ATKR"), "thumb": ("0M", "TM"),
+    "cabrillo": ("KPRL", "KPR"), "caesar": ("SSR", "SSR"),
+    "michael": ("MKL", "MXL"), "orchestra": ("ARKS", "ARKS"),
+    "accident": ("AKST", "AKST"), "knight": ("NT", "NT"),
+    "pneumonia": ("NMN", "NMN"), "wrestle": ("RSTL", "RSTL"),
+    "psalm": ("SLM", "SLM"), "gnome": ("NM", "NM"), "zhao": ("J", "J"),
+    "laugh": ("LF", "LF"), "breaux": ("PR", "PR"),
+    "jones": ("JNS", "ANS"), "brown": ("PRN", "PRN"),
+    "garcia": ("KRS", "KRX"), "rodriguez": ("RTRK", "RTRK"),
+    "nguyen": ("NKN", "NKN"), "wright": ("RT", "RT"), "knox": ("NKS", "NKS"),
+    "campbell": ("KMPL", "KMPL"), "sanchez": ("SNXS", "SNKS"),
+    "chavez": ("XFS", "XFS"), "rivera": ("RFR", "RFR"),
+    "gomez": ("KMS", "KMS"), "diaz": ("TS", "TS"), "cruz": ("KRS", "KRS"),
+    "ortiz": ("ARTS", "ARTS"), "cagney": ("KKN", "KKN"),
+    "gebhart": ("KPRT", "JPRT"), "bough": ("P", "P"),
+    "ranger": ("RNJR", "RNKR"), "danger": ("TNJR", "TNKR"),
+    "wachowski": ("AKSK", "FKFS"), "czerny": ("SRN", "XRN"),
+    "focaccia": ("FKX", "FKX"), "zhivago": ("JFK", "JFK"),
+    "jose maria": ("HSMR", "HSMR"), "mcclellan": ("MKLL", "MKLL"),
+}
+
+
 def _q_double_metaphone_keys(spark, sf_dir):
-    # rows-only: the DM automaton is a branchy per-word state machine with
-    # no SQL analog; behavior is pinned by the golden vectors in
-    # tests/test_double_metaphone.py (classic published pairs). Keys over
-    # the first token of each doc -- the union-of-two-keys blocking column
-    # (primary + alternate) a person-name tier would explode on.
+    # DM keys (primary + alternate) -- the union-of-two-keys blocking column
+    # a person-name tier explodes on -- over the pinned golden lexicon.
+    # Value-checked since r03: the 450-line automaton has no SQL analog, but
+    # its expected outputs on the published vectors are hand-derivable, so
+    # the oracle is a VALUES table of independently-derived encodings
+    # covering every branch corner the frozen corpus exercises.
     from ala_name_matching_spark.functions.double_metaphone import (
         double_metaphone_udf,
     )
-    from ala_name_matching_spark.operators.dedup import tokens_col
 
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.element_at(tokens_col(F.col("text")), 1).alias("word")
+    words = spark.createDataFrame(
+        [(w,) for w in sorted(_DM_GOLDEN)], "word string"
     )
-    return d.select(
-        "doc_id",
+    return words.select(
+        "word", double_metaphone_udf(F.col("word")).alias("dm")
+    ).select(
         "word",
-        double_metaphone_udf(F.col("word")).alias("dm"),
-    ).select("doc_id", "word", "dm.primary", "dm.alternate")
+        F.col("dm.primary").alias("primary"),
+        F.col("dm.alternate").alias("alternate"),
+    )
 
 
 def _q_fuzzy_bm25_topk(spark, sf_dir):
@@ -2796,6 +2833,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
         "dm_fuzzy_lookup": _dm_fuzzy_oracle(),
         "spelling_collision_qa": _spelling_collision_oracle(),
+        # hand-derived pins (see _DM_GOLDEN) -- an independent derivation of
+        # the published cascade, not an engine snapshot
+        "double_metaphone_keys": (
+            'SELECT word, p AS "primary", a AS "alternate" FROM (VALUES '
+            + ", ".join(
+                f"('{w}', '{p}', '{a}')"
+                for w, (p, a) in sorted(_DM_GOLDEN.items())
+            )
+            + ") t(word, p, a)"
+        ),
         "rematch_stragglers": f"""
             WITH d AS (SELECT doc_id AS record_id, {_CANON} AS canon_text FROM documents),
             cl AS (SELECT record_id, canon_text,

@@ -126,3 +126,15 @@ EXTENDED = {
 def test_extended_goldens():
     for word, expected in EXTENDED.items():
         assert double_metaphone(word) == expected, word
+
+
+def test_entry_oracle_pins_match_goldens():
+    # __spark_entry__._DM_GOLDEN feeds the double_metaphone_keys VALUES
+    # oracle; it must stay identical to the hand-derived pins here so the
+    # driver row remains an independent derivation, not an engine snapshot.
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+
+    assert entry._DM_GOLDEN == {**GOLDENS, **EXTENDED}
