@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 88 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 91 queries are
                   value-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key, an
                   unrolled-CTE replay of the SemDeDup k-means loop, a
@@ -1037,6 +1037,54 @@ def _q_table_checksum(spark, sf_dir):
     )
 
 
+def _q_hll_distinct_tokens(spark, sf_dir):
+    # Deterministic HyperLogLog: per-lang distinct-token estimate next to
+    # the exact count. The sketch is engine-replayable (md5-prefix hash,
+    # bin()-based rank, integer-summed 2^-M series), so -- rare for an HLL
+    # -- the ESTIMATE itself is value-checked against a full SQL replay,
+    # not just recall-gated. At 100 TB the register table (<= 2^p rows per
+    # group, partial-agg'd) replaces the full-vocabulary distinct shuffle.
+    from ala_name_matching_spark.operators.sketches import hll_distinct
+    from ala_name_matching_spark.operators.text_analysis import _tokens
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    est = hll_distinct(toks, "tok", ["lang"], p=10)
+    exact = toks.groupBy("lang").agg(F.count_distinct("tok").alias("n_exact"))
+    return est.join(exact, "lang").select("lang", "hll_estimate", "n_exact")
+
+
+def _q_bloom_prefilter_join(spark, sf_dir):
+    # Bloom-prefiltered join accounting: orders (fact) against the selective
+    # high-balance BUILDING customers (dim). The m-bit filter is built with
+    # one partial-agg'd bit_or groupBy (<= m/64 rows collected), broadcast
+    # as a literal, and applied BEFORE any exchange on the fact side --
+    # Spark's own runtime bloom pushdown shape, here deterministic (md5
+    # positions) so the whole pass/match/false-positive ledger replays in
+    # SQL. No true match is lost (tested); false positives at this sizing
+    # are ~0.1%.
+    from ala_name_matching_spark.operators.bloom import bloom_join_stats
+
+    orders = _read(spark, sf_dir, "orders")
+    dim = _read(spark, sf_dir, "customer").where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    )
+    return bloom_join_stats(
+        orders, dim, "o_custkey", "c_custkey", m_bits=1 << 16, k=3
+    )
+
+
+def _q_quantile_profile_chars(spark, sf_dir):
+    # Exact per-lang quantile ladder of n_chars via Spark's percentile
+    # (PERCENTILE_CONT interpolation, the definition DuckDB's quantile_cont
+    # shares): (lang, q, value) rows -- the profiling companion to
+    # length_stats_by_lang with a full quantile grid.
+    from ala_name_matching_spark.operators.profiling import quantile_profile
+
+    return quantile_profile(_docs(spark, sf_dir), "n_chars", ["lang"])
+
+
 def _q_phrase_match(spark, sf_dir):
     # positional-index exact-phrase search (Lucene PhraseQuery analog):
     # queries are tokens 4..8 of every 25th doc, so each query matches its
@@ -1549,6 +1597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cube": _q_order_cube,
         "event_pivot": _q_event_pivot,
         "skew_salted_join": _q_skew_salted_join,
+        "hll_distinct_tokens": _q_hll_distinct_tokens,
+        "bloom_prefilter_join": _q_bloom_prefilter_join,
+        "quantile_profile_chars": _q_quantile_profile_chars,
         "winnowing_pairs": _q_winnowing_pairs,
         "strip_dup_spans": _q_strip_dup_spans,
         "gap_fill_minutes": _q_gap_fill,
@@ -1609,6 +1660,16 @@ _CANON = (
 )
 _BK = "lower(split_part(text, ' ', 1)) || '|' || lower(split_part(text, ' ', 2))"
 _TOKS = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+# HLL estimator numerator alpha_m * m^2 * 2^RMAX for p=10 -- imported from
+# the operator so the oracle inlines the bit-identical double literal
+def _hll_c() -> float:
+    from ala_name_matching_spark.operators.sketches import _hll_alpha
+
+    return _hll_alpha(1024) * 1024 * 1024 * float(1 << 51)
+
+
+_HLL_C = _hll_c()
 
 
 def _semdedup_oracle() -> str:
@@ -2278,6 +2339,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        # full SQL replay of the deterministic HLL sketch (p=10, m=1024,
+        # RMAX=51): md5-prefix 60-bit hash, bin()-length rank (no float
+        # log2), INTEGER-summed 2^-M series, published estimator constant
+        # inlined as the identical double literal on both sides
+        "hll_distinct_tokens": f"""
+            WITH toks AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),
+            h AS (
+              SELECT lang, tok,
+                     CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM toks WHERE tok IS NOT NULL),
+            regs AS (
+              SELECT lang, h & 1023 AS bucket,
+                     max(CASE WHEN (h >> 10) = 0 THEN 51
+                          ELSE 51 - length(bin(h >> 10)) END) AS reg
+              FROM h GROUP BY 1, 2),
+            agg AS (
+              SELECT lang, count(*) AS nz,
+                     CAST(sum(CAST(1 AS BIGINT) << (51 - reg)) AS BIGINT)
+                       AS s_nz
+              FROM regs GROUP BY lang),
+            est AS (
+              SELECT lang, nz,
+                     {_HLL_C!r} / CAST(s_nz + (1024 - nz) *
+                       (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS e_raw
+              FROM agg),
+            fin AS (
+              SELECT lang,
+                     CASE WHEN e_raw <= 2560.0 AND nz < 1024
+                          THEN 1024.0 * ln(1024.0 / CAST(1024 - nz AS DOUBLE))
+                          ELSE e_raw END AS e
+              FROM est),
+            ex AS (SELECT lang, count(DISTINCT tok) AS n_exact FROM h
+                   GROUP BY lang)
+            SELECT f.lang, round(e, 6) AS hll_estimate,
+                   CAST(n_exact AS BIGINT) AS n_exact
+            FROM fin f JOIN ex USING (lang)""",
+        # bitmap-as-position-set replay: a fact key passes the Bloom filter
+        # iff ALL k of its md5 positions land in the dim position set --
+        # identical semantics to the literal-bitmap bit test Spark runs
+        "bloom_prefilter_join": """
+            WITH dim AS (
+              SELECT DISTINCT c_custkey AS key FROM customer
+              WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000),
+            i(i) AS (VALUES (0), (1), (2)),
+            dpos AS (
+              SELECT DISTINCT
+                CAST(('0x' || substr(md5(i || ':' || key), 1, 15))
+                     AS BIGINT) % 65536 AS p
+              FROM dim, i),
+            fpos AS (
+              SELECT o_orderkey, o_custkey,
+                CAST(('0x' || substr(md5(i || ':' || o_custkey), 1, 15))
+                     AS BIGINT) % 65536 AS p
+              FROM orders, i WHERE o_custkey IS NOT NULL),
+            pass AS (
+              SELECT o_orderkey, o_custkey
+              FROM (SELECT o_orderkey, o_custkey,
+                           (p IN (SELECT p FROM dpos)) AS hit FROM fpos) t
+              GROUP BY 1, 2 HAVING bool_and(hit))
+            SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_fact,
+                   CAST(count(*) AS BIGINT) AS n_pass,
+                   CAST(count(*) FILTER (o_custkey IN (SELECT key FROM dim))
+                        AS BIGINT) AS n_match,
+                   CAST(count(*) FILTER (o_custkey NOT IN (SELECT key FROM dim))
+                        AS BIGINT) AS n_false_pos
+            FROM pass""",
+        "quantile_profile_chars": """
+            WITH g AS (
+              SELECT lang,
+                     CAST([0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[]) AS qs,
+                     quantile_cont(CAST(n_chars AS DOUBLE),
+                                   [0.25, 0.5, 0.75, 0.9, 0.99]) AS vals
+              FROM documents GROUP BY lang)
+            SELECT lang, q, round(value, 6) AS value FROM (
+              SELECT lang, unnest(qs) AS q, unnest(vals) AS value FROM g) t""",
         "table_checksum": """
             SELECT l_returnflag, count(*) AS n_rows,
                    CAST(sum(CAST(('0x' || substr(md5(

@@ -1,0 +1,150 @@
+"""Bloom-filter join pre-filtering (Bloom 1970) -- the shuffle-volume killer.
+
+The 100 TB problem: a fact table joins a dim subset that is too big to make
+the JOIN itself broadcast (payload columns, growth headroom) but whose KEY
+SET still fits in a few KB of bits. Shuffling the whole fact table to probe
+a join that discards 99% of it wastes the cluster; the classic fix (what
+Spark's own runtime row-level-filter pushdown does under
+spark.sql.optimizer.runtime.bloomFilter.enabled) is: build an m-bit Bloom
+filter over the dim keys, broadcast the BITS, and drop non-matching fact
+rows at the scan -- before the exchange. False positives only cost a little
+extra shuffle; no true match is ever lost.
+
+This implementation is deterministic and engine-replayable (so the whole
+prefilter -> join -> accounting chain is oracle-checkable):
+
+  position_i(key) = (60-bit md5 prefix of '<i>:'||key) mod m,  i = 0..k-1
+  bitmap build    = per-row masks shiftleft(1, pos % 64) grouped by word
+                    pos // 64, combined with bit_or -- a partial-aggregated
+                    groupBy whose output is at most m/64 rows (8 KB at
+                    m = 2^16), the one safe-to-collect structure here;
+  membership      = the bitmap rides into the fact scan as a LITERAL array
+                    of longs (same broadcast-scalar shape as Spark's native
+                    bloom pushdown); a row survives iff ALL k of its
+                    positions hit set bits -- pure JVM bit arithmetic,
+                    whole-stage-codegen'd, zero extra shuffle on the fact
+                    side.
+
+Sizing: false-positive rate ~ (1 - e^{-kn/m})^k; the defaults (m = 2^16,
+k = 3) give ~1.6% at n = 4k keys. At 100 TB the same code carries m up to
+a few 2^20s before literal-size pressure says switch to Spark's built-in
+bloom_filter_agg -- the point of THIS lane is the deterministic replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k deterministic bit positions for a key (md5 of 'i:'||key, mod m)."""
+    out = []
+    for i in range(k):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        out.append(F.pmod(h, F.lit(m_bits)))
+    return out
+
+
+def bloom_bitmap(
+    dim: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 3
+) -> list[int]:
+    """Build the m-bit filter over dim's keys; returns m/64 bitmap words.
+
+    Distributed: per-row masks -> groupBy(word index) + bit_or, partially
+    aggregated, then a BOUNDED collect of <= m/64 rows (the mergeable-
+    summary shape; never proportional to dim's row count).
+    """
+    n_words = (m_bits + 63) // 64
+    # k masks per row, built as an inline array + explode (narrow, no join)
+    exploded = (
+        dim.where(F.col(key_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.floor(pos / 64).cast("int").alias("w"),
+                            # call_function: the SQL shiftleft takes a
+                            # column shift amount; the python wrapper only
+                            # accepts an int literal
+                            F.call_function(
+                                "shiftleft",
+                                F.lit(1).cast("long"),
+                                F.pmod(pos, F.lit(64)).cast("int"),
+                            ).alias("m"),
+                        )
+                        for pos in _positions(F.col(key_col), m_bits, k)
+                    ]
+                )
+            ).alias("wm")
+        )
+        .select(F.col("wm.w").alias("w"), F.col("wm.m").alias("m"))
+    )
+    words = exploded.groupBy("w").agg(F.bit_or("m").alias("bits")).collect()
+    out = [0] * n_words
+    for r in words:
+        out[r["w"]] = r["bits"]
+    return out
+
+
+def bloom_might_contain(
+    key: Column, bitmap: list[int], m_bits: int, k: int = 3
+) -> Column:
+    """Membership predicate against a literal bitmap: true iff every one of
+    the key's k positions lands on a set bit. Pure JVM expressions."""
+    arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    cond = F.lit(True)
+    for pos in _positions(key, m_bits, k):
+        word = F.element_at(arr, F.floor(pos / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftright", word, F.pmod(pos, F.lit(64)).cast("int")
+        )
+        cond = cond & (bit.bitwiseAND(F.lit(1)) == 1)
+    return cond
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """fact rows whose key MIGHT be in dim (no true match lost; false
+    positives bounded by the m/k sizing). Place before the shuffle join."""
+    bitmap = bloom_bitmap(dim, dim_key or fact_key, m_bits, k)
+    return fact.where(
+        bloom_might_contain(F.col(fact_key), bitmap, m_bits, k)
+    )
+
+
+def bloom_join_stats(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """One accounting row proving the prefilter's contract:
+    (n_fact, n_pass, n_match, n_false_pos). n_match counted via the real
+    semi-join on the PREFILTERED side -- equal to the unfiltered semi-join
+    count by the no-false-negative property (asserted in tests)."""
+    passed = bloom_prefilter(fact, dim, fact_key, dim_key, m_bits, k)
+    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    n_fact = fact.count()
+    n_pass = passed.count()
+    n_match = passed.join(F.broadcast(keys), fact_key, "left_semi").count()
+    spark = fact.sparkSession
+    return spark.createDataFrame(
+        [(n_fact, n_pass, n_match, n_pass - n_match)],
+        "n_fact long, n_pass long, n_match long, n_false_pos long",
+    )

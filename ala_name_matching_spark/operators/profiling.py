@@ -103,3 +103,42 @@ def content_checksum(
         df.groupBy(*keys)
         .agg(F.count("*").alias("n_rows"), F.sum(row_h).alias("checksum"))
     )
+
+
+def quantile_profile(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group quantiles of `col`: (group..., q, value).
+
+    Uses Spark's exact `percentile` aggregate (sort-within-group + linear
+    interpolation at rank q*(n-1), the Type-7 / SQL-standard PERCENTILE_CONT
+    definition DuckDB's quantile_cont shares -- which is what makes this
+    oracle-checkable, unlike percentile_approx/KLL whose sketch internals
+    no second engine reproduces). One partial-aggregated groupBy; the array
+    of quantiles is computed in a single pass over each group and unrolled
+    with posexplode (a pure projection).
+
+    SCALE: exact percentile materializes each group's values on one
+    reducer -- right for profiling lanes where groups are bounded (per-lang,
+    per-source, per-day). For unbounded group sizes switch to
+    percentile_approx and give up the oracle; the call site chooses.
+    """
+    group_cols = list(group_cols or [])
+    q_arr = "array(" + ", ".join(f"{q}D" for q in qs) + ")"
+    agg = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({col}, {q_arr})").alias("vals")
+    )
+    qs_lit = F.array(*[F.lit(float(q)) for q in qs])
+    return agg.select(
+        *group_cols,
+        F.posexplode(F.arrays_zip(qs_lit.alias("q"), F.col("vals"))).alias(
+            "idx", "pair"
+        ),
+    ).select(
+        *group_cols,
+        F.col("pair.q").alias("q"),
+        F.round(F.col("pair.vals"), 6).alias("value"),
+    )

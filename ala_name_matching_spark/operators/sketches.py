@@ -1,4 +1,5 @@
-"""Mergeable frequency sketches: Misra-Gries heavy hitters, exactly verified.
+"""Mergeable sketches: Misra-Gries heavy hitters (exactly verified) and a
+deterministic HyperLogLog distinct-count sketch (cross-engine replayable).
 
 The 100 TB problem: "which tokens appear in more than phi of the corpus?"
 A plain groupBy(token) shuffles the ENTIRE vocabulary (trillions of rows ->
@@ -98,4 +99,120 @@ def heavy_hitters(
         .groupBy("item")
         .agg(F.count("*").alias("exact_count"))
         .filter(F.col("exact_count") > phi * n_total)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet/Fusy/Gandouet/Meunier 2007), deterministic variant.
+#
+# The 100 TB problem: "how many DISTINCT tokens / users / urls per group?"
+# Exact count_distinct shuffles every distinct value; HLL reduces each
+# partition to m = 2^p registers that merge by element-wise max -- the
+# canonical mergeable summary, so partial aggregation does all the work and
+# the exchange carries at most m rows per group regardless of corpus size.
+#
+# This variant is bit-replayable by a second engine (and therefore
+# oracle-checkable, which stock HLL implementations never are):
+#   hash   = 60-bit integer from the first 15 hex chars of md5(value)
+#            (stays under 2^63 so Spark's conv() and DuckDB's CAST('0x'..)
+#            agree exactly);
+#   bucket = low p bits; w = h >> p (a (60-p)-bit window);
+#   rank   = leading zeros of w within the window + 1
+#            = (60-p) + 1 - bitlength(w), computed EXACTLY via length(bin(w))
+#            -- no float log2, whose last-ulp rounding differs across libms;
+#   S      = sum over all m registers of 2^-M_j, accumulated as the INTEGER
+#            sum of shiftleft(1, RMAX - M_j) (empty registers contribute
+#            2^RMAX) -- float summation is order-dependent past 53 bits of
+#            mantissa, integer summation is not;
+#   E      = alpha_m * m^2 * 2^RMAX / S_int -- a single float division on
+#            identical operands, hence identical in both engines; the
+#            small-range linear-counting correction m*ln(m/V) applies below
+#            2.5m as published (ln is the one libm call left; 6-dp rounding
+#            absorbs its <=1-ulp cross-engine wiggle).
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    # published bias constants; p >= 7 uses the asymptotic formula
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_register_table(
+    df: DataFrame, col: str, group_cols: list[str] | None = None, p: int = 10
+) -> DataFrame:
+    """(group..., bucket, reg): the mergeable HLL sketch of `col` per group.
+
+    One narrow projection + one partial-aggregated groupBy; the exchange
+    carries <= m rows per group. Registers from two disjoint slices merge
+    with hll_merge() into exactly the whole-data sketch (tested).
+    """
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, p)
+    rank = F.when(w == F.lit(0), F.lit(60 - p + 1)).otherwise(
+        F.lit(60 - p + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            *group_cols,
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge sketches built by hll_register_table over the same grouping:
+    union + element-wise max per bucket (the mergeable-summary property)."""
+    it = iter(register_tables)
+    out = next(it)
+    for t in it:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns if c != "reg"]
+    return out.groupBy(*keys).agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None, p: int = 10
+) -> DataFrame:
+    """(group..., hll_estimate): the published HLL estimator with the
+    small-range linear-counting correction, from a register table."""
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    rmax = 60 - p + 1
+    c_num = _hll_alpha(m) * m * m * float(1 << rmax)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("nz"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - reg)")
+        ).alias("s_nz"),
+    )
+    s_int = F.col("s_nz") + (F.lit(m) - F.col("nz")) * F.lit(1 << rmax)
+    v = (F.lit(m) - F.col("nz")).cast("double")
+    e_raw = F.lit(c_num) / s_int.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("nz") < F.lit(m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 6).alias("hll_estimate"))
+
+
+def hll_distinct(
+    df: DataFrame, col: str, group_cols: list[str] | None = None, p: int = 10
+) -> DataFrame:
+    """Approximate distinct count of `col` per group (deterministic HLL)."""
+    return hll_estimate(
+        hll_register_table(df, col, group_cols, p), group_cols, p
     )

@@ -84,6 +84,8 @@ def main():
         "phrase_match",
         "winnowing_pairs",
         "strip_dup_spans",
+        "hll_distinct_tokens",
+        "bloom_prefilter_join",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())

@@ -53,3 +53,25 @@ def test_content_checksum_null_placement_significant(spark):
     ca = content_checksum(a, ["k", "x", "y"]).first()["checksum"]
     cb = content_checksum(b, ["k", "x", "y"]).first()["checksum"]
     assert ca != cb  # concat_ws would silently collide these
+
+
+def test_quantile_profile_exact_interpolation(spark):
+    """quantile_profile == numpy's linear-interpolation percentile (the
+    PERCENTILE_CONT definition), per group."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ala_name_matching_spark.operators.profiling import quantile_profile
+
+    vals_a = [1.0, 2.0, 3.0, 10.0, 50.0]
+    vals_b = [5.0, 5.0, 6.0]
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    df = spark.createDataFrame(rows, "g string, x double").repartition(4)
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in quantile_profile(df, "x", ["g"], qs=(0.25, 0.5, 0.9)).collect()
+    }
+    for g, vals in [("a", vals_a), ("b", vals_b)]:
+        for q in (0.25, 0.5, 0.9):
+            want = float(np.percentile(vals, q * 100, method="linear"))
+            assert abs(got[(g, q)] - round(want, 6)) < 1e-9, (g, q)

@@ -47,3 +47,81 @@ def test_heavy_hitters_empty_and_tiny_capacity(spark):
     d = spark.createDataFrame(pd.DataFrame({"tok": ["a"] * 9 + ["b"]}))
     got = {(r["item"], r["exact_count"]) for r in heavy_hitters(d, "tok", phi=0.5).collect()}
     assert got == {("a", 9)}
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+from ala_name_matching_spark.operators.sketches import (  # noqa: E402
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_register_table,
+)
+
+
+def test_hll_accuracy_large_range():
+    """n=20000 distinct values, p=10: the raw-estimator regime. Published
+    relative error is ~1.04/sqrt(m) = 3.25%; assert a 3-sigma band."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.range(20000).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    est = hll_distinct(df, "v", p=10).collect()[0]["hll_estimate"]
+    assert abs(est - 20000) / 20000 < 3 * 1.04 / (1 << 5)  # sqrt(1024)=32
+
+
+def test_hll_linear_counting_small_range(spark):
+    """n=60 distinct at p=10 sits far below 2.5m: the linear-counting branch
+    must engage and be near-exact (few register collisions)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(60).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    est = hll_distinct(df, "v", p=10).collect()[0]["hll_estimate"]
+    assert abs(est - 60) <= 4
+
+
+def test_hll_mergeability(spark):
+    """Registers from two disjoint halves, merged by element-wise max, must
+    equal the whole-data register table EXACTLY (the property that makes
+    the sketch partial-aggregable at 100 TB), and duplicate values must not
+    move the estimate (insensitivity to multiplicity)."""
+    import pyspark.sql.functions as F
+
+    whole = spark.range(5000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("v")
+    )
+    a = whole.where(F.col("v").substr(2, 10).cast("long") % 2 == 0)
+    b = whole.where(F.col("v").substr(2, 10).cast("long") % 2 == 1)
+    merged = {
+        (r["bucket"], r["reg"])
+        for r in hll_merge(
+            hll_register_table(a, "v"), hll_register_table(b, "v")
+        ).collect()
+    }
+    direct = {
+        (r["bucket"], r["reg"])
+        for r in hll_register_table(whole, "v").collect()
+    }
+    assert merged == direct
+    dup = whole.union(whole).union(whole)
+    est_dup = hll_distinct(dup, "v").collect()[0]["hll_estimate"]
+    est_one = hll_distinct(whole, "v").collect()[0]["hll_estimate"]
+    assert est_dup == est_one
+
+
+def test_hll_grouped(spark):
+    """Per-group sketches are independent: a group's estimate must not see
+    other groups' values."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("u"), F.col("id")).alias("v"),
+    )
+    rows = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_distinct(df, "v", ["g"]).collect()
+    }
+    for g, est in rows.items():
+        assert abs(est - 1000) / 1000 < 0.15, (g, est)
