@@ -2146,6 +2146,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey, lower(c_name) AS nm,
                      CASE WHEN lower(c_name) = 'customer#00000001' THEN 12.0
                           WHEN lower(c_name) LIKE 'customer#00000001%' THEN 2.0
+                          WHEN contains(lower(c_name), ' customer#00000001')
+                            THEN 1.5
                           ELSE 1.0 END AS boost
               FROM customer
               WHERE contains(lower(c_name), 'customer#00000001')),

@@ -187,9 +187,15 @@ def autocomplete(
     k: int = 10,
     boost_exact: float = 12.0,
 ) -> DataFrame:
-    """J10 -- autocomplete: exact (boosted) + prefix + contains matches,
-    reranked by Levenshtein similarity x boost (buildAutocompleteQuery,
-    ALANameSearcher.java:1947-1966; rerank :1885-1906).
+    """J10 -- autocomplete: the reference unions FOUR wildcard lanes as
+    Lucene SHOULD clauses (buildAutocompleteQuery, ALANameSearcher.java:
+    1947-1966): exact `q` at boost 12, prefix `q*`, word-start `* q*`, and
+    infix `*q*`; SHOULD clauses are additive, so a name matching more lanes
+    outranks one matching fewer. Re-expressed as ordered boost tiers over
+    one contains() scan (exact > prefix > word-start > infix -- each tier
+    implies every lane the one below it matches, so the tier order IS the
+    additive-score order), then reranked by Levenshtein similarity x boost
+    (:1885-1906).
 
     Deterministic: ties break on the name then record id.
     """
@@ -199,6 +205,7 @@ def autocomplete(
         "boost",
         F.when(c == p, F.lit(boost_exact))
         .when(c.startswith(p), F.lit(2.0))
+        .when(c.contains(" " + p), F.lit(1.5))
         .otherwise(F.lit(1.0)),
     )
     maxlen = F.greatest(F.length(c), F.lit(len(p)))

@@ -153,6 +153,32 @@ def test_autocomplete_ranking(spark):
     assert ranked == ["r1", "r2", "r3"]
 
 
+def test_autocomplete_four_wildcard_tiers(spark):
+    """The reference's four SHOULD lanes (exact / q* / '* q*' / *q*,
+    ALANameSearcher.java:1947-1966) as ordered boost tiers: a word-start
+    match must outrank a pure-infix match of comparable edit distance."""
+    idx = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "record_id": ["exact", "prefix", "wordstart", "infix"],
+                "canon_text": [
+                    "node",
+                    "node cluster x",  # begins with the query
+                    "edge node clust",  # query starts a LATER word
+                    "anodexcluster x",  # query only mid-token
+                ],
+            }
+        )
+    )
+    out = autocomplete(idx, "node", k=4).collect()
+    ranked = [r["record_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == ["exact", "prefix", "wordstart", "infix"]
+    boosts = {r["record_id"]: r["boost"] for r in out}
+    assert boosts == {
+        "exact": 12.0, "prefix": 2.0, "wordstart": 1.5, "infix": 1.0
+    }
+
+
 def test_spelling_collision_qa(spark):
     from ala_name_matching_spark.operators.blocking import (
         with_blocking_columns,
