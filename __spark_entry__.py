@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 91 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 92 queries are
                   value-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key, an
                   unrolled-CTE replay of the SemDeDup k-means loop, a
@@ -1085,6 +1085,20 @@ def _q_quantile_profile_chars(spark, sf_dir):
     return quantile_profile(_docs(spark, sf_dir), "n_chars", ["lang"])
 
 
+def _q_setsim_join(spark, sf_dir):
+    # Prefix-filtered set-similarity self-join (AllPairs/PPJoin,
+    # Bayardo 2007 / Xiao 2008): every doc pair with 3-gram-shingle
+    # Jaccard >= 0.6, computed WITHOUT the all-pairs product -- candidates
+    # come from an equi-join on each set's rarest-token prefix, which is
+    # provably lossless at the threshold, so the sub-quadratic engine
+    # output EQUALS the brute-force truth set (the oracle below).
+    from ala_name_matching_spark.operators.set_join import similarity_join
+
+    return similarity_join(
+        _docs(spark, sf_dir), threshold=0.6, shingle_n=3
+    )
+
+
 def _q_phrase_match(spark, sf_dir):
     # positional-index exact-phrase search (Lucene PhraseQuery analog):
     # queries are tokens 4..8 of every 25th doc, so each query matches its
@@ -1600,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "bloom_prefilter_join": _q_bloom_prefilter_join,
         "quantile_profile_chars": _q_quantile_profile_chars,
+        "setsim_join_pairs": _q_setsim_join,
         "winnowing_pairs": _q_winnowing_pairs,
         "strip_dup_spans": _q_strip_dup_spans,
         "gap_fill_minutes": _q_gap_fill,
@@ -2345,6 +2360,28 @@ def oracle_sql() -> dict[str, str]:
         # RMAX=51): md5-prefix 60-bit hash, bin()-length rank (no float
         # log2), INTEGER-summed 2^-M series, published estimator constant
         # inlined as the identical double literal on both sides
+        # brute-force all-pairs truth set: the engine's prefix filter is
+        # lossless, so sub-quadratic output == this exact join
+        "setsim_join_pairs": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                           i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks),
+            cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r,
+                     count(*) AS o
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.doc_id_l, i.doc_id_r, CAST(i.o AS BIGINT) AS overlap,
+                   round(i.o / (cl.n + cr.n - i.o), 4) AS jaccard
+            FROM inter i
+            JOIN cnt cl ON i.doc_id_l = cl.doc_id
+            JOIN cnt cr ON i.doc_id_r = cr.doc_id
+            WHERE i.o / (cl.n + cr.n - i.o) >= 0.6
+        """,
         "hll_distinct_tokens": f"""
             WITH toks AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),
             h AS (

@@ -81,6 +81,7 @@ def main():
         "fuzzy_bm25_topk",
         "semdedup_prune",
         "prefix_containment",
+        "setsim_join_pairs",
         "phrase_match",
         "winnowing_pairs",
         "strip_dup_spans",
