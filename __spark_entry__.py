@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 92 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 93 queries are
                   value-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key, an
                   unrolled-CTE replay of the SemDeDup k-means loop, a
@@ -1099,6 +1099,151 @@ def _q_setsim_join(spark, sf_dir):
     )
 
 
+_FS_ITERS = 4
+
+
+def _q_fs_match_weights(spark, sf_dir):
+    # Fellegi-Sunter probabilistic linkage (Fellegi & Sunter 1969; EM per
+    # Winkler 1988). Pair universe = blocked candidates UNION a
+    # deterministic non-match sample (doc_id+257 pairing -- the labeled-
+    # free "random pairs" u-estimation trick); 3 binary agreement fields
+    # (token-jaccard>=0.5 as an integer cross-multiply, levenshtein<=20,
+    # length-within-10%). m/u probabilities are fitted by 4 EM iterations
+    # on the <=2^3-row agreement-pattern histogram (the bounded sufficient
+    # statistic -- the whole fit costs one groupBy at any corpus size).
+    # Output: per-pattern match weight log2(P(gamma|M)/P(gamma|U)) and
+    # posterior P(M|gamma). The oracle replays the identical IEEE-double
+    # EM trajectory as unrolled CTEs.
+    from ala_name_matching_spark.operators.linkage import fellegi_sunter_weights
+
+    d = _docs(spark, sf_dir).select(
+        _block_key_col().alias("bk"),
+        "doc_id",
+        "text",
+        "n_chars",
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
+    )
+    sides = {}
+    for side in ("l", "r"):
+        sides[side] = d.select(
+            F.col("bk"),
+            F.col("doc_id").alias(f"doc_id_{side}"),
+            F.col("text").alias(f"text_{side}"),
+            F.col("n_chars").alias(f"n_chars_{side}"),
+            F.col("toks").alias(f"toks_{side}"),
+        )
+    l, r = sides["l"], sides["r"]
+    blocked = l.join(r, "bk").filter(F.col("doc_id_l") < F.col("doc_id_r"))
+    shifted = l.drop("bk").join(
+        r.drop("bk"), F.col("doc_id_l") + F.lit(257) == F.col("doc_id_r")
+    )
+    gamma = [
+        (
+            F.size(F.array_intersect("toks_l", "toks_r")) * 2
+            >= F.size(F.array_union("toks_l", "toks_r"))
+        )
+        .cast("int")
+        .alias("g_jacc"),
+        (F.levenshtein("text_l", "text_r") <= 20).cast("int").alias("g_lev"),
+        (
+            F.abs(F.col("n_chars_l") - F.col("n_chars_r")) * 10
+            <= F.greatest("n_chars_l", "n_chars_r")
+        )
+        .cast("int")
+        .alias("g_len"),
+    ]
+    pairs = blocked.select(*gamma).unionByName(shifted.select(*gamma))
+    return fellegi_sunter_weights(
+        pairs, ["g_jacc", "g_lev", "g_len"], iters=_FS_ITERS
+    )
+
+
+def _fs_oracle_sql(bk_macro: str, iters: int) -> str:
+    """Unrolled-CTE DuckDB replay of the Fellegi-Sunter EM fit.
+
+    Mirrors fs_em's determinism contract exactly: same init, conditional
+    factors in the same left-associated order, M-step sums in ascending
+    pattern_id order (sum ... ORDER BY pid; the interleaved 0.0 terms of
+    the CASE guards are exact float identities).
+    """
+    feats = ["g_jacc", "g_lev", "g_len"]
+
+    def prod(prefix, it):
+        fs = " * ".join(
+            f"(CASE WHEN {g} = 1 THEN {it}.{prefix}{i + 1} "
+            f"ELSE 1.0 - {it}.{prefix}{i + 1} END)"
+            for i, g in enumerate(feats)
+        )
+        return fs
+
+    gamma = """
+          SELECT CASE WHEN len(list_intersect(l.toks, r.toks)) * 2
+                           >= len(list_distinct(list_concat(l.toks, r.toks)))
+                      THEN 1 ELSE 0 END AS g_jacc,
+                 CASE WHEN levenshtein(l.text, r.text) <= 20 THEN 1 ELSE 0 END AS g_lev,
+                 CASE WHEN abs(l.n_chars - r.n_chars) * 10 <= greatest(l.n_chars, r.n_chars) THEN 1 ELSE 0 END AS g_len"""
+    ctes = [
+        f"""d AS (SELECT {bk_macro} AS bk, doc_id, text, n_chars,
+                       list_distinct(string_split(lower(text), ' ')) AS toks
+                  FROM documents),
+        pairs AS (
+          {gamma}
+          FROM d l JOIN d r ON l.bk = r.bk AND l.doc_id < r.doc_id
+          UNION ALL
+          {gamma}
+          FROM d l JOIN d r ON l.doc_id + 257 = r.doc_id),
+        pat AS (
+          SELECT g_jacc, g_lev, g_len,
+                 g_jacc + 2*g_lev + 4*g_len AS pid, count(*) AS c
+          FROM pairs GROUP BY 1, 2, 3),
+        ntot AS (SELECT sum(c ORDER BY pid) AS n FROM pat),
+        it0 AS (SELECT 0.5 AS p, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+                       0.1 AS u1, 0.1 AS u2, 0.1 AS u3)"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"it{t - 1}"
+        ctes.append(
+            f"""w{t} AS (
+          SELECT pat.*,
+                 ({prev}.p * {prod("m", prev)}) AS nm,
+                 ((1.0 - {prev}.p) * {prod("u", prev)}) AS nu
+          FROM pat, {prev})"""
+        )
+        msums = ", ".join(
+            f"sum(CASE WHEN {g} = 1 THEN c * (nm / (nm + nu)) ELSE 0.0 END ORDER BY pid)"
+            f" / sum(c * (nm / (nm + nu)) ORDER BY pid) AS m{i + 1}"
+            for i, g in enumerate(feats)
+        )
+        usums = ", ".join(
+            f"sum(CASE WHEN {g} = 1 THEN c * (1.0 - nm / (nm + nu)) ELSE 0.0 END ORDER BY pid)"
+            f" / (ntot.n - sum(c * (nm / (nm + nu)) ORDER BY pid)) AS u{i + 1}"
+            for i, g in enumerate(feats)
+        )
+        ctes.append(
+            f"""it{t} AS (
+          SELECT sum(c * (nm / (nm + nu)) ORDER BY pid) / ntot.n AS p,
+                 {msums}, {usums}
+          FROM w{t}, ntot GROUP BY ntot.n)"""
+        )
+    last = f"it{iters}"
+    return f"""
+            WITH {", ".join(ctes)},
+            fin AS (
+              SELECT pat.pid, pat.g_jacc, pat.g_lev, pat.g_len, pat.c,
+                     (1.0 * {prod("m", last)}) AS pm,
+                     (1.0 * {prod("u", last)}) AS pu,
+                     {last}.p AS p
+              FROM pat, {last})
+            SELECT CAST(pid AS INTEGER) AS pattern_id,
+                   CAST(g_jacc AS INTEGER) AS g_jacc,
+                   CAST(g_lev AS INTEGER) AS g_lev,
+                   CAST(g_len AS INTEGER) AS g_len,
+                   CAST(c AS BIGINT) AS n_pairs,
+                   round(log2(pm / pu), 6) AS match_weight,
+                   round((p * pm) / (p * pm + (1.0 - p) * pu), 6) AS posterior
+            FROM fin"""
+
+
 def _q_phrase_match(spark, sf_dir):
     # positional-index exact-phrase search (Lucene PhraseQuery analog):
     # queries are tokens 4..8 of every 25th doc, so each query matches its
@@ -1615,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter_join": _q_bloom_prefilter_join,
         "quantile_profile_chars": _q_quantile_profile_chars,
         "setsim_join_pairs": _q_setsim_join,
+        "fs_match_weights": _q_fs_match_weights,
         "winnowing_pairs": _q_winnowing_pairs,
         "strip_dup_spans": _q_strip_dup_spans,
         "gap_fill_minutes": _q_gap_fill,
@@ -2360,6 +2506,9 @@ def oracle_sql() -> dict[str, str]:
         # RMAX=51): md5-prefix 60-bit hash, bin()-length rank (no float
         # log2), INTEGER-summed 2^-M series, published estimator constant
         # inlined as the identical double literal on both sides
+        # unrolled-CTE replay of the Fellegi-Sunter EM fit (same init,
+        # factor order, and pid-ordered M-step sums as fs_em)
+        "fs_match_weights": _fs_oracle_sql(_BK, _FS_ITERS),
         # brute-force all-pairs truth set: the engine's prefix filter is
         # lossless, so sub-quadratic output == this exact join
         "setsim_join_pairs": f"""

@@ -1,0 +1,166 @@
+"""Fellegi-Sunter probabilistic record linkage with EM-estimated weights.
+
+The reference's match ladder scores candidate pairs with a hand-weighted
+vector (SURVEY.md §2.4 A1, `matching-algorithm-v2.md` weights); the
+published generalization is the Fellegi-Sunter model (Fellegi & Sunter,
+JASA 1969): each candidate pair gets a binary agreement vector gamma over
+k comparison fields, and the decision weight is
+
+    w(gamma) = log2( P(gamma | Match) / P(gamma | Unmatch) )
+
+with per-field conditional probabilities m_i = P(agree_i | M) and
+u_i = P(agree_i | U) estimated WITHOUT labels by EM over the observed
+pattern frequencies (Winkler 1988), under the standard conditional-
+independence assumption.
+
+Why this is 100 TB-shaped: the E/M steps never touch pairs individually.
+The sufficient statistic is the agreement-PATTERN histogram -- at most 2^k
+rows regardless of corpus size -- produced by one partial-aggregated
+groupBy over the (already blocked) pair table. EM then runs on that
+driver-side histogram (the same bounded-collect discipline as Misra-Gries
+summaries and k-means centroids), and the learned per-pattern weights
+broadcast back onto pairs as a <=2^k-row map join. Total distributed cost:
+one groupBy + one broadcast join, independent of iteration count.
+
+Determinism contract (what makes the EM oracle-checkable): fixed init
+(p=0.5, m_i=0.9, u_i=0.1), a fixed iteration count, probability products
+written as left-associated conditional factors (no pow()), and M-step sums
+accumulated in ascending pattern_id order -- the DuckDB replay mirrors
+each of these (sum(... ORDER BY pid)), so both engines walk bit-identical
+IEEE-double trajectories; 6-dp rounding on the outputs absorbs the one
+libm call (log2).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EM_INIT = {"p": 0.5, "m": 0.9, "u": 0.1}
+
+
+def agreement_pattern_counts(
+    pairs: DataFrame, feature_cols: list[str]
+) -> DataFrame:
+    """(g1..gk, pattern_id, n_pairs): histogram of binary agreement vectors.
+
+    feature_cols must be 0/1 integer columns on `pairs`. One partial-agg
+    groupBy; output is <= 2^k rows.
+    """
+    pid = None
+    for i, c in enumerate(feature_cols):
+        term = F.col(c).cast("int") * F.lit(1 << i)
+        pid = term if pid is None else pid + term
+    return (
+        pairs.groupBy(*[F.col(c).cast("int").alias(c) for c in feature_cols])
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("pattern_id", pid)
+    )
+
+
+def fs_em(
+    patterns: list[tuple[int, list[int], int]],
+    k: int,
+    iters: int,
+) -> tuple[float, list[float], list[float]]:
+    """EM over an agreement-pattern histogram.
+
+    patterns: (pattern_id, [g1..gk], count) sorted ascending by pattern_id
+    (the summation order is part of the determinism contract).
+    Returns (p, m[ k ], u[ k ]).
+    """
+    p = EM_INIT["p"]
+    m = [EM_INIT["m"]] * k
+    u = [EM_INIT["u"]] * k
+    n_total = 0.0
+    for _, _, c in patterns:
+        n_total = n_total + float(c)
+    for _ in range(iters):
+        # E-step: posterior per pattern (left-associated factor products)
+        ws = []
+        for _, g, _c in patterns:
+            nm = p
+            nu = 1.0 - p
+            for i in range(k):
+                nm = nm * (m[i] if g[i] == 1 else 1.0 - m[i])
+                nu = nu * (u[i] if g[i] == 1 else 1.0 - u[i])
+            ws.append(nm / (nm + nu))
+        # M-step: sums in ascending-pattern_id order
+        sw = 0.0
+        for (_, _, c), w in zip(patterns, ws):
+            sw = sw + float(c) * w
+        p = sw / n_total
+        for i in range(k):
+            sm = 0.0
+            su = 0.0
+            for (_, g, c), w in zip(patterns, ws):
+                if g[i] == 1:
+                    sm = sm + float(c) * w
+                    su = su + float(c) * (1.0 - w)
+            m[i] = sm / sw
+            u[i] = su / (n_total - sw)
+    return p, m, u
+
+
+def fellegi_sunter_weights(
+    pairs: DataFrame, feature_cols: list[str], iters: int = 4
+) -> DataFrame:
+    """Per-pattern Fellegi-Sunter summary from a blocked candidate-pair table.
+
+    Returns one row per observed agreement pattern:
+      (pattern_id, g1..gk, n_pairs, match_weight, posterior)
+    where match_weight = log2(P(gamma|M) / P(gamma|U)) under the EM-fitted
+    parameters and posterior = P(M | gamma). Per-pair weights are this
+    table broadcast-joined back on pattern_id (weights are a function of
+    the pattern alone) -- callers needing pair-level output join it to
+    `pairs`; the summary IS the model.
+    """
+    k = len(feature_cols)
+    hist = agreement_pattern_counts(pairs, feature_cols)
+    rows = sorted(
+        (
+            (
+                r["pattern_id"],
+                [r[c] for c in feature_cols],
+                r["n_pairs"],
+            )
+            for r in hist.collect()
+        ),
+        key=lambda t: t[0],
+    )
+    if not rows:
+        spark = pairs.sparkSession
+        schema = (
+            "pattern_id int, "
+            + ", ".join(f"{c} int" for c in feature_cols)
+            + ", n_pairs long, match_weight double, posterior double"
+        )
+        return spark.createDataFrame([], schema)
+    p, m, u = fs_em(rows, k, iters)
+    out = []
+    for pid, g, c in rows:
+        pm = 1.0
+        pu = 1.0
+        for i in range(k):
+            pm = pm * (m[i] if g[i] == 1 else 1.0 - m[i])
+            pu = pu * (u[i] if g[i] == 1 else 1.0 - u[i])
+        nm = p * pm
+        nu = (1.0 - p) * pu
+        out.append(
+            (
+                pid,
+                *[int(x) for x in g],
+                int(c),
+                round(math.log2(pm / pu), 6),
+                round(nm / (nm + nu), 6),
+            )
+        )
+    spark = pairs.sparkSession
+    schema = (
+        "pattern_id int, "
+        + ", ".join(f"{c} int" for c in feature_cols)
+        + ", n_pairs long, match_weight double, posterior double"
+    )
+    return spark.createDataFrame(out, schema)
