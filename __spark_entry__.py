@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 93 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 94 queries are
                   value-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key, an
                   unrolled-CTE replay of the SemDeDup k-means loop, a
@@ -1099,6 +1099,23 @@ def _q_setsim_join(spark, sf_dir):
     )
 
 
+def _q_snm_pairs(spark, sf_dir):
+    # Sorted-neighborhood blocking (Hernandez & Stolfo 1995): candidate
+    # pairs within a 5-position window of the lower(trim(text)) sort
+    # order. Global ranks come from the distributed range-partition +
+    # local-window + offset-table construction (never a single-partition
+    # global window); pairing is the div-w bucket trick -- linear pair
+    # budget, immune to key skew.
+    from ala_name_matching_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(F.trim("text")).alias("snm_key")
+    )
+    return sorted_neighborhood_pairs(d, "snm_key", "doc_id", window=5)
+
+
 _FS_ITERS = 4
 
 
@@ -1761,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile_chars": _q_quantile_profile_chars,
         "setsim_join_pairs": _q_setsim_join,
         "fs_match_weights": _q_fs_match_weights,
+        "snm_pairs": _q_snm_pairs,
         "winnowing_pairs": _q_winnowing_pairs,
         "strip_dup_spans": _q_strip_dup_spans,
         "gap_fill_minutes": _q_gap_fill,
@@ -2509,6 +2527,15 @@ def oracle_sql() -> dict[str, str]:
         # unrolled-CTE replay of the Fellegi-Sunter EM fit (same init,
         # factor order, and pid-ordered M-step sums as fs_em)
         "fs_match_weights": _fs_oracle_sql(_BK, _FS_ITERS),
+        "snm_pairs": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY lower(trim(text)), doc_id) - 1 AS rk
+              FROM documents)
+            SELECT l.doc_id AS id_l, r2.doc_id AS id_r,
+                   CAST(l.rk AS BIGINT) AS rank_l, CAST(r2.rk AS BIGINT) AS rank_r
+            FROM r l JOIN r r2 ON r2.rk > l.rk AND r2.rk - l.rk < 5
+        """,
         # brute-force all-pairs truth set: the engine's prefix filter is
         # lossless, so sub-quadratic output == this exact join
         "setsim_join_pairs": f"""
