@@ -1099,6 +1099,35 @@ def _q_setsim_join(spark, sf_dir):
     )
 
 
+def _q_cm_token_counts(spark, sf_dir):
+    # Count-Min sketch (Cormode & Muthukrishnan 2005) point-frequency
+    # estimates next to exact counts. Deterministic md5-row hashing makes
+    # the whole d x w grid AND every estimate replay bit-for-bit in SQL;
+    # estimates are one-sided (cm >= exact, asserted in tests). At 100 TB
+    # the d*w-row grid replaces the full-vocabulary groupBy for point
+    # queries; the exact lane here exists to expose the overcount delta.
+    from ala_name_matching_spark.operators.dedup import tokens_col
+    from ala_name_matching_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch_table,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    grid = cm_sketch_table(toks, "tok", d=3, w=1024)
+    probes = toks.where(F.col("doc_id") % 97 == 0).select("tok")
+    est = cm_estimate(grid, probes, "tok", d=3, w=1024)
+    exact = toks.groupBy(F.col("tok").alias("item")).agg(
+        F.count("*").alias("n_exact")
+    )
+    return est.join(exact, "item", "left").select(
+        "item",
+        F.col("cm_estimate").cast("long").alias("cm_estimate"),
+        F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+    )
+
+
 def _q_snm_pairs(spark, sf_dir):
     # Sorted-neighborhood blocking (Hernandez & Stolfo 1995): candidate
     # pairs within a 5-position window of the lower(trim(text)) sort
@@ -1779,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_join_pairs": _q_setsim_join,
         "fs_match_weights": _q_fs_match_weights,
         "snm_pairs": _q_snm_pairs,
+        "cm_token_counts": _q_cm_token_counts,
         "winnowing_pairs": _q_winnowing_pairs,
         "strip_dup_spans": _q_strip_dup_spans,
         "gap_fill_minutes": _q_gap_fill,
@@ -2590,6 +2620,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.lang, round(e, 6) AS hll_estimate,
                    CAST(n_exact AS BIGINT) AS n_exact
             FROM fin f JOIN ex USING (lang)""",
+        # Count-Min grid replay: same md5('cm{{j}}|'||item) cell addressing
+        # as the Spark kernel, so every counter -- and therefore every
+        # min-over-rows estimate -- is bit-identical across engines
+        "cm_token_counts": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok
+                          FROM documents),
+            j(j) AS (VALUES (0), (1), (2)),
+            grid AS (
+              SELECT j.j AS row_j,
+                     CAST(('0x' || substr(md5('cm' || j.j || '|' || tok),
+                                          1, 15)) AS BIGINT) % 1024
+                       AS bucket,
+                     count(*) AS cnt
+              FROM toks CROSS JOIN j
+              WHERE tok IS NOT NULL
+              GROUP BY 1, 2),
+            probes AS (SELECT DISTINCT tok AS item FROM toks
+                       WHERE doc_id % 97 = 0),
+            pp AS (
+              SELECT p.item, j.j AS row_j,
+                     CAST(('0x' || substr(md5('cm' || j.j || '|' || p.item),
+                                          1, 15)) AS BIGINT) % 1024
+                       AS bucket
+              FROM probes p CROSS JOIN j),
+            est AS (
+              SELECT item, min(coalesce(cnt, 0)) AS cm_estimate
+              FROM pp LEFT JOIN grid USING (row_j, bucket)
+              GROUP BY item),
+            ex AS (SELECT tok AS item, count(*) AS n_exact FROM toks
+                   GROUP BY tok)
+            SELECT e.item, CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+                   CAST(coalesce(x.n_exact, 0) AS BIGINT) AS n_exact
+            FROM est e LEFT JOIN ex x USING (item)""",
         # bitmap-as-position-set replay: a fact key passes the Bloom filter
         # iff ALL k of its md5 positions land in the dim position set --
         # identical semantics to the literal-bitmap bit test Spark runs

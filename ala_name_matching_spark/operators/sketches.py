@@ -216,3 +216,93 @@ def hll_distinct(
     return hll_estimate(
         hll_register_table(df, col, group_cols, p), group_cols, p
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005),
+# deterministic variant.
+#
+# The 100 TB problem: "approximately how often does EACH of these items
+# occur?" -- point-frequency queries where the full groupBy(item) shuffle
+# (trillions of rows, billions of keys) is the cost being avoided and
+# Misra-Gries only answers for the heavy tail. The CM sketch reduces any
+# partition to a d x w counter grid that merges by element-wise SUM --
+# partial aggregation does all the work, the exchange carries at most
+# d*w rows per group, and estimates are one-sided: cm >= true count,
+# with overshoot <= 2n/w at probability 1 - 2^-d (published bound).
+#
+# Deterministic like the HLL variant above (and unlike library CMS
+# implementations, which salt per-run): row j hashes an item with
+# md5('cm{j}|' || item), taking the first 15 hex chars as a 60-bit
+# integer mod w. Every counter and every estimate replays bit-for-bit in
+# DuckDB, so the lane is fully oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def cm_sketch_table(
+    df: DataFrame, col: str, d: int = 3, w: int = 1024
+) -> DataFrame:
+    """(row_j, bucket, cnt): the mergeable d x w Count-Min grid of `col`.
+
+    One narrow d-way explode + one partial-aggregated groupBy; the
+    exchange carries <= d*w rows total. Two disjoint slices' grids merge
+    with cm_merge() into exactly the whole-data grid (tested).
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row_j")
+    hashed = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("_v"), rows
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cm"), F.col("row_j"), F.lit("|"), F.col("_v"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        hashed.select("row_j", F.pmod(h, F.lit(w)).alias("bucket"))
+        .groupBy("row_j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_merge(*grids: DataFrame) -> DataFrame:
+    """Merge Count-Min grids over the same (d, w): union + per-cell sum."""
+    it = iter(grids)
+    out = next(it)
+    for g in it:
+        out = out.unionByName(g)
+    return out.groupBy("row_j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    grid: DataFrame, items: DataFrame, col: str, d: int = 3, w: int = 1024
+) -> DataFrame:
+    """(item, cm_estimate): min over the d counters each item hashes to.
+
+    The grid is <= d*w rows -- broadcast; missing cells (never incremented)
+    count as 0. Estimates are one-sided overcounts: cm_estimate >= true
+    frequency always (tested), within 2n/w of it w.h.p.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row_j")
+    probes = items.select(F.col(col).cast("string").alias("item")).distinct().select(
+        "item", rows
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cm"), F.col("row_j"), F.lit("|"), F.col("item"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    probed = probes.select("item", "row_j", F.pmod(h, F.lit(w)).alias("bucket"))
+    return (
+        probed.join(F.broadcast(grid), ["row_j", "bucket"], "left")
+        .select("item", F.coalesce(F.col("cnt"), F.lit(0)).alias("c"))
+        .groupBy("item")
+        .agg(F.min("c").alias("cm_estimate"))
+    )

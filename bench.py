@@ -87,6 +87,7 @@ def main():
         "strip_dup_spans",
         "hll_distinct_tokens",
         "bloom_prefilter_join",
+        "cm_token_counts",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())

@@ -125,3 +125,72 @@ def test_hll_grouped(spark):
     }
     for g, est in rows.items():
         assert abs(est - 1000) / 1000 < 0.15, (g, est)
+
+
+# --- Count-Min --------------------------------------------------------------
+
+from ala_name_matching_spark.operators.sketches import (  # noqa: E402
+    cm_estimate,
+    cm_merge,
+    cm_sketch_table,
+)
+
+
+def test_cm_one_sided_and_tight_on_heavy(spark):
+    """Estimates never undercount (the CM guarantee), are exact-or-near for
+    heavy items at this load factor, and overshoot <= 2n/w for all probes."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    rows = ["hot"] * 500 + ["warm"] * 90 + ["c%d" % i for i in range(410)]
+    df = spark.createDataFrame(pd.DataFrame({"tok": rows})).repartition(8)
+    grid = cm_sketch_table(df, "tok", d=3, w=1024)
+    exact = {
+        r["tok"]: r["n"]
+        for r in df.groupBy("tok").agg(F.count("*").alias("n")).collect()
+    }
+    est = {
+        r["item"]: r["cm_estimate"]
+        for r in cm_estimate(grid, df, "tok", d=3, w=1024).collect()
+    }
+    assert set(est) == set(exact)
+    n, w = 1000, 1024
+    for item, e in est.items():
+        assert e >= exact[item], (item, e, exact[item])
+        assert e - exact[item] <= 2 * n / w, (item, e, exact[item])
+    assert est["hot"] >= 500 and est["warm"] >= 90
+
+
+def test_cm_mergeability(spark):
+    """Grids from two disjoint slices merge (cell-wise sum) into exactly the
+    whole-data grid -- the partial-aggregation property."""
+    import pyspark.sql.functions as F
+
+    whole = spark.range(4000).select(
+        F.concat(F.lit("t"), (F.col("id") % 700)).alias("v")
+    )
+    a = whole.where(F.crc32(F.col("v")) % 2 == 0)
+    b = whole.where(F.crc32(F.col("v")) % 2 == 1)
+    merged = {
+        (r["row_j"], r["bucket"]): r["cnt"]
+        for r in cm_merge(
+            cm_sketch_table(a, "v"), cm_sketch_table(b, "v")
+        ).collect()
+    }
+    direct = {
+        (r["row_j"], r["bucket"]): r["cnt"]
+        for r in cm_sketch_table(whole, "v").collect()
+    }
+    assert merged == direct
+
+
+def test_cm_unseen_item_estimates_can_be_zero(spark):
+    """A probe item that hashes to untouched cells must report 0 (missing
+    grid cells count as zero, not null)."""
+    import pandas as pd
+
+    data = spark.createDataFrame(pd.DataFrame({"tok": ["a", "b", "a"]}))
+    grid = cm_sketch_table(data, "tok", d=3, w=65536)
+    probes = spark.createDataFrame(pd.DataFrame({"tok": ["zzz-unseen"]}))
+    got = cm_estimate(grid, probes, "tok", d=3, w=65536).collect()
+    assert got[0]["cm_estimate"] == 0
