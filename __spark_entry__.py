@@ -1128,6 +1128,78 @@ def _q_cm_token_counts(spark, sf_dir):
     )
 
 
+def _conv_turns(spark, sf_dir):
+    """Deterministic conversation table with PLANTED conversation-level
+    duplicates, derived from `documents` (SQL-replayable on both engines).
+
+    Base conversations d{k} hold docs 10k..10k+9 as turns. Every 5th
+    conversation gains a near-dup repost v{k} (last three turns edited:
+    Jaccard 7/13 vs d{k}); every 7th gains a re-scrape r{k} (its first five
+    turns verbatim: a strict turn-prefix of d{k}). The fixture's documents
+    are all unique, so these plants ARE the conversation-level dup signal
+    -- and their expected pair inventory is known analytically (tested).
+    """
+    base = _docs(spark, sf_dir).select(
+        (F.col("doc_id") / 10).cast("long").alias("k"),
+        F.pmod(F.col("doc_id"), F.lit(10)).cast("int").alias("turn_idx"),
+        "text",
+    )
+    d = base.select(
+        F.concat(F.lit("d"), F.col("k").cast("string")).alias("conv_id"),
+        "turn_idx",
+        "text",
+    )
+    v = base.where(F.col("k") % 5 == 0).select(
+        F.concat(F.lit("v"), F.col("k").cast("string")).alias("conv_id"),
+        "turn_idx",
+        F.when(
+            F.col("turn_idx") >= 7, F.concat(F.col("text"), F.lit(" [edited]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    r = base.where((F.col("k") % 7 == 0) & (F.col("turn_idx") < 5)).select(
+        F.concat(F.lit("r"), F.col("k").cast("string")).alias("conv_id"),
+        "turn_idx",
+        "text",
+    )
+    return d.unionByName(v).unionByName(r)
+
+
+def _q_conv_neardup_pairs(spark, sf_dir):
+    # Conversation-grain near-dup (reposts with edits): threshold Jaccard
+    # over distinct turn-fingerprint sets, candidates generated by the
+    # shared-fingerprint inverted-index join -- exact and linear, no
+    # conv x conv product. The transcripts-axis lift of ngram_jaccard_pairs.
+    from ala_name_matching_spark.operators.conversations import (
+        conv_neardup_pairs,
+    )
+
+    return conv_neardup_pairs(_conv_turns(spark, sf_dir), threshold=0.5)
+
+
+def _q_conv_prefix_rescrape(spark, sf_dir):
+    # Re-scrape chain detection: conversation A's ENTIRE ordered turn
+    # sequence == the first |A| turns of conversation B, via rolling prefix
+    # hashes (one md5 per prefix, sum(len) rows total) and a hash equi-join.
+    from ala_name_matching_spark.operators.conversations import (
+        conv_prefix_pairs,
+    )
+
+    return conv_prefix_pairs(_conv_turns(spark, sf_dir))
+
+
+def _q_conv_dup_profile(spark, sf_dir):
+    # Per-conversation boilerplate ledger: fraction of distinct turns whose
+    # content also appears in >= 1 other conversation (fp-df groupBy + join
+    # back; the copypasta/canned-response signal).
+    from ala_name_matching_spark.operators.conversations import (
+        conv_dup_turn_profile,
+    )
+
+    return conv_dup_turn_profile(_conv_turns(spark, sf_dir))
+
+
 def _q_snm_pairs(spark, sf_dir):
     # Sorted-neighborhood blocking (Hernandez & Stolfo 1995): candidate
     # pairs within a 5-position window of the lower(trim(text)) sort
@@ -1809,6 +1881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_match_weights": _q_fs_match_weights,
         "snm_pairs": _q_snm_pairs,
         "cm_token_counts": _q_cm_token_counts,
+        "conv_neardup_pairs": _q_conv_neardup_pairs,
+        "conv_prefix_rescrape": _q_conv_prefix_rescrape,
+        "conv_dup_profile": _q_conv_dup_profile,
         "winnowing_pairs": _q_winnowing_pairs,
         "strip_dup_spans": _q_strip_dup_spans,
         "gap_fill_minutes": _q_gap_fill,
@@ -1869,6 +1944,29 @@ _CANON = (
 )
 _BK = "lower(split_part(text, ' ', 1)) || '|' || lower(split_part(text, ' ', 2))"
 _TOKS = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+# the planted conversation construction (_conv_turns) + turn fingerprints,
+# shared by the three conv_* oracles
+_CONV_FP_SQL = """WITH base AS (
+              SELECT doc_id // 10 AS k, doc_id % 10 AS t, text
+              FROM documents),
+            turns AS (
+              SELECT 'd' || CAST(k AS VARCHAR) AS conv_id, t AS turn_idx,
+                     text
+              FROM base
+              UNION ALL
+              SELECT 'v' || CAST(k AS VARCHAR), t,
+                     CASE WHEN t >= 7 THEN text || ' [edited]'
+                          ELSE text END
+              FROM base WHERE k % 5 = 0
+              UNION ALL
+              SELECT 'r' || CAST(k AS VARCHAR), t, text
+              FROM base WHERE k % 7 = 0 AND t < 5),
+            fp AS (
+              SELECT conv_id, turn_idx,
+                     md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS fp
+              FROM turns)"""
 
 # HLL estimator numerator alpha_m * m^2 * 2^RMAX for p=10 -- imported from
 # the operator so the oracle inlines the bit-identical double literal
@@ -2653,6 +2751,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.item, CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
                    CAST(coalesce(x.n_exact, 0) AS BIGINT) AS n_exact
             FROM est e LEFT JOIN ex x USING (item)""",
+        # conversation-grain dedup: the planted d/v/r construction is
+        # replayed verbatim (see _conv_turns), then each operator's exact
+        # relational semantics
+        "conv_neardup_pairs": f"""
+            {_CONV_FP_SQL},
+            fps AS (SELECT DISTINCT conv_id, fp FROM fp),
+            sz AS (SELECT conv_id, count(*) AS n FROM fps GROUP BY conv_id),
+            inter AS (
+              SELECT a.conv_id AS l, b.conv_id AS r, count(*) AS o
+              FROM fps a JOIN fps b
+                ON a.fp = b.fp AND a.conv_id < b.conv_id
+              GROUP BY 1, 2)
+            SELECT l AS conv_l, r AS conv_r, CAST(o AS BIGINT) AS overlap,
+                   round(o / (sl.n + sr.n - o), 4) AS jaccard
+            FROM inter
+            JOIN sz sl ON l = sl.conv_id
+            JOIN sz sr ON r = sr.conv_id
+            WHERE o / (sl.n + sr.n - o) >= 0.5""",
+        "conv_prefix_rescrape": f"""
+            {_CONV_FP_SQL},
+            seqs AS (SELECT conv_id, list(fp ORDER BY turn_idx) AS fps
+                     FROM fp GROUP BY conv_id),
+            pref AS (SELECT conv_id, len(fps) AS n,
+                            unnest(generate_series(1, len(fps))) AS kk, fps
+                     FROM seqs),
+            ph AS (SELECT conv_id, n, kk,
+                          md5(array_to_string(fps[1:kk], '|')) AS h
+                   FROM pref),
+            fl AS (SELECT conv_id AS conv_prefix, n AS prefix_len, h
+                   FROM ph WHERE kk = n)
+            SELECT f.conv_prefix, p.conv_id AS conv_full,
+                   CAST(f.prefix_len AS BIGINT) AS prefix_len,
+                   CAST(p.n AS BIGINT) AS full_len
+            FROM fl f JOIN ph p ON f.h = p.h AND f.prefix_len = p.kk
+            WHERE f.conv_prefix != p.conv_id
+              AND (f.prefix_len < p.n
+                   OR (f.prefix_len = p.n AND f.conv_prefix < p.conv_id))""",
+        "conv_dup_profile": f"""
+            {_CONV_FP_SQL},
+            fps AS (SELECT DISTINCT conv_id, fp FROM fp),
+            dfreq AS (SELECT fp, count(*) AS n_convs FROM fps GROUP BY fp)
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN n_convs > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared_turns,
+                   round(sum(CASE WHEN n_convs > 1 THEN 1 ELSE 0 END)
+                         / count(*), 4) AS dup_frac
+            FROM fps JOIN dfreq USING (fp)
+            GROUP BY conv_id""",
         # bitmap-as-position-set replay: a fact key passes the Bloom filter
         # iff ALL k of its md5 positions land in the dim position set --
         # identical semantics to the literal-bitmap bit test Spark runs

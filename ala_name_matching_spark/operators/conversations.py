@@ -1,0 +1,205 @@
+"""Conversation-level deduplication over transcript tables.
+
+The transcripts axis' unit of reuse is rarely the single turn: scraped chat
+logs repeat as whole CONVERSATIONS -- re-scrapes of the same thread caught at
+different times (a strict turn-prefix of a longer capture), reposts with a
+few turns edited, and canned-response boilerplate shared across threads.
+Turn-level near-dup (operators/dedup.py) misses all three because each turn
+is individually unremarkable; these operators lift the signal to the
+conversation grain.
+
+Design (all three are linear in total turns, no all-pairs product):
+
+* a turn FINGERPRINT is md5 of the whitespace-folded lowercase text -- the
+  same normalization as the token lane (dedup.tokens_col), so "same turn"
+  means same content modulo case/spacing;
+* `conv_neardup_pairs` joins conversations ON A SHARED FINGERPRINT (the
+  inverted-index discipline: candidates must share >= 1 turn, so the join
+  key is the rare fingerprint, never the conversation) and filters the
+  pair-overlap counts to threshold Jaccard -- exact, like
+  dedup.ngram_jaccard_pairs at the document grain;
+* `conv_prefix_pairs` finds re-scrape chains with PREFIX HASHES: each
+  conversation's ordered fingerprint sequence contributes one rolling
+  md5 per prefix length, and "A is a prefix of B" becomes an equi-join of
+  A's full-sequence hash against B's exploded prefix hashes -- sum(len)
+  rows total, zero pairwise comparisons;
+* `conv_dup_turn_profile` is the per-conversation boilerplate ledger:
+  fraction of distinct turns that also appear in >= 1 other conversation
+  (one fingerprint-df groupBy + a join back).
+
+At 100 TB: every join here keys on a 128-bit content hash. For
+`conv_neardup_pairs` the hash's conversation-frequency is bounded by
+`max_df` (boilerplate fingerprints -- greetings, empty turns -- are
+excluded from the similarity universe on BOTH the candidate and the
+denominator side, the same hot-key discipline as dedup.cap_lsh_buckets),
+so no hot key survives to the exchange. Prefix hashes are unique-by-
+construction below md5 collision odds. Conversation sequences are
+collected per conv_id -- bounded by the longest conversation, not the
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def turn_fingerprint(text: Column) -> Column:
+    """md5 of the whitespace-folded lowercase turn text (content identity)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def conv_fingerprints(
+    df: DataFrame, conv_col: str = "conv_id", text_col: str = "text"
+) -> DataFrame:
+    """(conv_id, fp): the DISTINCT turn-fingerprint set of each conversation."""
+    return df.select(
+        F.col(conv_col).alias("conv_id"),
+        turn_fingerprint(F.col(text_col)).alias("fp"),
+    ).distinct()
+
+
+def conv_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(conv_l, conv_r, overlap, jaccard): conversation pairs whose distinct
+    turn-fingerprint sets have Jaccard >= threshold. Exact (no hashing loss:
+    a qualifying pair shares >= 1 fingerprint, so the fp join is lossless).
+
+    `max_df` drops fingerprints present in more than that many conversations
+    from the universe (numerator AND denominator) -- the boilerplate bound
+    that keeps the self-join skew-free at scale. None = exact semantics.
+    """
+    fps = conv_fingerprints(df, conv_col, text_col)
+    if max_df is not None:
+        keep = fps.groupBy("fp").count().where(F.col("count") <= max_df)
+        fps = fps.join(keep.select("fp"), "fp", "left_semi")
+    sizes = fps.groupBy("conv_id").agg(F.count("*").alias("n"))
+    inter = (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .where(F.col("a.conv_id") < F.col("b.conv_id"))
+        .groupBy(
+            F.col("a.conv_id").alias("conv_l"),
+            F.col("b.conv_id").alias("conv_r"),
+        )
+        .agg(F.count("*").alias("overlap"))
+    )
+    j = F.col("overlap") / (F.col("nl") + F.col("nr") - F.col("overlap"))
+    return (
+        inter.join(sizes.withColumnsRenamed({"conv_id": "conv_l", "n": "nl"}), "conv_l")
+        .join(sizes.withColumnsRenamed({"conv_id": "conv_r", "n": "nr"}), "conv_r")
+        .where(j >= threshold)
+        .select(
+            "conv_l",
+            "conv_r",
+            F.col("overlap").cast("long").alias("overlap"),
+            F.round(j, 4).alias("jaccard"),
+        )
+    )
+
+
+def conv_prefix_pairs(
+    df: DataFrame, conv_col: str = "conv_id", text_col: str = "text",
+    turn_col: str = "turn_idx",
+) -> DataFrame:
+    """(conv_prefix, conv_full, prefix_len, full_len): conversation pairs
+    where conv_prefix's ENTIRE ordered turn sequence equals the first
+    prefix_len turns of conv_full -- the re-scrape chain detector.
+
+    Strict prefixes plus whole-conversation duplicates (equal length,
+    emitted once with conv_prefix < conv_full). Rolling-hash construction:
+    prefix hash k = md5('|'-join of the first k turn fingerprints); the
+    explode emits sum(conversation lengths) = total-turn-count rows, and
+    the detector is a hash equi-join -- linear, not pairwise.
+    """
+    seqs = (
+        df.select(
+            F.col(conv_col).alias("conv_id"),
+            F.struct(
+                F.col(turn_col).alias("t"),
+                turn_fingerprint(F.col(text_col)).alias("fp"),
+            ).alias("s"),
+        )
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            "conv_id",
+            F.transform("ss", lambda x: x["fp"]).alias("fps"),
+        )
+    )
+    pref = seqs.select(
+        "conv_id",
+        F.size("fps").alias("n"),
+        F.explode(F.sequence(F.lit(1), F.size("fps"))).alias("k"),
+        "fps",
+    ).select(
+        "conv_id",
+        "n",
+        "k",
+        F.md5(F.array_join(F.slice("fps", 1, F.col("k")), "|")).alias("h"),
+    )
+    full = pref.where(F.col("k") == F.col("n")).select(
+        F.col("conv_id").alias("conv_prefix"),
+        F.col("n").alias("prefix_len"),
+        "h",
+    )
+    return (
+        full.join(
+            pref.select(
+                F.col("conv_id").alias("conv_full"),
+                F.col("n").alias("full_len"),
+                F.col("k"),
+                F.col("h"),
+            ),
+            ["h"],
+        )
+        .where(
+            (F.col("prefix_len") == F.col("k"))
+            & (F.col("conv_prefix") != F.col("conv_full"))
+            & (
+                (F.col("prefix_len") < F.col("full_len"))
+                | (
+                    (F.col("prefix_len") == F.col("full_len"))
+                    & (F.col("conv_prefix") < F.col("conv_full"))
+                )
+            )
+        )
+        .select(
+            "conv_prefix",
+            "conv_full",
+            F.col("prefix_len").cast("long").alias("prefix_len"),
+            F.col("full_len").cast("long").alias("full_len"),
+        )
+    )
+
+
+def conv_dup_turn_profile(
+    df: DataFrame, conv_col: str = "conv_id", text_col: str = "text"
+) -> DataFrame:
+    """(conv_id, n_turns, n_shared_turns, dup_frac): per conversation, how
+    much of its distinct turn content also appears in other conversations.
+    The boilerplate/copypasta ledger; dup_frac near 1.0 marks a
+    conversation assembled from reused turns."""
+    fps = conv_fingerprints(df, conv_col, text_col)
+    dfreq = fps.groupBy("fp").agg(F.count("*").alias("n_convs"))
+    return (
+        fps.join(dfreq, "fp")
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum((F.col("n_convs") > 1).cast("long")).alias("n_shared_turns"),
+        )
+        .select(
+            "conv_id",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.col("n_shared_turns").cast("long").alias("n_shared_turns"),
+            F.round(F.col("n_shared_turns") / F.col("n_turns"), 4).alias(
+                "dup_frac"
+            ),
+        )
+    )

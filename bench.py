@@ -88,6 +88,10 @@ def main():
         "hll_distinct_tokens",
         "bloom_prefilter_join",
         "cm_token_counts",
+        "snm_pairs",
+        "fs_match_weights",
+        "conv_neardup_pairs",
+        "conv_prefix_rescrape",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
