@@ -1262,7 +1262,10 @@ def _q_fs_match_weights(spark, sf_dir):
         )
         .cast("int")
         .alias("g_jacc"),
-        (F.levenshtein("text_l", "text_r") <= 20).cast("int").alias("g_lev"),
+        # banded DP: threshold arg caps the edit-distance computation at
+        # O(len*20) instead of O(len^2) (returns -1 past the band -- the
+        # <=20 decision is bit-identical, measured 11 s -> ~2 s at sf0.1)
+        (F.levenshtein("text_l", "text_r", 20) >= 0).cast("int").alias("g_lev"),
         (
             F.abs(F.col("n_chars_l") - F.col("n_chars_r")) * 10
             <= F.greatest("n_chars_l", "n_chars_r")
