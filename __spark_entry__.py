@@ -1200,6 +1200,67 @@ def _q_conv_dup_profile(spark, sf_dir):
     return conv_dup_turn_profile(_conv_turns(spark, sf_dir))
 
 
+def _conv_gold_pairs(spark, sf_dir):
+    """The planted conversation-pair gold set, derived analytically from the
+    k % 5 / k % 7 plant schedule of _conv_turns (documents are unique, so
+    the plants are the complete truth set)."""
+    ks = (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") / 10).cast("long").alias("k"))
+        .distinct()
+    )
+
+    def pair(pl, pr, mod):
+        return ks.where(F.col("k") % mod == 0).select(
+            F.concat(F.lit(pl), F.col("k").cast("string")).alias("conv_l"),
+            F.concat(F.lit(pr), F.col("k").cast("string")).alias("conv_r"),
+        )
+
+    return (
+        pair("d", "v", 5)
+        .unionByName(pair("d", "r", 7))
+        .unionByName(pair("r", "v", 35))
+    )
+
+
+def _q_er_pair_quality(spark, sf_dir):
+    # Distributed pairwise precision/recall/F1 (Christen 2012) of the
+    # conversation near-dup detector at threshold 0.52 against the planted
+    # gold: reposts (J=7/13~0.538) clear the bar, re-scrapes (J=0.5) fall
+    # under it -- precision 1.0, recall 0.5, a non-degenerate scorecard
+    # both engines must reproduce exactly.
+    from ala_name_matching_spark.operators.conversations import (
+        conv_neardup_pairs,
+    )
+    from ala_name_matching_spark.operators.er_metrics import pair_quality
+
+    pred = conv_neardup_pairs(_conv_turns(spark, sf_dir), threshold=0.52)
+    return pair_quality(pred, _conv_gold_pairs(spark, sf_dir))
+
+
+def _q_er_blocking_quality(spark, sf_dir):
+    # Blocking scorecard (reduction ratio / pairs completeness) for the
+    # shared-turn-fingerprint inverted index over conversations: candidate
+    # budget = sum s*(s-1)/2 over block sizes (one groupBy, pairs never
+    # materialized -- the only affordable form at 10^12 records); coverage
+    # joins the gold pairs through block membership.
+    from ala_name_matching_spark.operators.conversations import (
+        conv_fingerprints,
+    )
+    from ala_name_matching_spark.operators.er_metrics import blocking_quality
+
+    turns = _conv_turns(spark, sf_dir)
+    blocks = conv_fingerprints(turns).select(
+        F.col("fp").alias("block_id"), F.col("conv_id").alias("record_id")
+    )
+    return blocking_quality(
+        blocks,
+        _conv_gold_pairs(spark, sf_dir),
+        records=turns.select(F.col("conv_id").alias("record_id")),
+        gold_cols=("conv_l", "conv_r"),
+    )
+
+
 def _q_snm_pairs(spark, sf_dir):
     # Sorted-neighborhood blocking (Hernandez & Stolfo 1995): candidate
     # pairs within a 5-position window of the lower(trim(text)) sort
@@ -1887,6 +1948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_neardup_pairs": _q_conv_neardup_pairs,
         "conv_prefix_rescrape": _q_conv_prefix_rescrape,
         "conv_dup_profile": _q_conv_dup_profile,
+        "er_pair_quality": _q_er_pair_quality,
+        "er_blocking_quality": _q_er_blocking_quality,
         "winnowing_pairs": _q_winnowing_pairs,
         "strip_dup_spans": _q_strip_dup_spans,
         "gap_fill_minutes": _q_gap_fill,
@@ -2802,6 +2865,91 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_frac
             FROM fps JOIN dfreq USING (fp)
             GROUP BY conv_id""",
+        "er_pair_quality": f"""
+            {_CONV_FP_SQL},
+            fps AS (SELECT DISTINCT conv_id, fp FROM fp),
+            sz AS (SELECT conv_id, count(*) AS n FROM fps GROUP BY conv_id),
+            inter AS (
+              SELECT a.conv_id AS l, b.conv_id AS r, count(*) AS o
+              FROM fps a JOIN fps b
+                ON a.fp = b.fp AND a.conv_id < b.conv_id
+              GROUP BY 1, 2),
+            pred AS (
+              SELECT l AS a, r AS b
+              FROM inter
+              JOIN sz sl ON l = sl.conv_id
+              JOIN sz sr ON r = sr.conv_id
+              WHERE o / (sl.n + sr.n - o) >= 0.52),
+            ks AS (SELECT DISTINCT doc_id // 10 AS k FROM documents),
+            gold AS (
+              SELECT 'd' || CAST(k AS VARCHAR) AS a,
+                     'v' || CAST(k AS VARCHAR) AS b
+              FROM ks WHERE k % 5 = 0
+              UNION ALL
+              SELECT 'd' || CAST(k AS VARCHAR), 'r' || CAST(k AS VARCHAR)
+              FROM ks WHERE k % 7 = 0
+              UNION ALL
+              SELECT 'r' || CAST(k AS VARCHAR), 'v' || CAST(k AS VARCHAR)
+              FROM ks WHERE k % 35 = 0),
+            c AS (
+              SELECT (SELECT count(*) FROM pred) AS n_pred,
+                     (SELECT count(*) FROM gold) AS n_gold,
+                     (SELECT count(*) FROM pred p
+                      JOIN gold g ON p.a = g.a AND p.b = g.b) AS n_tp),
+            m AS (
+              SELECT n_pred, n_gold, n_tp,
+                     CASE WHEN n_pred > 0 THEN n_tp / n_pred
+                          ELSE 0.0 END AS p,
+                     CASE WHEN n_gold > 0 THEN n_tp / n_gold
+                          ELSE 0.0 END AS r
+              FROM c)
+            SELECT CAST(n_pred AS BIGINT) AS n_pred,
+                   CAST(n_gold AS BIGINT) AS n_gold,
+                   CAST(n_tp AS BIGINT) AS n_tp,
+                   round(p, 6) AS precision,
+                   round(r, 6) AS recall,
+                   CASE WHEN round(p, 6) + round(r, 6) > 0
+                        THEN round(2 * round(p, 6) * round(r, 6)
+                                   / (round(p, 6) + round(r, 6)), 6)
+                        ELSE 0.0 END AS f1
+            FROM m""",
+        "er_blocking_quality": f"""
+            {_CONV_FP_SQL},
+            fps AS (SELECT DISTINCT conv_id, fp FROM fp),
+            sizes AS (SELECT fp, count(*) AS s FROM fps GROUP BY fp),
+            cand AS (SELECT CAST(coalesce(sum(s * (s - 1) / 2), 0) AS BIGINT)
+                       AS n_candidates
+                     FROM sizes),
+            nrec AS (SELECT count(DISTINCT conv_id) AS n_records FROM fps),
+            ks AS (SELECT DISTINCT doc_id // 10 AS k FROM documents),
+            gold AS (
+              SELECT 'd' || CAST(k AS VARCHAR) AS a,
+                     'v' || CAST(k AS VARCHAR) AS b
+              FROM ks WHERE k % 5 = 0
+              UNION ALL
+              SELECT 'd' || CAST(k AS VARCHAR), 'r' || CAST(k AS VARCHAR)
+              FROM ks WHERE k % 7 = 0
+              UNION ALL
+              SELECT 'r' || CAST(k AS VARCHAR), 'v' || CAST(k AS VARCHAR)
+              FROM ks WHERE k % 35 = 0),
+            cov AS (
+              SELECT DISTINCT g.a, g.b
+              FROM gold g
+              JOIN fps fa ON fa.conv_id = g.a
+              JOIN fps fb ON fb.conv_id = g.b AND fb.fp = fa.fp)
+            SELECT CAST(n_records AS BIGINT) AS n_records,
+                   n_candidates,
+                   CAST((SELECT count(*) FROM gold) AS BIGINT) AS n_gold,
+                   CAST((SELECT count(*) FROM cov) AS BIGINT)
+                     AS n_gold_covered,
+                   round(greatest(0.0, 1.0 - n_candidates
+                         / (n_records * (n_records - 1) / 2.0)), 6)
+                     AS reduction_ratio,
+                   round(CASE WHEN (SELECT count(*) FROM gold) > 0
+                         THEN (SELECT count(*) FROM cov)
+                              / (SELECT count(*) FROM gold)
+                         ELSE 0.0 END, 6) AS pairs_completeness
+            FROM cand, nrec""",
         # bitmap-as-position-set replay: a fact key passes the Bloom filter
         # iff ALL k of its md5 positions land in the dim position set --
         # identical semantics to the literal-bitmap bit test Spark runs

@@ -1,0 +1,144 @@
+"""ER evaluation metrics as DataFrame operators.
+
+The reference evaluates match quality by driver-side list comparison
+(NameListComparer.java:145-218); plans/evaluate.py carries that gate as a
+collect()-based dict for tests. These operators are the DISTRIBUTED form
+-- the metrics a 100 TB linkage run reports from inside the job, following
+the standard decomposition (Christen, "Data Matching", 2012: pairwise
+precision/recall/F1 for the match step; reduction ratio and pairs
+completeness for the blocking step):
+
+* `pair_quality` scores a predicted pair table against a gold pair table:
+  both sides are canonicalized (unordered pairs, distinct) and the
+  confusion counts come from one inner join -- no per-record state, no
+  driver materialization; the output is a single summary row.
+* `blocking_quality` scores a blocking scheme (block_id, record_id)
+  WITHOUT materializing its candidate pairs: the candidate count is the
+  sum of s*(s-1)/2 over block sizes (one groupBy -- the number a real run
+  can afford to know at 10^12 records), and gold coverage joins the gold
+  pairs through block membership (linear in |gold| x blocks-per-record).
+  reduction_ratio = 1 - candidates/all-pairs; pairs_completeness =
+  covered gold / gold. The two numbers quantify the blocking trade-off
+  the pipeline's salt_and_cap_blocks makes explicit.
+
+Both emit exact integer counts (BIGINT) plus 6-dp ratios, so the whole
+scorecard is value-checkable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_pairs(pairs: DataFrame, l: str, r: str) -> DataFrame:
+    """Distinct unordered pairs as (a, b) with a < b."""
+    return pairs.select(
+        F.least(F.col(l), F.col(r)).alias("a"),
+        F.greatest(F.col(l), F.col(r)).alias("b"),
+    ).where(F.col("a") != F.col("b")).distinct()
+
+
+def pair_quality(
+    pred: DataFrame,
+    gold: DataFrame,
+    pred_cols: tuple[str, str] = ("conv_l", "conv_r"),
+    gold_cols: tuple[str, str] = ("conv_l", "conv_r"),
+) -> DataFrame:
+    """One-row (n_pred, n_gold, n_tp, precision, recall, f1) scorecard.
+
+    Pairs are compared as unordered distinct id pairs. precision = tp/pred,
+    recall = tp/gold, f1 = harmonic mean; all 0.0 when the denominator is
+    empty (guarded, not null).
+    """
+    p = _canon_pairs(pred, *pred_cols)
+    g = _canon_pairs(gold, *gold_cols)
+    tp = p.join(g, ["a", "b"], "left_semi")
+    counts = (
+        p.agg(F.count("*").alias("n_pred"))
+        .crossJoin(g.agg(F.count("*").alias("n_gold")))
+        .crossJoin(tp.agg(F.count("*").alias("n_tp")))
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("n_tp") / F.col("n_pred")).otherwise(
+        F.lit(0.0)
+    )
+    rec = F.when(F.col("n_gold") > 0, F.col("n_tp") / F.col("n_gold")).otherwise(
+        F.lit(0.0)
+    )
+    f1 = F.when(
+        (F.col("precision") + F.col("recall")) > 0,
+        2 * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    return (
+        counts.select(
+            F.col("n_pred").cast("long").alias("n_pred"),
+            F.col("n_gold").cast("long").alias("n_gold"),
+            F.col("n_tp").cast("long").alias("n_tp"),
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+        )
+        .withColumn("f1", F.round(f1, 6))
+    )
+
+
+def blocking_quality(
+    blocks: DataFrame,
+    gold: DataFrame,
+    n_records: int | None = None,
+    records: DataFrame | None = None,
+    block_col: str = "block_id",
+    id_col: str = "record_id",
+    gold_cols: tuple[str, str] = ("record_id_l", "record_id_r"),
+) -> DataFrame:
+    """One-row blocking scorecard: candidate volume vs gold coverage.
+
+    n_candidates is the MULTISET count sum(s*(s-1)/2) over block sizes --
+    the comparison budget the match step will actually pay (a pair in two
+    blocks is scored twice unless deduped), computable from one groupBy
+    without materializing any pair. A gold pair is covered when its two
+    records share >= 1 block. Pass n_records (or a `records` frame to
+    count) for the all-pairs denominator.
+
+    reduction_ratio = 1 - n_candidates / (n*(n-1)/2)   (clamped >= 0)
+    pairs_completeness = n_gold_covered / n_gold
+    """
+    if n_records is None:
+        if records is None:
+            raise ValueError("pass n_records or records")
+        n_records = records.select(id_col).distinct().count()
+    sizes = blocks.groupBy(block_col).agg(F.count("*").alias("s"))
+    cand = sizes.agg(
+        F.coalesce(
+            F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("long"), F.lit(0)
+        ).alias("n_candidates")
+    )
+    g = _canon_pairs(gold, *gold_cols)
+    bl = blocks.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("a")
+    )
+    br = blocks.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("b")
+    )
+    covered = g.join(bl, "a").join(br, ["_blk", "b"], "left_semi")
+    covered = covered.select("a", "b").distinct()
+    total_pairs = n_records * (n_records - 1) // 2
+    rr = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.col("n_candidates") / F.lit(float(total_pairs)),
+    )
+    pc = F.when(
+        F.col("n_gold") > 0, F.col("n_gold_covered") / F.col("n_gold")
+    ).otherwise(F.lit(0.0))
+    return (
+        cand.crossJoin(g.agg(F.count("*").alias("n_gold")))
+        .crossJoin(covered.agg(F.count("*").alias("n_gold_covered")))
+        .select(
+            F.lit(n_records).cast("long").alias("n_records"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_gold").cast("long").alias("n_gold"),
+            F.col("n_gold_covered").cast("long").alias("n_gold_covered"),
+            F.round(rr, 6).alias("reduction_ratio"),
+            F.round(pc, 6).alias("pairs_completeness"),
+        )
+    )
