@@ -1340,6 +1340,71 @@ def _q_fs_match_weights(spark, sf_dir):
     )
 
 
+def _q_monge_elkan_pairs(spark, sf_dir):
+    # Monge-Elkan hybrid comparator (Monge & Elkan 1996) over the standard
+    # blocked pair universe: mean-of-best normalized-Levenshtein token
+    # similarity, both directions + symmetric mean. Whole-stage-codegen
+    # higher-order functions; zero shuffles beyond the block self-join.
+    from ala_name_matching_spark.operators.comparators import monge_elkan_pairs
+
+    d = _docs(spark, sf_dir).select(
+        _block_key_col().alias("bk"), "doc_id", "text"
+    )
+    return monge_elkan_pairs(
+        d, id_col="doc_id", text_col="text", block_col="bk", max_tokens=10
+    ).select(
+        F.col("id_l").alias("doc_id_l"),
+        F.col("id_r").alias("doc_id_r"),
+        "me_lr",
+        "me_rl",
+        "me_sym",
+    )
+
+
+def _q_tfidf_cosine_pairs(spark, sf_dir):
+    # Corpus-weighted "soft" pair score: TF-IDF cosine over distinct
+    # tokens (binary tf x smooth idf), sparse token-join formulation --
+    # no per-pair token loops; folds in token-sorted order for the
+    # cross-engine float contract.
+    from ala_name_matching_spark.operators.comparators import tfidf_cosine_pairs
+
+    d = _docs(spark, sf_dir).select(
+        _block_key_col().alias("bk"), "doc_id", "text"
+    )
+    return tfidf_cosine_pairs(
+        d, id_col="doc_id", text_col="text", block_col="bk"
+    ).select(
+        F.col("id_l").alias("doc_id_l"),
+        F.col("id_r").alias("doc_id_r"),
+        "cosine",
+    )
+
+
+def _q_golden_record(spark, sf_dir):
+    # Data-fusion survivor per canonical cluster: per-attribute majority
+    # vote (ties -> lexicographically smallest) + the longest-text/min-id
+    # representative -- one skew-immune groupBy per fused attribute.
+    from ala_name_matching_spark.functions.normalize import canon_text_col
+    from ala_name_matching_spark.operators.fusion import golden_record
+
+    d = _docs(spark, sf_dir).withColumn("canon", canon_text_col(F.col("text")))
+    return golden_record(
+        d,
+        cluster_col="canon",
+        attr_cols=["lang", "source"],
+        id_col="doc_id",
+        text_col="text",
+    ).select(
+        F.col("canon").alias("canon_text"),
+        "n_members",
+        "rep_id",
+        "lang_gold",
+        "lang_support",
+        "source_gold",
+        "source_support",
+    )
+
+
 def _fs_oracle_sql(bk_macro: str, iters: int) -> str:
     """Unrolled-CTE DuckDB replay of the Fellegi-Sunter EM fit.
 
@@ -1944,6 +2009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_join_pairs": _q_setsim_join,
         "fs_match_weights": _q_fs_match_weights,
         "snm_pairs": _q_snm_pairs,
+        "monge_elkan_pairs": _q_monge_elkan_pairs,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "golden_record": _q_golden_record,
         "cm_token_counts": _q_cm_token_counts,
         "conv_neardup_pairs": _q_conv_neardup_pairs,
         "conv_prefix_rescrape": _q_conv_prefix_rescrape,
@@ -2729,6 +2797,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id AS id_l, r2.doc_id AS id_r,
                    CAST(l.rk AS BIGINT) AS rank_l, CAST(r2.rk AS BIGINT) AS rank_r
             FROM r l JOIN r r2 ON r2.rk > l.rk AND r2.rk - l.rk < 5
+        """,
+        # Monge-Elkan: identical sorted-distinct token prep, identical
+        # left-associated fold order, bit-identical levenshtein ratio --
+        # 6-dp round is belt-and-braces only
+        "monge_elkan_pairs": f"""
+            WITH d AS (
+              SELECT {_BK} AS bk, doc_id,
+                     list_sort(list_distinct(string_split(lower(text), ' ')))[1:10] AS toks
+              FROM documents),
+            p AS (
+              SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+                     CASE WHEN len(l.toks) > 0 AND len(r.toks) > 0 THEN
+                       list_sum(list_transform(l.toks, a ->
+                         list_max(list_transform(r.toks, b ->
+                           1.0 - CAST(levenshtein(a, b) AS DOUBLE) /
+                                 greatest(length(a), length(b)))))) / len(l.toks)
+                     END AS lr,
+                     CASE WHEN len(l.toks) > 0 AND len(r.toks) > 0 THEN
+                       list_sum(list_transform(r.toks, a ->
+                         list_max(list_transform(l.toks, b ->
+                           1.0 - CAST(levenshtein(a, b) AS DOUBLE) /
+                                 greatest(length(a), length(b)))))) / len(r.toks)
+                     END AS rl
+              FROM d l JOIN d r ON l.bk = r.bk AND l.doc_id < r.doc_id)
+            SELECT doc_id_l, doc_id_r, round(lr, 6) AS me_lr,
+                   round(rl, 6) AS me_rl,
+                   round((lr + rl) / 2.0, 6) AS me_sym
+            FROM p
+        """,
+        # TF-IDF cosine: folds replayed in the same token-sorted order;
+        # the one libm call (ln in idf) is absorbed by the 6-dp round,
+        # same contract as fs_match_weights' log2
+        "tfidf_cosine_pairs": f"""
+            WITH base AS (SELECT {_BK} AS bk, doc_id, text FROM documents),
+            n AS (SELECT count(*) AS n FROM base),
+            tok AS (
+              SELECT bk, doc_id,
+                     unnest(list_distinct(string_split(lower(text), ' '))) AS token
+              FROM base),
+            tok2 AS (SELECT * FROM tok WHERE token <> ''),
+            dft AS (SELECT token, count(*) AS df FROM tok2 GROUP BY 1),
+            w AS (
+              SELECT t.bk, t.doc_id, t.token,
+                     ln((n.n + 1.0) / (dft.df + 1.0)) + 1.0 AS idf
+              FROM tok2 t JOIN dft ON t.token = dft.token CROSS JOIN n),
+            norms AS (
+              SELECT doc_id,
+                     sqrt(list_sum(list_transform(
+                       list_sort(list(struct_pack(token := token, idf := idf))),
+                       x -> x.idf * x.idf))) AS nrm
+              FROM w GROUP BY doc_id),
+            dots AS (
+              SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+                     list_sum(list_transform(
+                       list_sort(list(struct_pack(token := l.token,
+                                                  p := l.idf * r.idf))),
+                       x -> x.p)) AS dot
+              FROM w l JOIN w r
+                ON l.bk = r.bk AND l.token = r.token AND l.doc_id < r.doc_id
+              GROUP BY 1, 2)
+            SELECT d.doc_id_l, d.doc_id_r,
+                   round(d.dot / (nl.nrm * nr.nrm), 6) AS cosine
+            FROM dots d
+            JOIN norms nl ON d.doc_id_l = nl.doc_id
+            JOIN norms nr ON d.doc_id_r = nr.doc_id
+        """,
+        "golden_record": f"""
+            WITH d AS (
+              SELECT {_CANON} AS canon_text, doc_id, text, lang, source
+              FROM documents),
+            base AS (
+              SELECT canon_text, CAST(count(*) AS BIGINT) AS n_members
+              FROM d GROUP BY 1),
+            rep AS (
+              SELECT canon_text, doc_id AS rep_id,
+                     row_number() OVER (PARTITION BY canon_text
+                       ORDER BY length(text) DESC, doc_id ASC) AS rn
+              FROM d),
+            lv AS (
+              SELECT canon_text, lang, count(*) AS nv FROM d
+              WHERE lang IS NOT NULL GROUP BY 1, 2),
+            lw AS (
+              SELECT canon_text, lang AS lang_gold,
+                     CAST(nv AS BIGINT) AS lang_support,
+                     row_number() OVER (PARTITION BY canon_text
+                       ORDER BY nv DESC, lang ASC) AS rn
+              FROM lv),
+            sv AS (
+              SELECT canon_text, source, count(*) AS nv FROM d
+              WHERE source IS NOT NULL GROUP BY 1, 2),
+            sw AS (
+              SELECT canon_text, source AS source_gold,
+                     CAST(nv AS BIGINT) AS source_support,
+                     row_number() OVER (PARTITION BY canon_text
+                       ORDER BY nv DESC, source ASC) AS rn
+              FROM sv)
+            SELECT b.canon_text, b.n_members, r.rep_id,
+                   lw.lang_gold, lw.lang_support,
+                   sw.source_gold, sw.source_support
+            FROM base b
+            JOIN rep r ON b.canon_text = r.canon_text AND r.rn = 1
+            LEFT JOIN lw ON b.canon_text = lw.canon_text AND lw.rn = 1
+            LEFT JOIN sw ON b.canon_text = sw.canon_text AND sw.rn = 1
         """,
         # brute-force all-pairs truth set: the engine's prefix filter is
         # lossless, so sub-quadratic output == this exact join
