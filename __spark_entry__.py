@@ -1340,6 +1340,93 @@ def _q_fs_match_weights(spark, sf_dir):
     )
 
 
+def _q_meta_blocking_prune(spark, sf_dir):
+    # Meta-blocking (Papadakis et al., TKDE 2014): records carry THREE
+    # blocking keys (word-pair, concat-alpha prefix, first-token prefix);
+    # candidate edges are CBS-weighted by shared-block count and pruned
+    # node-centrically (weight >= mean weight of either endpoint, integer
+    # cross-multiplied -- exact). The published pre-comparator pair cut.
+    from ala_name_matching_spark.operators.meta_blocking import (
+        meta_blocking_prune,
+    )
+
+    d = _docs(spark, sf_dir)
+    keys = [
+        F.concat(
+            F.lit("w|"),
+            F.lower(F.split_part(F.col("text"), F.lit(" "), F.lit(1))),
+            F.lit("|"),
+            F.lower(F.split_part(F.col("text"), F.lit(" "), F.lit(2))),
+        ),
+        F.concat(
+            F.lit("c|"),
+            F.substring(
+                F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")),
+                1,
+                12,
+            ),
+        ),
+        F.concat(
+            F.lit("p|"),
+            F.substring(
+                F.lower(F.split_part(F.col("text"), F.lit(" "), F.lit(1))),
+                1,
+                4,
+            ),
+        ),
+    ]
+    assignments = d.select(
+        F.col("doc_id").alias("record_id"),
+        F.explode(F.array(*keys)).alias("block_id"),
+    )
+    return meta_blocking_prune(assignments).select(
+        F.col("id_a").alias("doc_id_l"),
+        F.col("id_b").alias("doc_id_r"),
+        "weight",
+    )
+
+
+def _labels(spark, sf_dir):
+    """Deterministic (pred, gold) cluster labels over documents: gold =
+    groups of 10; pred keeps the first 8 of each but merges the tail two
+    of each adjacent gold pair -- non-degenerate splits AND merges, so
+    precision and recall both move. SQL-replayable on both engines."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) >= 8,
+            F.concat(F.lit("m"), (F.col("doc_id") / 20).cast("long").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("c"), (F.col("doc_id") / 10).cast("long").cast("string"))
+        )
+        .alias("pred_cluster"),
+        F.concat(
+            F.lit("g"), (F.col("doc_id") / 10).cast("long").cast("string")
+        ).alias("gold_cluster"),
+    )
+
+
+def _q_bcubed_scorecard(spark, sf_dir):
+    # B-cubed precision/recall/F1 (Bagga & Baldwin 1998) -- the cluster-
+    # level ER metric that scores singletons and weights records equally.
+    # Contingency-cell decomposition: exact BIGINT inner sums, cluster-id-
+    # sorted final folds (the EM/ME float contract).
+    from ala_name_matching_spark.operators.er_metrics import bcubed_quality
+
+    return bcubed_quality(_labels(spark, sf_dir))
+
+
+def _q_adjusted_rand(spark, sf_dir):
+    # Adjusted Rand Index (Hubert & Arabie 1985) over the same planted
+    # split/merge labels: all sufficient statistics are exact integer
+    # C(n,2) sums (div, not /), the index is four double ops.
+    from ala_name_matching_spark.operators.er_metrics import adjusted_rand
+
+    return adjusted_rand(_labels(spark, sf_dir))
+
+
 def _q_monge_elkan_pairs(spark, sf_dir):
     # Monge-Elkan hybrid comparator (Monge & Elkan 1996) over the standard
     # blocked pair universe: mean-of-best normalized-Levenshtein token
@@ -2012,6 +2099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monge_elkan_pairs": _q_monge_elkan_pairs,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "golden_record": _q_golden_record,
+        "meta_blocking_prune": _q_meta_blocking_prune,
+        "bcubed_scorecard": _q_bcubed_scorecard,
+        "adjusted_rand": _q_adjusted_rand,
         "cm_token_counts": _q_cm_token_counts,
         "conv_neardup_pairs": _q_conv_neardup_pairs,
         "conv_prefix_rescrape": _q_conv_prefix_rescrape,
@@ -2797,6 +2887,112 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id AS id_l, r2.doc_id AS id_r,
                    CAST(l.rk AS BIGINT) AS rank_l, CAST(r2.rk AS BIGINT) AS rank_r
             FROM r l JOIN r r2 ON r2.rk > l.rk AND r2.rk - l.rk < 5
+        """,
+        # Meta-blocking: CBS weights + node-centric prune, all-integer
+        # (the keep test is cross-multiplied, no float mean)
+        "meta_blocking_prune": """
+            WITH a AS (
+              SELECT doc_id AS rid, b.block_id
+              FROM documents,
+                   unnest([
+                     'w|' || lower(split_part(text, ' ', 1)) || '|' ||
+                             lower(split_part(text, ' ', 2)),
+                     'c|' || substr(lower(regexp_replace(text, '[^a-zA-Z]', '', 'g')), 1, 12),
+                     'p|' || substr(lower(split_part(text, ' ', 1)), 1, 4)
+                   ]) AS b(block_id)),
+            m AS (SELECT DISTINCT block_id, rid FROM a),
+            e AS (
+              SELECT l.rid AS id_a, r.rid AS id_b,
+                     CAST(count(*) AS BIGINT) AS weight
+              FROM m l JOIN m r ON l.block_id = r.block_id AND l.rid < r.rid
+              GROUP BY 1, 2),
+            inc AS (
+              SELECT id_a AS node, weight FROM e
+              UNION ALL SELECT id_b AS node, weight FROM e),
+            st AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg,
+                     CAST(sum(weight) AS BIGINT) AS sum_w
+              FROM inc GROUP BY 1)
+            SELECT e.id_a AS doc_id_l, e.id_b AS doc_id_r, e.weight
+            FROM e
+            JOIN st sa ON e.id_a = sa.node
+            JOIN st sb ON e.id_b = sb.node
+            WHERE e.weight * sa.deg >= sa.sum_w
+               OR e.weight * sb.deg >= sb.sum_w
+        """,
+        # B-cubed: exact BIGINT cell sums; final folds replayed in
+        # cluster-id-sorted order
+        "bcubed_scorecard": """
+            WITH l AS (
+              SELECT CASE WHEN doc_id % 10 >= 8
+                       THEN 'm' || CAST(doc_id // 20 AS VARCHAR)
+                       ELSE 'c' || CAST(doc_id // 10 AS VARCHAR) END AS p,
+                     'g' || CAST(doc_id // 10 AS VARCHAR) AS g
+              FROM documents),
+            cells AS (SELECT p, g, count(*) AS n FROM l GROUP BY 1, 2),
+            pp AS (
+              SELECT p AS k,
+                     CAST(CAST(sum(n * n) AS BIGINT) AS DOUBLE) /
+                       CAST(sum(n) AS BIGINT) AS term,
+                     CAST(sum(n) AS BIGINT) AS sz
+              FROM cells GROUP BY 1),
+            gg AS (
+              SELECT g AS k,
+                     CAST(CAST(sum(n * n) AS BIGINT) AS DOUBLE) /
+                       CAST(sum(n) AS BIGINT) AS term,
+                     CAST(sum(n) AS BIGINT) AS sz
+              FROM cells GROUP BY 1),
+            sp AS (
+              SELECT list_sum(list_transform(
+                       list_sort(list(struct_pack(k := k, term := term))),
+                       x -> x.term)) AS sum_p,
+                     CAST(sum(sz) AS BIGINT) AS n_p
+              FROM pp),
+            sg AS (
+              SELECT list_sum(list_transform(
+                       list_sort(list(struct_pack(k := k, term := term))),
+                       x -> x.term)) AS sum_g,
+                     CAST(sum(sz) AS BIGINT) AS n_g
+              FROM gg)
+            SELECT n_p AS n_records,
+                   round(sum_p / n_p, 6) AS bcubed_precision,
+                   round(sum_g / n_g, 6) AS bcubed_recall,
+                   round(CASE WHEN (sum_p / n_p + sum_g / n_g) > 0 THEN
+                     2 * (sum_p / n_p) * (sum_g / n_g) /
+                       (sum_p / n_p + sum_g / n_g) ELSE 0.0 END, 6) AS bcubed_f1
+            FROM sp, sg
+        """,
+        # ARI: integer C(n,2) sufficient statistics, four double ops
+        "adjusted_rand": """
+            WITH l AS (
+              SELECT CASE WHEN doc_id % 10 >= 8
+                       THEN 'm' || CAST(doc_id // 20 AS VARCHAR)
+                       ELSE 'c' || CAST(doc_id // 10 AS VARCHAR) END AS p,
+                     'g' || CAST(doc_id // 10 AS VARCHAR) AS g
+              FROM documents),
+            cells AS (SELECT p, g, count(*) AS n FROM l GROUP BY 1, 2),
+            cs AS (
+              SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS sum_cells_c2,
+                     CAST(sum(n) AS BIGINT) AS n_records
+              FROM cells),
+            ps AS (
+              SELECT CAST(sum(np * (np - 1) // 2) AS BIGINT) AS sum_pred_c2
+              FROM (SELECT sum(n) AS np FROM cells GROUP BY p)),
+            gs AS (
+              SELECT CAST(sum(ng * (ng - 1) // 2) AS BIGINT) AS sum_gold_c2
+              FROM (SELECT sum(n) AS ng FROM cells GROUP BY g))
+            SELECT n_records, sum_cells_c2, sum_pred_c2, sum_gold_c2,
+                   round(CASE WHEN
+                     (sum_pred_c2 + sum_gold_c2) / 2.0 -
+                       sum_pred_c2 * sum_gold_c2 /
+                         CAST(n_records * (n_records - 1) / 2 AS DOUBLE) != 0.0
+                     THEN (sum_cells_c2 - sum_pred_c2 * sum_gold_c2 /
+                             CAST(n_records * (n_records - 1) / 2 AS DOUBLE)) /
+                          ((sum_pred_c2 + sum_gold_c2) / 2.0 -
+                             sum_pred_c2 * sum_gold_c2 /
+                               CAST(n_records * (n_records - 1) / 2 AS DOUBLE))
+                     ELSE 1.0 END, 6) AS ari
+            FROM cs, ps, gs
         """,
         # Monge-Elkan: identical sorted-distinct token prep, identical
         # left-associated fold order, bit-identical levenshtein ratio --

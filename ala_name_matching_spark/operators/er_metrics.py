@@ -142,3 +142,126 @@ def blocking_quality(
             F.round(pc, 6).alias("pairs_completeness"),
         )
     )
+
+
+def bcubed_quality(
+    labels: DataFrame,
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_cluster",
+) -> DataFrame:
+    """One-row B-cubed scorecard (Bagga & Baldwin 1998; the cluster-level
+    complement to pairwise F1 -- it scores singletons and weights every
+    record equally, which pairwise metrics do not).
+
+    For record r: P(r) = |pred(r) intersect gold(r)| / |pred(r)|, and
+    B3 precision = mean over records. Decomposed over the (pred, gold)
+    contingency cells: sum_p (sum_g n_pg^2) / n_p / N -- the inner sums
+    are exact BIGINTs from partial-agg groupBys (cells, then cluster
+    grain), so the only float work is one division per cluster and the
+    final mean. Those folds run in cluster-id-sorted order (sort_array +
+    aggregate) so the IEEE trajectory is engine-independent -- the same
+    contract as linkage.py's EM. At production scale the final fold list
+    is bounded by the number of CLUSTERS (not records); a plain sum()
+    would do there, but the sorted fold is what makes the oracle exact.
+
+    Output: (n_records, bcubed_precision, bcubed_recall, bcubed_f1).
+    """
+    cells = labels.groupBy(
+        F.col(pred_col).alias("p"), F.col(gold_col).alias("g")
+    ).agg(F.count("*").cast("long").alias("n_pg"))
+
+    def side(key: str) -> DataFrame:
+        per = cells.groupBy(key).agg(
+            F.sum(F.col("n_pg") * F.col("n_pg")).cast("long").alias("num"),
+            F.sum("n_pg").cast("long").alias("sz"),
+        )
+        terms = per.select(
+            F.col(key).cast("string").alias("k"),
+            (F.col("num").cast("double") / F.col("sz")).alias("term"),
+            F.col("sz"),
+        )
+        return terms.agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(k, term))), "
+                "0.0D, (acc, x) -> acc + x.term)"
+            ).alias(f"sum_{key}"),
+            F.sum("sz").cast("long").alias(f"n_{key}"),
+        )
+
+    prec = F.col("sum_p") / F.col("n_p")
+    rec = F.col("sum_g") / F.col("n_g")
+    f1 = F.when(
+        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return (
+        side("p")
+        .crossJoin(side("g"))
+        .select(
+            F.col("n_p").alias("n_records"),
+            F.round(prec, 6).alias("bcubed_precision"),
+            F.round(rec, 6).alias("bcubed_recall"),
+            F.round(f1, 6).alias("bcubed_f1"),
+        )
+    )
+
+
+def adjusted_rand(
+    labels: DataFrame,
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_cluster",
+) -> DataFrame:
+    """One-row Adjusted Rand Index scorecard (Hubert & Arabie 1985).
+
+    Every sufficient statistic is an exact BIGINT sum of C(n,2) terms over
+    the contingency cells / marginals (integer addition is associative, so
+    no fold-order contract is even needed); the index itself is four
+    double ops at the end. ARI is defined as 1.0 when the denominator is
+    zero (both partitions in perfect trivial agreement).
+
+    Output: (n_records, sum_cells_c2, sum_pred_c2, sum_gold_c2, ari).
+    """
+    cells = labels.groupBy(
+        F.col(pred_col).alias("p"), F.col(gold_col).alias("g")
+    ).agg(F.count("*").cast("long").alias("n_pg"))
+
+    def c2(col):
+        # `div` = integer division: exact at any cluster size (a double
+        # `/` would round past 2^53)
+        return F.expr(f"{col} * ({col} - 1L) div 2")
+
+    cell_stats = cells.agg(
+        F.sum(c2("n_pg")).cast("long").alias("sum_cells_c2"),
+        F.sum("n_pg").cast("long").alias("n_records"),
+    )
+    pred_stats = (
+        cells.groupBy("p")
+        .agg(F.sum("n_pg").alias("n_p"))
+        .agg(F.sum(c2("n_p")).cast("long").alias("sum_pred_c2"))
+    )
+    gold_stats = (
+        cells.groupBy("g")
+        .agg(F.sum("n_pg").alias("n_g"))
+        .agg(F.sum(c2("n_g")).cast("long").alias("sum_gold_c2"))
+    )
+    total_c2 = (F.col("n_records") * (F.col("n_records") - 1) / 2).cast(
+        "double"
+    )
+    expected = (
+        F.col("sum_pred_c2") * F.col("sum_gold_c2") / total_c2
+    )
+    max_index = (F.col("sum_pred_c2") + F.col("sum_gold_c2")) / 2.0
+    ari = F.when(
+        (max_index - expected) != 0.0,
+        (F.col("sum_cells_c2") - expected) / (max_index - expected),
+    ).otherwise(F.lit(1.0))
+    return (
+        cell_stats.crossJoin(pred_stats)
+        .crossJoin(gold_stats)
+        .select(
+            "n_records",
+            "sum_cells_c2",
+            "sum_pred_c2",
+            "sum_gold_c2",
+            F.round(ari, 6).alias("ari"),
+        )
+    )
