@@ -370,9 +370,15 @@ def _phrase_match_body(
     )
     if anchored:
         # anchor = each query's lowest-df term (ties: lowest slot j); its
-        # postings, shifted by the slot, enumerate every POSSIBLE start
-        df_t = posts.groupBy("term").agg(F.count("*").alias("_df"))
-        df_q = df_t.join(F.broadcast(qt.select("term").distinct()), "term")
+        # postings, shifted by the slot, enumerate every POSSIBLE start.
+        # df is computed AFTER restricting postings to queried terms (the
+        # bm25_topk discipline): the full-vocabulary groupBy would shuffle
+        # every term in the corpus to rank a handful of query terms.
+        df_q = (
+            posts.join(F.broadcast(qt.select("term").distinct()), "term")
+            .groupBy("term")
+            .agg(F.count("*").alias("_df"))
+        )
         qdf = qt.join(F.broadcast(df_q), "term")
         wq = Window.partitionBy("query_id").orderBy(
             F.col("_df").asc(), F.col("j").asc()

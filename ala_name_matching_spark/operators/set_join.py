@@ -135,20 +135,27 @@ def similarity_join(
         )
         pref = pref.join(F.broadcast(hot), "token", "left_anti")
 
+    # distinct aliases per side: same-lineage `token == token` would hit
+    # Spark's ambiguous-self-join detection (it resolves it, with a WARN,
+    # but explicit aliases are robust to resolver changes)
     l = pref.select(
-        "token", F.col("id").alias("doc_id_l"), F.col("n").alias("n_l")
+        F.col("token").alias("tok_l"),
+        F.col("id").alias("doc_id_l"),
+        F.col("n").alias("n_l"),
     )
     r = pref.select(
-        "token", F.col("id").alias("doc_id_r"), F.col("n").alias("n_r")
+        F.col("token").alias("tok_r"),
+        F.col("id").alias("doc_id_r"),
+        F.col("n").alias("n_r"),
     )
     cands = (
         l.join(
             r,
-            (l["token"] == r["token"])
-            & (l["doc_id_l"] < r["doc_id_r"])
+            (F.col("tok_l") == F.col("tok_r"))
+            & (F.col("doc_id_l") < F.col("doc_id_r"))
             # symmetric length filter: J >= t forces t*|x| <= |y| <= |x|/t
-            & (r["n_r"] * F.lit(t) <= l["n_l"])
-            & (l["n_l"] * F.lit(t) <= r["n_r"]),
+            & (F.col("n_r") * F.lit(t) <= F.col("n_l"))
+            & (F.col("n_l") * F.lit(t) <= F.col("n_r")),
         )
         .select("doc_id_l", "doc_id_r")
         .distinct()
