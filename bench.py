@@ -110,6 +110,10 @@ def main():
         "fs_match_weights",
         "conv_neardup_pairs",
         "conv_prefix_rescrape",
+        "monge_elkan_pairs",
+        "tfidf_cosine_pairs",
+        "meta_blocking_prune",
+        "bcubed_scorecard",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
