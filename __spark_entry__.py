@@ -1427,6 +1427,38 @@ def _q_adjusted_rand(spark, sf_dir):
     return adjusted_rand(_labels(spark, sf_dir))
 
 
+def _q_cluster_cohesion(spark, sf_dir):
+    # Per-cluster edge-density QA (over-merge detector): gold groups of 10
+    # carry either a CHAIN of 9 edges (density 0.2, low_cohesion) or -- for
+    # every 3rd group -- a full clique (density 1.0). The operator must
+    # separate them exactly.
+    from ala_name_matching_spark.operators.er_metrics import cluster_cohesion
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    grp = (F.col("doc_id") / 10).cast("long")
+    labels = d.select(
+        F.col("doc_id").alias("record_id"),
+        F.concat(F.lit("g"), grp.cast("string")).alias("cluster_id"),
+    )
+    a = d.select(F.col("doc_id").alias("id_a"))
+    b = d.select(F.col("doc_id").alias("id_b"))
+    chain = a.join(
+        b,
+        (F.col("id_b") == F.col("id_a") + 1)
+        & ((F.col("id_a") / 10).cast("long") == (F.col("id_b") / 10).cast("long")),
+    ).select("id_a", "id_b")
+    g0 = d.where(grp % 3 == 0).select(grp.alias("_g"), "doc_id")
+    clique = (
+        g0.select(F.col("_g"), F.col("doc_id").alias("id_a"))
+        .join(g0.select(F.col("_g"), F.col("doc_id").alias("id_b")), "_g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return cluster_cohesion(labels, chain.unionByName(clique)).select(
+        "cluster_id", "n_members", "n_internal_edges", "density", "low_cohesion"
+    )
+
+
 def _q_monge_elkan_pairs(spark, sf_dir):
     # Monge-Elkan hybrid comparator (Monge & Elkan 1996) over the standard
     # blocked pair universe: mean-of-best normalized-Levenshtein token
@@ -2102,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_blocking_prune": _q_meta_blocking_prune,
         "bcubed_scorecard": _q_bcubed_scorecard,
         "adjusted_rand": _q_adjusted_rand,
+        "cluster_cohesion": _q_cluster_cohesion,
         "cm_token_counts": _q_cm_token_counts,
         "conv_neardup_pairs": _q_conv_neardup_pairs,
         "conv_prefix_rescrape": _q_conv_prefix_rescrape,
@@ -2919,6 +2952,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN st sb ON e.id_b = sb.node
             WHERE e.weight * sa.deg >= sa.sum_w
                OR e.weight * sb.deg >= sb.sum_w
+        """,
+        # Cluster-cohesion QA: chain vs clique density, all-integer counts
+        "cluster_cohesion": """
+            WITH d AS (SELECT doc_id FROM documents),
+            labels AS (
+              SELECT doc_id AS rid, 'g' || CAST(doc_id // 10 AS VARCHAR) AS c
+              FROM d),
+            chain AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+                AND a.doc_id // 10 = b.doc_id // 10),
+            g0 AS (SELECT doc_id // 10 AS g, doc_id FROM d
+                   WHERE (doc_id // 10) % 3 = 0),
+            clique AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM g0 l JOIN g0 r ON l.g = r.g AND l.doc_id < r.doc_id),
+            e AS (
+              SELECT DISTINCT id_a, id_b FROM
+                (SELECT * FROM chain UNION ALL SELECT * FROM clique)
+              WHERE id_a != id_b),
+            internal AS (
+              SELECT la.c AS cluster_id, CAST(count(*) AS BIGINT) AS n_internal_edges
+              FROM e
+              JOIN labels la ON e.id_a = la.rid
+              JOIN labels lb ON e.id_b = lb.rid
+              WHERE la.c = lb.c GROUP BY 1),
+            sizes AS (
+              SELECT c AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+              FROM labels GROUP BY 1 HAVING count(*) >= 2)
+            SELECT s.cluster_id, s.n_members,
+                   COALESCE(i.n_internal_edges, 0) AS n_internal_edges,
+                   round(CAST(COALESCE(i.n_internal_edges, 0) AS DOUBLE) /
+                         (s.n_members * (s.n_members - 1) // 2), 6) AS density,
+                   CAST(COALESCE(i.n_internal_edges, 0) AS DOUBLE) /
+                     (s.n_members * (s.n_members - 1) // 2) < 0.5 AS low_cohesion
+            FROM sizes s LEFT JOIN internal i ON s.cluster_id = i.cluster_id
         """,
         # B-cubed: exact BIGINT cell sums; final folds replayed in
         # cluster-id-sorted order

@@ -265,3 +265,65 @@ def adjusted_rand(
             F.round(ari, 6).alias("ari"),
         )
     )
+
+
+def cluster_cohesion(
+    labels: DataFrame,
+    edges: DataFrame,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+    edge_cols: tuple[str, str] = ("id_a", "id_b"),
+    min_density: float = 0.5,
+) -> DataFrame:
+    """Per-cluster edge-density QA: the standard over-merge detector.
+
+    Transitive closure happily chains A-B-C-D into one cluster on three
+    edges; a clique of 4 carries six. density = n_edges / C(n, 2) tells
+    them apart: low-density clusters are chain-suspects (the ER QA signal
+    Hassanzadeh & Miller 2009 use to pick clustering thresholds).
+
+    Distributed shape: two id-keyed joins route each edge to its
+    endpoints' clusters (same-cluster edges only), one groupBy per grain.
+    All counts are BIGINT; density is one division, 6-dp rounded.
+
+    Output: (cluster_id, n_members, n_internal_edges, density,
+    low_cohesion) for clusters with >= 2 members.
+    """
+    la = labels.select(
+        F.col(id_col).alias("_ida"), F.col(cluster_col).alias("_ca")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("_idb"), F.col(cluster_col).alias("_cb")
+    )
+    # canonicalize unordered: a reversed duplicate (b, a) must not count
+    # the same undirected edge twice
+    e = _canon_pairs(edges, *edge_cols).select(
+        F.col("a").alias("_ida"), F.col("b").alias("_idb")
+    )
+    internal = (
+        e.join(la, "_ida")
+        .join(lb, "_idb")
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias(cluster_col))
+        .agg(F.count("*").cast("long").alias("n_internal_edges"))
+    )
+    sizes = (
+        labels.groupBy(cluster_col)
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+    )
+    possible = F.expr("n_members * (n_members - 1L) div 2")
+    density = F.col("n_internal_edges").cast("double") / possible.cast("double")
+    return (
+        sizes.join(internal, cluster_col, "left")
+        .withColumn(
+            "n_internal_edges", F.coalesce(F.col("n_internal_edges"), F.lit(0))
+        )
+        .select(
+            cluster_col,
+            "n_members",
+            "n_internal_edges",
+            F.round(density, 6).alias("density"),
+            (density < F.lit(min_density)).alias("low_cohesion"),
+        )
+    )

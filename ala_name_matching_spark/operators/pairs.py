@@ -116,7 +116,10 @@ def score_pairs(
 
 
 def apply_pair_scores(
-    joined: DataFrame, has_tokens: bool = True, min_partitions: int | None = None
+    joined: DataFrame,
+    has_tokens: bool = True,
+    min_partitions: int | None = None,
+    author_metric: str = "jw",
 ) -> DataFrame:
     """A1 scoring + V5 gate over a pair frame that already carries payloads.
 
@@ -127,7 +130,14 @@ def apply_pair_scores(
     regime; with well-bounded pair volumes (narrow blocking keys) the extra
     shuffle of the payload-heavy pair rows costs more than it saves, so the
     default is no repartition.
+
+    author_metric: "jw" (default; the fast vectorized kernel) or "swg"
+    (Smith-Waterman-Gotoh -- the metric the reference actually calls at
+    ALANameSearcher.java:1381-1391; ~30x more DP work per pair, so opt-in
+    for author-shaped short fields, parity-tested in tests/test_swg.py).
     """
+    if author_metric not in ("jw", "swg"):
+        raise ValueError(f"author_metric must be 'jw' or 'swg', got {author_metric!r}")
     if min_partitions:
         joined = joined.repartition(min_partitions)
     cols = pair_score_cols(
@@ -161,7 +171,13 @@ def apply_pair_scores(
     # hard conflict. role remains hard: it is the structural homonym axis.
     prep_l = F.regexp_replace(F.col("tool_l"), r"[\p{P}\s]", "")
     prep_r = F.regexp_replace(F.col("tool_r"), r"[\p{P}\s]", "")
-    author_similar = jaro_winkler_udf(prep_l, prep_r) >= AUTHOR_SIM_THRESHOLD
+    if author_metric == "swg":
+        from ala_name_matching_spark.functions.swg import swg_udf
+
+        author_sim_col = swg_udf()(prep_l, prep_r)
+    else:
+        author_sim_col = jaro_winkler_udf(prep_l, prep_r)
+    author_similar = author_sim_col >= AUTHOR_SIM_THRESHOLD
     tool_conflict = (
         F.col("tool_l").isNotNull()
         & F.col("tool_r").isNotNull()

@@ -184,3 +184,43 @@ def test_ari_random_vs_structure_is_near_zero(spark):
     # expected = 12*12/28 ; max = 12 -> ari = (4 - 36/7)/(12 - 36/7) < 0
     want = (4 - 144 / 28) / (12 - 144 / 28)
     assert r["ari"] == pytest.approx(round(want, 6), abs=1e-9)
+
+
+# ---------------------------------------------------------------- cohesion
+
+
+def _cohesion_frames(spark, label_rows, edge_rows):
+    from ala_name_matching_spark.operators.er_metrics import cluster_cohesion
+
+    labels = spark.createDataFrame(label_rows, "record_id long, cluster_id string")
+    edges = spark.createDataFrame(edge_rows, "id_a long, id_b long")
+    return cluster_cohesion(labels, edges)
+
+
+def test_cohesion_chain_vs_clique(spark):
+    labels = [(i, "chain") for i in range(4)] + [(i, "clique") for i in range(10, 14)]
+    edges = [(0, 1), (1, 2), (2, 3)] + [
+        (a, b) for a in range(10, 14) for b in range(10, 14) if a < b
+    ]
+    out = {r["cluster_id"]: r for r in _cohesion_frames(spark, labels, edges).collect()}
+    assert out["chain"]["n_internal_edges"] == 3
+    assert out["chain"]["density"] == 0.5
+    assert out["chain"]["low_cohesion"] is False  # strict <
+    assert out["clique"]["density"] == 1.0 and out["clique"]["low_cohesion"] is False
+
+
+def test_cohesion_reversed_duplicate_edges_count_once(spark):
+    labels = [(1, "c"), (2, "c"), (3, "c")]
+    edges = [(1, 2), (2, 1), (1, 2)]
+    r = _cohesion_frames(spark, labels, edges).collect()[0]
+    assert r["n_internal_edges"] == 1
+    assert r["density"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r["low_cohesion"] is True
+
+
+def test_cohesion_external_edges_ignored_singletons_excluded(spark):
+    labels = [(1, "a"), (2, "a"), (3, "b")]
+    edges = [(1, 3), (2, 3)]  # all cross-cluster
+    rows = {r["cluster_id"]: r for r in _cohesion_frames(spark, labels, edges).collect()}
+    assert set(rows) == {"a"}  # singleton 'b' excluded
+    assert rows["a"]["n_internal_edges"] == 0 and rows["a"]["density"] == 0.0
