@@ -1459,6 +1459,52 @@ def _q_cluster_cohesion(spark, sf_dir):
     )
 
 
+def _q_cluster_repair(spark, sf_dir):
+    # Iterative threshold refinement: flagged chain clusters (density 0.2)
+    # re-cluster on their strict (score >= 0.8) subgraph -- only the first
+    # chain link carries 0.9, so each flagged group splits into one pair
+    # plus singletons, while clique clusters (density 1.0) pass untouched.
+    from ala_name_matching_spark.operators.clustering import (
+        repair_low_cohesion,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    grp = (F.col("doc_id") / 10).cast("long")
+    labels = d.select(
+        F.col("doc_id").alias("record_id"),
+        F.concat(F.lit("g"), grp.cast("string")).alias("cluster_id"),
+    )
+    a = d.select(F.col("doc_id").alias("id_a"))
+    b = d.select(F.col("doc_id").alias("id_b"))
+    chain = (
+        a.join(
+            b,
+            (F.col("id_b") == F.col("id_a") + 1)
+            & (
+                (F.col("id_a") / 10).cast("long")
+                == (F.col("id_b") / 10).cast("long")
+            ),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.pmod(F.col("id_a"), F.lit(10)) == 0, F.lit(0.9))
+            .otherwise(F.lit(0.55))
+            .alias("score"),
+        )
+    )
+    g0 = d.where(grp % 3 == 0).select(grp.alias("_g"), "doc_id")
+    clique = (
+        g0.select(F.col("_g"), F.col("doc_id").alias("id_a"))
+        .join(g0.select(F.col("_g"), F.col("doc_id").alias("id_b")), "_g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0.9).alias("score"))
+    )
+    return repair_low_cohesion(
+        labels, chain.unionByName(clique), strict_threshold=0.8
+    ).select("record_id", "cluster_id", "repaired")
+
+
 def _q_monge_elkan_pairs(spark, sf_dir):
     # Monge-Elkan hybrid comparator (Monge & Elkan 1996) over the standard
     # blocked pair universe: mean-of-best normalized-Levenshtein token
@@ -2135,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed_scorecard": _q_bcubed_scorecard,
         "adjusted_rand": _q_adjusted_rand,
         "cluster_cohesion": _q_cluster_cohesion,
+        "cluster_repair": _q_cluster_repair,
         "cm_token_counts": _q_cm_token_counts,
         "conv_neardup_pairs": _q_conv_neardup_pairs,
         "conv_prefix_rescrape": _q_conv_prefix_rescrape,
@@ -2988,6 +3035,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(i.n_internal_edges, 0) AS DOUBLE) /
                      (s.n_members * (s.n_members - 1) // 2) < 0.5 AS low_cohesion
             FROM sizes s LEFT JOIN internal i ON s.cluster_id = i.cluster_id
+        """,
+        # Cluster repair: cohesion flags -> strict-subgraph recursive
+        # closure, min-member labels ('r|' prefix), singleton fallback
+        "cluster_repair": """
+            WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+            labels AS (
+              SELECT doc_id AS rid, 'g' || CAST(doc_id // 10 AS VARCHAR) AS c
+              FROM d),
+            chain AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CASE WHEN a.doc_id % 10 = 0 THEN 0.9 ELSE 0.55 END AS score
+              FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+                AND a.doc_id // 10 = b.doc_id // 10),
+            g0 AS (SELECT doc_id // 10 AS g, doc_id FROM d
+                   WHERE (doc_id // 10) % 3 = 0),
+            clique AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b, 0.9 AS score
+              FROM g0 l JOIN g0 r ON l.g = r.g AND l.doc_id < r.doc_id),
+            e AS (SELECT * FROM chain UNION ALL SELECT * FROM clique),
+            edist AS (SELECT DISTINCT id_a, id_b FROM e),
+            sizes AS (
+              SELECT c, count(*) AS n FROM labels GROUP BY 1
+              HAVING count(*) >= 2),
+            icount AS (
+              SELECT la.c AS c, count(*) AS ne
+              FROM edist ed
+              JOIN labels la ON ed.id_a = la.rid
+              JOIN labels lb ON ed.id_b = lb.rid
+              WHERE la.c = lb.c GROUP BY 1),
+            flagged AS (
+              SELECT s.c FROM sizes s LEFT JOIN icount i ON s.c = i.c
+              WHERE CAST(COALESCE(i.ne, 0) AS DOUBLE) /
+                    (s.n * (s.n - 1) // 2) < 0.5),
+            fm AS (SELECT rid, c FROM labels
+                   WHERE c IN (SELECT c FROM flagged)),
+            strict AS (
+              SELECT DISTINCT ed.id_a, ed.id_b FROM e ed
+              JOIN fm a ON ed.id_a = a.rid
+              JOIN fm b ON ed.id_b = b.rid
+              WHERE a.c = b.c AND ed.score >= 0.8),
+            sym AS (
+              SELECT id_a AS x, id_b AS y FROM strict
+              UNION ALL SELECT id_b, id_a FROM strict),
+            reach AS (
+              SELECT rid AS id, rid AS r FROM fm
+              UNION
+              SELECT sym.y, reach.r FROM reach JOIN sym ON sym.x = reach.id),
+            cc AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+            SELECT rid AS record_id, c AS cluster_id, false AS repaired
+            FROM labels WHERE c NOT IN (SELECT c FROM flagged)
+            UNION ALL
+            SELECT fm.rid AS record_id,
+                   'r|' || CAST(cc.root AS VARCHAR) AS cluster_id,
+                   true AS repaired
+            FROM fm JOIN cc ON fm.rid = cc.id
         """,
         # B-cubed: exact BIGINT cell sums; final folds replayed in
         # cluster-id-sorted order

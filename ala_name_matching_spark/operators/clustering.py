@@ -675,3 +675,83 @@ def assign_clusters_contracted(
     return records.join(mapped, "record_id", "left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col("record_id"))
     )
+
+
+def repair_low_cohesion(
+    labels: DataFrame,
+    scored_edges: DataFrame,
+    strict_threshold: float,
+    min_density: float = 0.5,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+    edge_cols: tuple[str, str] = ("id_a", "id_b"),
+    score_col: str = "score",
+) -> DataFrame:
+    """Cluster repair: re-cluster chain-suspect clusters at a stricter score.
+
+    Transitive closure merges everything a chain of borderline edges
+    touches; the standard production correction (iterative threshold
+    refinement, cf. Hassanzadeh & Miller 2009's threshold-sweep clustering
+    QA) is: flag low-density clusters (er_metrics.cluster_cohesion), keep
+    only their edges with score >= strict_threshold, and re-run connected
+    components on that strict subgraph -- records that lose every strict
+    edge become singletons, genuinely-dense subgroups survive intact.
+
+    Distributed shape: the cohesion scorecard (two id joins + two
+    groupBys), one semi-join to restrict membership, one filtered edge
+    join, then CC on the FLAGGED-INTERNAL strict subgraph only -- by
+    construction a small fraction of the full edge set (the point of
+    repairing instead of re-running the pipeline at the strict threshold).
+
+    Output: (record_id, cluster_id, repaired). Unflagged records keep
+    their original label (repaired=false); flagged records get
+    'r|' || min-member-id of their strict component (singletons: their own
+    id), so repaired labels can never collide with originals.
+    """
+    from ala_name_matching_spark.operators.er_metrics import cluster_cohesion
+
+    e_ab = scored_edges.select(
+        F.least(F.col(edge_cols[0]), F.col(edge_cols[1])).alias("id_a"),
+        F.greatest(F.col(edge_cols[0]), F.col(edge_cols[1])).alias("id_b"),
+        F.col(score_col).alias("_score"),
+    ).where(F.col("id_a") != F.col("id_b"))
+    coh = cluster_cohesion(
+        labels,
+        e_ab.select("id_a", "id_b"),
+        id_col=id_col,
+        cluster_col=cluster_col,
+        min_density=min_density,
+    )
+    flagged = coh.where(F.col("low_cohesion")).select(cluster_col)
+    flagged_members = labels.join(flagged, cluster_col, "left_semi")
+    la = flagged_members.select(
+        F.col(id_col).alias("id_a"), F.col(cluster_col).alias("_ca")
+    )
+    lb = flagged_members.select(
+        F.col(id_col).alias("id_b"), F.col(cluster_col).alias("_cb")
+    )
+    strict_internal = (
+        e_ab.where(F.col("_score") >= F.lit(float(strict_threshold)))
+        .join(la, "id_a")
+        .join(lb, "id_b")
+        .where(F.col("_ca") == F.col("_cb"))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    cc = connected_components(strict_internal).select(
+        F.col("record_id").alias(id_col),
+        F.col("cluster_id").alias("_cc"),
+    )
+    repaired = flagged_members.join(cc, id_col, "left").select(
+        F.col(id_col),
+        F.concat(
+            F.lit("r|"),
+            F.coalesce(F.col("_cc"), F.col(id_col)).cast("string"),
+        ).alias(cluster_col),
+        F.lit(True).alias("repaired"),
+    )
+    kept = labels.join(flagged, cluster_col, "left_anti").select(
+        F.col(id_col),
+        F.col(cluster_col).cast("string").alias(cluster_col),
+        F.lit(False).alias("repaired"),
+    )
+    return kept.unionByName(repaired)

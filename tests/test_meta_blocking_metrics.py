@@ -224,3 +224,55 @@ def test_cohesion_external_edges_ignored_singletons_excluded(spark):
     rows = {r["cluster_id"]: r for r in _cohesion_frames(spark, labels, edges).collect()}
     assert set(rows) == {"a"}  # singleton 'b' excluded
     assert rows["a"]["n_internal_edges"] == 0 and rows["a"]["density"] == 0.0
+
+
+# ---------------------------------------------------------------- repair
+
+
+def _repair(spark, label_rows, edge_rows, strict=0.8):
+    from ala_name_matching_spark.operators.clustering import repair_low_cohesion
+
+    labels = spark.createDataFrame(label_rows, "record_id long, cluster_id string")
+    edges = spark.createDataFrame(edge_rows, "id_a long, id_b long, score double")
+    return {
+        r["record_id"]: (r["cluster_id"], r["repaired"])
+        for r in repair_low_cohesion(labels, edges, strict_threshold=strict).collect()
+    }
+
+
+def test_repair_splits_chain_keeps_strict_pair(spark):
+    # chain 1-2-3-4 (density 0.5 -> not flagged at min_density 0.5? No:
+    # 3 edges / 6 pairs = 0.5, strict < keeps it). Use a 5-chain: 4/10 = 0.4
+    labels = [(i, "c") for i in range(1, 6)]
+    edges = [(1, 2, 0.9), (2, 3, 0.55), (3, 4, 0.55), (4, 5, 0.55)]
+    out = _repair(spark, labels, edges)
+    assert out[1] == ("r|1", True) and out[2] == ("r|1", True)
+    assert out[3] == ("r|3", True) and out[4] == ("r|4", True) and out[5] == ("r|5", True)
+
+
+def test_repair_leaves_dense_clusters_alone(spark):
+    labels = [(1, "k"), (2, "k"), (3, "k")]
+    edges = [(1, 2, 0.55), (2, 3, 0.55), (1, 3, 0.55)]  # density 1.0
+    out = _repair(spark, labels, edges)
+    assert out == {1: ("k", False), 2: ("k", False), 3: ("k", False)}
+
+
+def test_repair_cross_cluster_strict_edges_never_merge(spark):
+    # two flagged chains; a strict edge BETWEEN them must not rejoin them
+    labels = [(i, "a") for i in range(1, 6)] + [(i, "b") for i in range(11, 16)]
+    edges = (
+        [(i, i + 1, 0.55) for i in range(1, 5)]
+        + [(i, i + 1, 0.55) for i in range(11, 15)]
+        + [(5, 11, 0.95)]  # cross-cluster, must be ignored
+    )
+    out = _repair(spark, labels, edges)
+    assert all(v[1] for v in out.values())  # both clusters repaired
+    assert out[5] == ("r|5", True) and out[11] == ("r|11", True)
+
+
+def test_repair_labels_never_collide_with_originals(spark):
+    labels = [(1, "1"), (2, "1"), (3, "1")]  # original label "1" = a record id
+    edges = [(1, 2, 0.9)]  # density 1/3 -> flagged
+    out = _repair(spark, labels, edges)
+    assert out[1] == ("r|1", True) and out[2] == ("r|1", True)
+    assert out[3] == ("r|3", True)
