@@ -1505,6 +1505,35 @@ def _q_cluster_repair(spark, sf_dir):
     ).select("record_id", "cluster_id", "repaired")
 
 
+def _q_two_source_linkage(spark, sf_dir):
+    # Two-dataset 1:1 linkage: split documents into A (even doc_id) and B
+    # (odd), block on the word-pair key, score with normalized
+    # Levenshtein, keep reciprocal-best pairs only -- the at-most-one
+    # assignment a cross-source link table needs.
+    from ala_name_matching_spark.operators.linkage import reciprocal_best_match
+
+    d = _docs(spark, sf_dir).select(
+        _block_key_col().alias("bk"), "doc_id", "text"
+    )
+    a = d.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+        "bk", F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    b = d.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select(
+        "bk", F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    maxlen = F.greatest(F.length("text_a"), F.length("text_b"))
+    pairs = a.join(b, "bk").select(
+        "id_a",
+        "id_b",
+        (
+            F.lit(1.0)
+            - F.levenshtein("text_a", "text_b").cast("double") / maxlen
+        ).alias("score"),
+    )
+    out = reciprocal_best_match(pairs)
+    return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
 def _q_monge_elkan_pairs(spark, sf_dir):
     # Monge-Elkan hybrid comparator (Monge & Elkan 1996) over the standard
     # blocked pair universe: mean-of-best normalized-Levenshtein token
@@ -2182,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjusted_rand": _q_adjusted_rand,
         "cluster_cohesion": _q_cluster_cohesion,
         "cluster_repair": _q_cluster_repair,
+        "two_source_linkage": _q_two_source_linkage,
         "cm_token_counts": _q_cm_token_counts,
         "conv_neardup_pairs": _q_conv_neardup_pairs,
         "conv_prefix_rescrape": _q_conv_prefix_rescrape,
@@ -3035,6 +3065,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(i.n_internal_edges, 0) AS DOUBLE) /
                      (s.n_members * (s.n_members - 1) // 2) < 0.5 AS low_cohesion
             FROM sizes s LEFT JOIN internal i ON s.cluster_id = i.cluster_id
+        """,
+        # Reciprocal best match: window replay of the min(struct) winners
+        "two_source_linkage": f"""
+            WITH d AS (SELECT {_BK} AS bk, doc_id, text FROM documents),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+                           greatest(length(a.text), length(b.text)) AS score
+              FROM d a JOIN d b ON a.bk = b.bk
+              WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+            ra AS (
+              SELECT id_a, id_b, score,
+                     row_number() OVER (PARTITION BY id_a
+                       ORDER BY score DESC, id_b ASC) AS rn_a
+              FROM p),
+            rb AS (
+              SELECT id_a, id_b,
+                     row_number() OVER (PARTITION BY id_b
+                       ORDER BY score DESC, id_a ASC) AS rn_b
+              FROM p)
+            SELECT ra.id_a, ra.id_b, round(ra.score, 6) AS score
+            FROM ra JOIN rb ON ra.id_a = rb.id_a AND ra.id_b = rb.id_b
+            WHERE ra.rn_a = 1 AND rb.rn_b = 1
         """,
         # Cluster repair: cohesion flags -> strict-subgraph recursive
         # closure, min-member labels ('r|' prefix), singleton fallback

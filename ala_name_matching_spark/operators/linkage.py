@@ -164,3 +164,54 @@ def fellegi_sunter_weights(
         + ", n_pairs long, match_weight double, posterior double"
     )
     return spark.createDataFrame(out, schema)
+
+
+def reciprocal_best_match(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    score_col: str = "score",
+) -> DataFrame:
+    """Two-source 1:1 linkage: keep a scored A x B candidate pair only if
+    it is the best match for BOTH endpoints (reciprocal / mutual best,
+    the standard greedy-free way to enforce an at-most-one assignment in
+    record linkage without a sequential auction pass).
+
+    The reference's searcher is implicitly 1:N (each query name takes its
+    single best index hit, ALANameSearcher.performSearch); reciprocal
+    best is the symmetric two-dataset version: A-side winner computed
+    with one partial-aggregated groupBy (min(struct(-score, partner)) --
+    max score, ties to the smallest partner id, the skew-immune idiom
+    elect_representatives uses), B-side symmetric, pair kept when it
+    equals both winners. Two groupBys + two joins, no window sort over a
+    hot key, fully deterministic.
+
+    Output: (left_col, right_col, score_col) of the kept pairs.
+    """
+    p = pairs.select(
+        F.col(left_col).alias("_a"),
+        F.col(right_col).alias("_b"),
+        F.col(score_col).alias("_s"),
+    )
+    best_a = p.groupBy("_a").agg(
+        F.min(F.struct((-F.col("_s")).alias("_ns"), F.col("_b").alias("_w")))[
+            "_w"
+        ].alias("_best_b")
+    )
+    best_b = p.groupBy("_b").agg(
+        F.min(F.struct((-F.col("_s")).alias("_ns"), F.col("_a").alias("_w")))[
+            "_w"
+        ].alias("_best_a")
+    )
+    return (
+        p.join(best_a, "_a")
+        .join(best_b, "_b")
+        .where(
+            (F.col("_b") == F.col("_best_b")) & (F.col("_a") == F.col("_best_a"))
+        )
+        .select(
+            F.col("_a").alias(left_col),
+            F.col("_b").alias(right_col),
+            F.col("_s").alias(score_col),
+        )
+    )

@@ -97,3 +97,48 @@ def test_fs_em_deterministic(spark):
     a = fs_em(pats, 2, 6)
     b = fs_em(list(pats), 2, 6)
     assert a == b
+
+
+# ---------------------------------------------------------- reciprocal best
+
+
+def _rbm(spark, rows):
+    from ala_name_matching_spark.operators.linkage import reciprocal_best_match
+
+    df = spark.createDataFrame(rows, "id_a long, id_b long, score double")
+    return {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in reciprocal_best_match(df).collect()
+    }
+
+
+def test_rbm_keeps_only_mutual_best(spark):
+    # a1's best is b1 (0.9) and b1's best is a1 -> kept.
+    # a2's best is b1 (0.8) but b1 prefers a1 -> dropped; a2-b2 (0.7) is
+    # mutual among what remains of NEITHER side's computation -- reciprocal
+    # best is non-iterative, so a2-b2 kept only if 0.7 is a2's best AND
+    # b2's best: it is (a2: 0.8>0.7 -> a2's best is b1) -> dropped too.
+    rows = [(1, 11, 0.9), (2, 11, 0.8), (2, 12, 0.7)]
+    out = _rbm(spark, rows)
+    assert out == {(1, 11): 0.9}
+
+
+def test_rbm_one_to_one_property(spark):
+    rows = [
+        (1, 11, 0.9), (1, 12, 0.8),
+        (2, 12, 0.85), (2, 11, 0.2),
+        (3, 12, 0.3),
+    ]
+    out = _rbm(spark, rows)
+    assert out == {(1, 11): 0.9, (2, 12): 0.85}
+    a_side = [a for a, _ in out]
+    b_side = [b for _, b in out]
+    assert len(set(a_side)) == len(a_side) and len(set(b_side)) == len(b_side)
+
+
+def test_rbm_ties_break_to_smallest_partner(spark):
+    rows = [(1, 12, 0.5), (1, 11, 0.5), (2, 11, 0.5)]
+    out = _rbm(spark, rows)
+    # a1 ties 11/12 -> picks 11; b11 ties a1/a2 -> picks a1 -> (1,11) kept;
+    # (1,12): a1's best is 11 -> dropped even though b12 prefers a1.
+    assert out == {(1, 11): 0.5}
