@@ -1340,16 +1340,10 @@ def _q_fs_match_weights(spark, sf_dir):
     )
 
 
-def _q_meta_blocking_prune(spark, sf_dir):
-    # Meta-blocking (Papadakis et al., TKDE 2014): records carry THREE
-    # blocking keys (word-pair, concat-alpha prefix, first-token prefix);
-    # candidate edges are CBS-weighted by shared-block count and pruned
-    # node-centrically (weight >= mean weight of either endpoint, integer
-    # cross-multiplied -- exact). The published pre-comparator pair cut.
-    from ala_name_matching_spark.operators.meta_blocking import (
-        meta_blocking_prune,
-    )
-
+def _multikey_assignments(spark, sf_dir):
+    """(record_id, block_id) under THREE blocking keys (word-pair,
+    concat-alpha prefix, first-token prefix) -- shared by the
+    meta-blocking and block-histogram queries."""
     d = _docs(spark, sf_dir)
     keys = [
         F.concat(
@@ -1375,10 +1369,22 @@ def _q_meta_blocking_prune(spark, sf_dir):
             ),
         ),
     ]
-    assignments = d.select(
+    return d.select(
         F.col("doc_id").alias("record_id"),
         F.explode(F.array(*keys)).alias("block_id"),
     )
+
+
+def _q_meta_blocking_prune(spark, sf_dir):
+    # Meta-blocking (Papadakis et al., TKDE 2014): records carry THREE
+    # blocking keys; candidate edges are CBS-weighted by shared-block count
+    # and pruned node-centrically (weight >= mean weight of either endpoint,
+    # integer cross-multiplied -- exact). The published pre-comparator cut.
+    from ala_name_matching_spark.operators.meta_blocking import (
+        meta_blocking_prune,
+    )
+
+    assignments = _multikey_assignments(spark, sf_dir)
     return meta_blocking_prune(assignments).select(
         F.col("id_a").alias("doc_id_l"),
         F.col("id_b").alias("doc_id_r"),
@@ -1532,6 +1538,54 @@ def _q_two_source_linkage(spark, sf_dir):
     )
     out = reciprocal_best_match(pairs)
     return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+def _q_threshold_sweep(spark, sf_dir):
+    # Threshold-selection table: P/R/F1 at every 2-dp score band from ONE
+    # histogram pass + a cumsum over the <=100-row band table. Gold =
+    # planted groups of 10; predictions = blocked pairs scored with
+    # normalized Levenshtein.
+    from ala_name_matching_spark.operators.er_metrics import threshold_sweep
+
+    d = _docs(spark, sf_dir).select(
+        _block_key_col().alias("bk"), "doc_id", "text"
+    )
+    l = d.select("bk", F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    r = d.select("bk", F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    scored = (
+        l.join(r, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.lit(1.0)
+                - F.levenshtein("ta", "tb").cast("double")
+                / F.greatest(F.length("ta"), F.length("tb"))
+            ).alias("score"),
+        )
+    )
+    dd = _docs(spark, sf_dir).select("doc_id")
+    ga = dd.select(F.col("doc_id").alias("id_a"))
+    gb = dd.select(F.col("doc_id").alias("id_b"))
+    gold = ga.join(
+        gb,
+        (F.col("id_a") < F.col("id_b"))
+        & ((F.col("id_a") / 10).cast("long") == (F.col("id_b") / 10).cast("long")),
+    ).select("id_a", "id_b")
+    return threshold_sweep(scored, gold)
+
+
+def _q_block_size_histogram(spark, sf_dir):
+    # Skew probe: log2-bucketed block sizes + pair mass per bucket over
+    # the same three-key assignment table meta_blocking uses; shows where
+    # the comparison budget sits without materializing a pair.
+    from ala_name_matching_spark.operators.er_metrics import (
+        block_size_histogram,
+    )
+
+    assignments = _multikey_assignments(spark, sf_dir)
+    return block_size_histogram(assignments)
 
 
 def _q_monge_elkan_pairs(spark, sf_dir):
@@ -2212,6 +2266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_cohesion": _q_cluster_cohesion,
         "cluster_repair": _q_cluster_repair,
         "two_source_linkage": _q_two_source_linkage,
+        "threshold_sweep": _q_threshold_sweep,
+        "block_size_histogram": _q_block_size_histogram,
         "cm_token_counts": _q_cm_token_counts,
         "conv_neardup_pairs": _q_conv_neardup_pairs,
         "conv_prefix_rescrape": _q_conv_prefix_rescrape,
@@ -3065,6 +3121,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(i.n_internal_edges, 0) AS DOUBLE) /
                      (s.n_members * (s.n_members - 1) // 2) < 0.5 AS low_cohesion
             FROM sizes s LEFT JOIN internal i ON s.cluster_id = i.cluster_id
+        """,
+        # Threshold sweep: band histogram + window cumsum, all-integer
+        "threshold_sweep": f"""
+            WITH d AS (SELECT {_BK} AS bk, doc_id, text FROM documents),
+            scored AS (
+              SELECT l.doc_id AS a, r.doc_id AS b,
+                     1.0 - CAST(levenshtein(l.text, r.text) AS DOUBLE) /
+                           greatest(length(l.text), length(r.text)) AS s
+              FROM d l JOIN d r ON l.bk = r.bk AND l.doc_id < r.doc_id),
+            p AS (SELECT a, b, max(s) AS s FROM scored GROUP BY 1, 2),
+            gold AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM documents x JOIN documents y
+                ON x.doc_id < y.doc_id
+               AND x.doc_id // 10 = y.doc_id // 10),
+            labeled AS (
+              SELECT p.s, CASE WHEN g.a IS NULL THEN 0 ELSE 1 END AS ig
+              FROM p LEFT JOIN gold g ON p.a = g.a AND p.b = g.b),
+            ng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM gold),
+            hist AS (
+              SELECT round(s, 2) AS threshold,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(ig) AS BIGINT) AS tp
+              FROM labeled GROUP BY 1),
+            cum AS (
+              SELECT threshold,
+                     CAST(sum(n) OVER (ORDER BY threshold DESC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pred,
+                     CAST(sum(tp) OVER (ORDER BY threshold DESC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tp
+              FROM hist)
+            SELECT threshold, n_pred, n_tp,
+                   round(CAST(n_tp AS DOUBLE) / n_pred, 6) AS precision,
+                   round(CASE WHEN ng.n_gold > 0
+                     THEN CAST(n_tp AS DOUBLE) / ng.n_gold ELSE 0.0 END, 6)
+                     AS recall,
+                   round(CASE WHEN (CAST(n_tp AS DOUBLE) / n_pred +
+                       CASE WHEN ng.n_gold > 0
+                         THEN CAST(n_tp AS DOUBLE) / ng.n_gold
+                         ELSE 0.0 END) > 0
+                     THEN 2 * (CAST(n_tp AS DOUBLE) / n_pred) *
+                       (CAST(n_tp AS DOUBLE) / ng.n_gold) /
+                       (CAST(n_tp AS DOUBLE) / n_pred +
+                        CAST(n_tp AS DOUBLE) / ng.n_gold)
+                     ELSE 0.0 END, 6) AS f1
+            FROM cum CROSS JOIN ng
+        """,
+        # Block-size histogram: integer counts; floor(log2) is exact at
+        # the only boundary (powers of two)
+        "block_size_histogram": """
+            WITH a AS (
+              SELECT doc_id AS rid, b.block_id
+              FROM documents,
+                   unnest([
+                     'w|' || lower(split_part(text, ' ', 1)) || '|' ||
+                             lower(split_part(text, ' ', 2)),
+                     'c|' || substr(lower(regexp_replace(text, '[^a-zA-Z]', '', 'g')), 1, 12),
+                     'p|' || substr(lower(split_part(text, ' ', 1)), 1, 4)
+                   ]) AS b(block_id)),
+            sizes AS (SELECT block_id, count(*) AS s FROM a GROUP BY 1)
+            SELECT CAST(floor(log2(s)) AS INTEGER) AS log2_size,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(sum(s) AS BIGINT) AS n_records,
+                   CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_pairs
+            FROM sizes GROUP BY 1
         """,
         # Reciprocal best match: window replay of the min(struct) winners
         "two_source_linkage": f"""

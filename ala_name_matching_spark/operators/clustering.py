@@ -707,6 +707,14 @@ def repair_low_cohesion(
     their original label (repaired=false); flagged records get
     'r|' || min-member-id of their strict component (singletons: their own
     id), so repaired labels can never collide with originals.
+
+    In the full ER pipeline, apply this at the CONTRACTED rep grain --
+    labels = (group_rep, cluster_id) from group_label_table, edges =
+    the committed p4_edges (which connect group reps and carry `score`) --
+    then extend repaired labels to members through the same group_map
+    join the assignment path already uses. Running it at the raw record
+    grain against rep-grain edges would under-count density (members
+    carry no direct edges) and over-flag.
     """
     from ala_name_matching_spark.operators.er_metrics import cluster_cohesion
 

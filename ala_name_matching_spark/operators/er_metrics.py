@@ -327,3 +327,97 @@ def cluster_cohesion(
             (density < F.lit(min_density)).alias("low_cohesion"),
         )
     )
+
+
+def threshold_sweep(
+    scored_pairs: DataFrame,
+    gold: DataFrame,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    gold_cols: tuple[str, str] = ("id_a", "id_b"),
+    score_col: str = "score",
+    band_decimals: int = 2,
+) -> DataFrame:
+    """Precision/recall/F1 at every score band in ONE pass -- the
+    threshold-selection table (pick match_threshold / repair strictness
+    from data instead of folklore).
+
+    Pairs are canonicalized unordered and labeled by a gold semi-join;
+    scores quantize to `band_decimals` bands. One groupBy builds the
+    (band, n, n_tp) histogram; cumulative sums run in a single window
+    over the BAND table (<= 10^band_decimals rows regardless of corpus
+    size -- the bounded-sufficient-statistic discipline again), so
+    "predicted at threshold t" = cumsum from the top band down. All
+    counts are exact BIGINTs.
+
+    Output: (threshold, n_pred, n_tp, precision, recall, f1), one row
+    per non-empty band, thresholds descending.
+    """
+    from pyspark.sql import Window
+
+    p = scored_pairs.select(
+        F.least(F.col(pair_cols[0]), F.col(pair_cols[1])).alias("a"),
+        F.greatest(F.col(pair_cols[0]), F.col(pair_cols[1])).alias("b"),
+        F.col(score_col).alias("_s"),
+    ).where(F.col("a") != F.col("b"))
+    # one score per unordered pair: max, ties irrelevant post-round
+    p = p.groupBy("a", "b").agg(F.max("_s").alias("_s"))
+    g = _canon_pairs(gold, *gold_cols)
+    labeled = p.join(
+        g.withColumn("_g", F.lit(1)), ["a", "b"], "left"
+    ).select("_s", F.coalesce(F.col("_g"), F.lit(0)).alias("_g"))
+    n_gold = g.agg(F.count("*").cast("long").alias("n_gold"))
+    hist = labeled.groupBy(
+        F.round(F.col("_s"), band_decimals).alias("threshold")
+    ).agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_g").cast("long").alias("_tp"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "threshold",
+        F.sum("_n").over(w).cast("long").alias("n_pred"),
+        F.sum("_tp").over(w).cast("long").alias("n_tp"),
+    )
+    out = cum.crossJoin(n_gold)
+    prec = F.col("n_tp").cast("double") / F.col("n_pred")
+    rec = F.when(
+        F.col("n_gold") > 0, F.col("n_tp").cast("double") / F.col("n_gold")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "threshold",
+        "n_pred",
+        "n_tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def block_size_histogram(
+    blocks: DataFrame,
+    block_col: str = "block_id",
+) -> DataFrame:
+    """log2-bucketed block-size distribution + pair mass per bucket: the
+    skew probe that says where the comparison budget actually sits (a
+    single 2^20-record block carries more pairs than a million 2^2
+    blocks). One groupBy for sizes, one for buckets -- both partial-agg;
+    never materializes a pair.
+
+    Output: (log2_size, n_blocks, n_records, n_pairs), log2_size
+    ascending; n_pairs = sum s(s-1)/2 over the bucket's blocks.
+    """
+    sizes = blocks.groupBy(block_col).agg(F.count("*").alias("s"))
+    bucket = F.floor(F.log2(F.col("s"))).cast("int")
+    return (
+        sizes.groupBy(bucket.alias("log2_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("s").cast("long").alias("n_records"),
+            F.sum(F.expr("s * (s - 1L) div 2")).cast("long").alias("n_pairs"),
+        )
+    )

@@ -1,6 +1,7 @@
 """Distributed ER scorecards: pair P/R/F1 and blocking RR/PC."""
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from ala_name_matching_spark.operators.er_metrics import (
@@ -75,3 +76,61 @@ def test_blocking_quality_multiblock_pair_counted_once_for_coverage(spark):
     assert r["n_candidates"] == 2  # multiset budget
     assert r["n_gold_covered"] == 1
     assert r["pairs_completeness"] == 1.0
+
+
+# ---------------------------------------------------------- threshold sweep
+
+
+def test_threshold_sweep_hand_computed(spark):
+    from ala_name_matching_spark.operators.er_metrics import threshold_sweep
+
+    scored = spark.createDataFrame(
+        [(1, 2, 0.91), (3, 4, 0.74), (5, 6, 0.52), (7, 8, 0.31)],
+        "id_a long, id_b long, score double",
+    )
+    gold = spark.createDataFrame(
+        [(1, 2), (5, 6), (9, 10)], "id_a long, id_b long"
+    )
+    rows = {r["threshold"]: r for r in threshold_sweep(scored, gold).collect()}
+    assert rows[0.91]["n_pred"] == 1 and rows[0.91]["n_tp"] == 1
+    assert rows[0.91]["precision"] == 1.0
+    assert rows[0.91]["recall"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[0.52]["n_pred"] == 3 and rows[0.52]["n_tp"] == 2
+    assert rows[0.52]["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[0.52]["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[0.31]["n_pred"] == 4  # cumulative from the top band down
+
+
+def test_threshold_sweep_dedupes_reversed_pairs(spark):
+    from ala_name_matching_spark.operators.er_metrics import threshold_sweep
+
+    scored = spark.createDataFrame(
+        [(2, 1, 0.9), (1, 2, 0.8)], "id_a long, id_b long, score double"
+    )
+    gold = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    rows = threshold_sweep(scored, gold).collect()
+    # one unordered pair at its max score
+    assert len(rows) == 1 and rows[0]["threshold"] == 0.9
+    assert rows[0]["n_pred"] == 1 and rows[0]["n_tp"] == 1
+
+
+# ---------------------------------------------------------- block histogram
+
+
+def test_block_size_histogram_buckets_and_pair_mass(spark):
+    from ala_name_matching_spark.operators.er_metrics import (
+        block_size_histogram,
+    )
+
+    rows = (
+        [(i, "big") for i in range(8)]        # size 8 -> log2 = 3
+        + [(i, "mid") for i in range(3)]      # size 3 -> log2 = 1
+        + [(i, "mid2") for i in range(2)]     # size 2 -> log2 = 1
+        + [(0, "solo")]                       # size 1 -> log2 = 0
+    )
+    df = spark.createDataFrame(rows, "record_id long, block_id string")
+    out = {r["log2_size"]: r for r in block_size_histogram(df).collect()}
+    assert out[3]["n_blocks"] == 1 and out[3]["n_pairs"] == 28
+    assert out[1]["n_blocks"] == 2 and out[1]["n_pairs"] == 3 + 1
+    assert out[0]["n_blocks"] == 1 and out[0]["n_pairs"] == 0
+    assert out[1]["n_records"] == 5
