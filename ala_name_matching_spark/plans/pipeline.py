@@ -291,3 +291,76 @@ def cluster_summary(clustered: DataFrame) -> DataFrame:
         )
         .orderBy(F.col("cluster_size").desc(), F.col("cluster_id"))
     )
+
+
+def repair_pipeline_clusters(
+    ckpt: CheckpointManager,
+    strict_threshold: float,
+    min_density: float = 0.5,
+) -> DataFrame:
+    """Post-process the COMMITTED pipeline phases with the cluster-repair
+    lane (clustering.repair_low_cohesion), at the contracted rep grain
+    where the fuzzy edges actually live.
+
+    Reads p5_group_labels (group hash -> cluster), p2_canon_reps (group
+    hash -> rep record), p4_edges (rep-grain scored edges), and
+    p1_features; flags low-density clusters, re-clusters them on their
+    strict (score >= strict_threshold) subgraph, and re-extends labels to
+    every record through the same assignment join the pipeline uses --
+    the corpus is never rescanned for text, and untouched clusters keep
+    their original representative. Repaired clusters elect min member
+    rep as representative (canon-length priority lives on the record
+    grain; the min-id rule is the same deterministic tie-break order).
+
+    cluster_id comes back as STRING ('r|' prefix marks repaired
+    clusters); downstream consumers that joined on the original long
+    labels should treat this table as a new deliverable version.
+
+    Requires checkpointing enabled (the phases must be committed).
+    """
+    for phase in ("p5_group_labels", "p2_canon_reps", "p4_edges", "p1_features"):
+        if not ckpt.exists(phase):
+            raise ValueError(f"repair requires committed phase {phase!r}")
+    labels_g = ckpt.read("p5_group_labels")
+    reps = ckpt.read("p2_canon_reps").select(
+        "_g1", "_g2", F.col("record_id").alias("rep_id")
+    )
+    edges = ckpt.read("p4_edges").select("src", "dst", "score")
+    rl = reps.join(labels_g, ["_g1", "_g2"]).select(
+        "_g1",
+        "_g2",
+        "rep_id",
+        F.col("cluster_id").cast("string").alias("orig_cluster"),
+        F.col("representative_id").alias("orig_rep"),
+    )
+    rep_new = clustering.repair_low_cohesion(
+        rl.select(
+            F.col("rep_id").alias("record_id"),
+            F.col("orig_cluster").alias("cluster_id"),
+        ),
+        edges,
+        strict_threshold=strict_threshold,
+        min_density=min_density,
+        edge_cols=("src", "dst"),
+    ).select(
+        F.col("record_id").alias("rep_id"),
+        F.col("cluster_id").alias("new_cluster"),
+        "repaired",
+    )
+    winners = rep_new.groupBy("new_cluster").agg(
+        F.min("rep_id").alias("rep_min")
+    )
+    group_full = (
+        rl.join(rep_new, "rep_id")
+        .join(winners, "new_cluster")
+        .select(
+            "_g1",
+            "_g2",
+            F.col("new_cluster").alias("cluster_id"),
+            F.when(F.col("repaired"), F.col("rep_min"))
+            .otherwise(F.col("orig_rep"))
+            .alias("representative_id"),
+        )
+    )
+    features = ckpt.read("p1_features")
+    return assignment_table(features, group_full)

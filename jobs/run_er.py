@@ -65,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
                         "payload -- for small extracts and smoke runs.")
     p.add_argument("--block-cap", type=int, default=None)
     p.add_argument("--match-threshold", type=float, default=None)
+    p.add_argument("--repair-strict", type=float, default=None, metavar="SCORE",
+                   help="post-process: re-cluster low-cohesion clusters on "
+                        "their strict (score >= SCORE) rep-grain subgraph "
+                        "(plans.pipeline.repair_pipeline_clusters); "
+                        "assignment output mode only")
     p.add_argument("--synthesize", type=int, default=0, metavar="N_TURNS",
                    help="generate a seeded N-turn input instead of --input "
                         "(smoke runs / scale drills)")
@@ -115,8 +120,31 @@ def main(argv: list[str] | None = None) -> int:
         spark, args.checkpoint_dir or os.path.join(args.output + "_ck"),
         enabled=True,
     )
+    if args.repair_strict is not None and args.output_mode != "assignment":
+        p.error("--repair-strict requires --output-mode assignment")
     t0 = time.time()
     clustered = run_pipeline(transcripts, config=cfg, checkpoints=ckpt)
+    if args.repair_strict is not None:
+        from ala_name_matching_spark.plans.pipeline import (
+            repair_pipeline_clusters,
+        )
+
+        clustered = repair_pipeline_clusters(ckpt, args.repair_strict)
+        if args.format == "iceberg":
+            clustered.writeTo(args.output).createOrReplace()
+        else:
+            clustered.write.mode("overwrite").parquet(args.output)
+        n = (
+            spark.read.parquet(args.output).count()
+            if args.format == "parquet"
+            else None
+        )
+        print(
+            f"er_pipeline done (repaired) rows={n} "
+            f"wall_sec={time.time() - t0:.1f} output={args.output}"
+        )
+        spark.stop()
+        return 0
     if args.output_mode == "assignment":
         # narrow deliverable. run_pipeline just committed the identical table
         # as the p6_clusters phase -- write --output from that scan instead of

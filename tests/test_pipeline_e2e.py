@@ -151,3 +151,55 @@ def test_binary_id_lane_cluster_parity(spark, transcripts, clustered):
     # the binary id is fixed-width 20 bytes
     one = out_bin.select("record_id").first()["record_id"]
     assert isinstance(one, (bytes, bytearray)) and len(one) == 20
+
+
+def test_repair_pipeline_clusters(spark, tmp_path):
+    """Post-process repair at the rep grain: strict=0 must reproduce the
+    original partition (relabeled); strict above every score must shatter
+    low-cohesion clusters into their canonical groups while leaving dense
+    clusters (and their representatives) untouched."""
+    from ala_name_matching_spark.plans.pipeline import (
+        repair_pipeline_clusters,
+        run_pipeline,
+    )
+    from ala_name_matching_spark.sources.checkpoints import CheckpointManager
+    from ala_name_matching_spark.sources.transcripts import synthesize_transcripts
+
+    ckpt = CheckpointManager(spark, str(tmp_path / "ck"), enabled=True)
+    turns = synthesize_transcripts(spark, 3000, partitions=4).drop("entity_id")
+    original = run_pipeline(turns, checkpoints=ckpt)
+    orig = {
+        r["record_id"]: (str(r["cluster_id"]), r["representative_id"])
+        for r in original.select(
+            "record_id", "cluster_id", "representative_id"
+        ).collect()
+    }
+
+    def partition(d):
+        clusters = {}
+        for rid, (cid, _) in d.items():
+            clusters.setdefault(cid, set()).add(rid)
+        return {frozenset(v) for v in clusters.values()}
+
+    # strict=0: every edge survives -> same partition, labels r|-prefixed
+    same = {
+        r["record_id"]: (r["cluster_id"], r["representative_id"])
+        for r in repair_pipeline_clusters(ckpt, strict_threshold=0.0).collect()
+    }
+    assert partition(same) == partition(orig)
+    assert len(same) == len(orig)
+
+    # strict=1.1: no fuzzy edge survives -> flagged clusters shatter;
+    # every record still gets exactly one label, and no cluster GROWS
+    shattered = {
+        r["record_id"]: (r["cluster_id"], r["representative_id"])
+        for r in repair_pipeline_clusters(ckpt, strict_threshold=1.1).collect()
+    }
+    assert len(shattered) == len(orig)
+    orig_parts = {rid: cid for rid, (cid, _) in orig.items()}
+    new_members = {}
+    for rid, (cid, _) in shattered.items():
+        new_members.setdefault(cid, set()).add(orig_parts[rid])
+    # a repaired cluster never spans two original clusters
+    for cid, origs in new_members.items():
+        assert len(origs) == 1, (cid, origs)
