@@ -114,6 +114,9 @@ def main():
         "tfidf_cosine_pairs",
         "meta_blocking_prune",
         "bcubed_scorecard",
+        "two_source_linkage",
+        "cluster_repair",
+        "threshold_sweep",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
