@@ -112,6 +112,25 @@ def _block_key_col():
     )
 
 
+def _spread(df):
+    """Round-robin repartition a candidate-pair table before a CPU-heavy
+    comparator projection (full-text levenshtein here is ~90k DP cells
+    per pair).
+
+    Local-mode scan-split compensation, not a production shuffle: at
+    bench scale the documents table is ONE parquet split, the block
+    self-join broadcasts, and the joined pairs land in a single task --
+    so the comparator runs on one core (measured: threshold_sweep's
+    scoring 12 s -> sub-second at sf0.1/local[32] once spread). An
+    explicit-N repartition is exempt from AQE partition coalescing. At
+    production scale the blocked join already arrives in thousands of
+    scan/shuffle partitions and inherits full parallelism; the exchange
+    here carries only the bench-scale pair table (a few MB).
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _q_block_pair_counts(spark, sf_dir):
     # blocking-key histogram + pair counts (the J4 block-size accounting)
     return (
@@ -136,14 +155,12 @@ def _q_pair_scores_lev(spark, sf_dir):
     r = d.select(
         F.col("bk"), F.col("doc_id").alias("doc_id_r"), F.col("text").alias("text_r")
     )
-    return (
-        l.join(r, "bk")
-        .filter(F.col("doc_id_l") < F.col("doc_id_r"))
-        .select(
-            "doc_id_l",
-            "doc_id_r",
-            F.levenshtein("text_l", "text_r").alias("lev_dist"),
-        )
+    return _spread(
+        l.join(r, "bk").filter(F.col("doc_id_l") < F.col("doc_id_r"))
+    ).select(
+        "doc_id_l",
+        "doc_id_r",
+        F.levenshtein("text_l", "text_r").alias("lev_dist"),
     )
 
 
@@ -154,16 +171,14 @@ def _q_token_jaccard_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir).select(_block_key_col().alias("bk"), "doc_id", "text")
     l = d.select(F.col("bk"), F.col("doc_id").alias("doc_id_l"), F.col("text").alias("text_l"))
     r = d.select(F.col("bk"), F.col("doc_id").alias("doc_id_r"), F.col("text").alias("text_r"))
-    return (
-        l.join(r, "bk")
-        .filter(F.col("doc_id_l") < F.col("doc_id_r"))
-        .select(
-            "doc_id_l",
-            "doc_id_r",
-            F.round(
-                token_set_similarity_col(F.lower(F.col("text_l")), F.lower(F.col("text_r"))), 4
-            ).alias("jaccard"),
-        )
+    return _spread(
+        l.join(r, "bk").filter(F.col("doc_id_l") < F.col("doc_id_r"))
+    ).select(
+        "doc_id_l",
+        "doc_id_r",
+        F.round(
+            token_set_similarity_col(F.lower(F.col("text_l")), F.lower(F.col("text_r"))), 4
+        ).alias("jaccard"),
     )
 
 
@@ -1312,9 +1327,13 @@ def _q_fs_match_weights(spark, sf_dir):
             F.col("toks").alias(f"toks_{side}"),
         )
     l, r = sides["l"], sides["r"]
-    blocked = l.join(r, "bk").filter(F.col("doc_id_l") < F.col("doc_id_r"))
-    shifted = l.drop("bk").join(
-        r.drop("bk"), F.col("doc_id_l") + F.lit(257) == F.col("doc_id_r")
+    blocked = _spread(
+        l.join(r, "bk").filter(F.col("doc_id_l") < F.col("doc_id_r"))
+    )
+    shifted = _spread(
+        l.drop("bk").join(
+            r.drop("bk"), F.col("doc_id_l") + F.lit(257) == F.col("doc_id_r")
+        )
     )
     gamma = [
         (
@@ -1528,7 +1547,7 @@ def _q_two_source_linkage(spark, sf_dir):
         "bk", F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
     )
     maxlen = F.greatest(F.length("text_a"), F.length("text_b"))
-    pairs = a.join(b, "bk").select(
+    pairs = _spread(a.join(b, "bk")).select(
         "id_a",
         "id_b",
         (
@@ -1552,18 +1571,16 @@ def _q_threshold_sweep(spark, sf_dir):
     )
     l = d.select("bk", F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     r = d.select("bk", F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
-    scored = (
-        l.join(r, "bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.lit(1.0)
-                - F.levenshtein("ta", "tb").cast("double")
-                / F.greatest(F.length("ta"), F.length("tb"))
-            ).alias("score"),
-        )
+    scored = _spread(
+        l.join(r, "bk").filter(F.col("id_a") < F.col("id_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        (
+            F.lit(1.0)
+            - F.levenshtein("ta", "tb").cast("double")
+            / F.greatest(F.length("ta"), F.length("tb"))
+        ).alias("score"),
     )
     dd = _docs(spark, sf_dir).select("doc_id")
     ga = dd.select(F.col("doc_id").alias("id_a"))
@@ -1595,8 +1612,10 @@ def _q_monge_elkan_pairs(spark, sf_dir):
     # higher-order functions; zero shuffles beyond the block self-join.
     from ala_name_matching_spark.operators.comparators import monge_elkan_pairs
 
-    d = _docs(spark, sf_dir).select(
-        _block_key_col().alias("bk"), "doc_id", "text"
+    d = _spread(
+        _docs(spark, sf_dir).select(
+            _block_key_col().alias("bk"), "doc_id", "text"
+        )
     )
     return monge_elkan_pairs(
         d, id_col="doc_id", text_col="text", block_col="bk", max_tokens=10

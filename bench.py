@@ -50,12 +50,19 @@ def main():
         the timed region before round 3's fix. Hashing all columns into
         one JVM aggregate (no driver transfer) makes the timed work equal
         what the correctness harness actually collects.
+
+        The aggregate over the hash must consume its VALUE: count(_h)
+        still prunes (xxhash64 is non-nullable, so Catalyst rewrites
+        count(_h) to count(1) and drops the projection -- verified in the
+        executed plan, where levenshtein vanished). bit_xor(_h) folds
+        every hash into one long with no overflow semantics to worry
+        about, so nothing upstream is prunable.
         """
         from pyspark.sql import functions as F
 
         cols = [F.col(c) for c in df.columns]
         return df.select(F.xxhash64(*cols).alias("_h")).agg(
-            F.count("_h")
+            F.bit_xor("_h")
         ).collect()[0][0]
 
     # Input staging (untimed): the north rule's input is a STORED table
@@ -150,11 +157,12 @@ def main():
                 "er_turns_per_sec": er_turns_per_sec,
                 "cpus": CPUS,
                 # Timing methodology (round 3): every query is materialized
-                # via xxhash64 over ALL output columns (see consume()), not
-                # .count() -- counts let Catalyst prune pure-projection
-                # work, so earlier rounds under-timed projection-heavy
+                # via bit_xor(xxhash64(ALL output columns)) (see consume()),
+                # not .count() -- counts let Catalyst prune pure-projection
+                # work (even count(hash): non-nullable hash folds to
+                # count(1)), so earlier rounds under-timed projection-heavy
                 # queries. Totals are NOT comparable to BENCH_r01/r02.
-                "consume": "xxhash64-all-columns",
+                "consume": "bitxor-xxhash64-all-columns",
             }
         )
     )
