@@ -801,8 +801,15 @@ def _q_semdedup_prune(spark, sf_dir):
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double") * 1.001).alias("embedding"),
     )
+    # _spread parallelizes the normalize/assign projections over the
+    # single-split scan; the verify join's small-k broadcast+spread lives
+    # in semdedup() itself (24.7 s -> ~2 s at sf0.1).
     return semdedup(
-        base.unionByName(scaled), n_clusters=8, iters=2, threshold=0.95, dim=64
+        _spread(base.unionByName(scaled)),
+        n_clusters=8,
+        iters=2,
+        threshold=0.95,
+        dim=64,
     )
 
 
