@@ -1121,6 +1121,24 @@ def _q_setsim_join(spark, sf_dir):
     )
 
 
+def _q_ed_join_pairs(spark, sf_dir):
+    # Exact threshold edit-distance self-join (Gravano 2001 q-gram
+    # count/position filters + Xiao 2008 Ed-Join rarest-first prefix
+    # index): every doc pair with levenshtein <= 4, WITHOUT the all-pairs
+    # product. All filters are lossless, so the sub-quadratic engine
+    # output EQUALS the brute-force length-filtered truth set (the
+    # oracle). The edit-distance complement of setsim_join_pairs.
+    from ala_name_matching_spark.operators.ed_join import edit_similarity_join
+
+    return edit_similarity_join(
+        _docs(spark, sf_dir), id_col="doc_id", str_col="text", d=4, q=3
+    ).select(
+        F.col("id_l").alias("doc_id_l"),
+        F.col("id_r").alias("doc_id_r"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def _q_cm_token_counts(spark, sf_dir):
     # Count-Min sketch (Cormode & Muthukrishnan 2005) point-frequency
     # estimates next to exact counts. Deterministic md5-row hashing makes
@@ -2281,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter_join": _q_bloom_prefilter_join,
         "quantile_profile_chars": _q_quantile_profile_chars,
         "setsim_join_pairs": _q_setsim_join,
+        "ed_join_pairs": _q_ed_join_pairs,
         "fs_match_weights": _q_fs_match_weights,
         "snm_pairs": _q_snm_pairs,
         "monge_elkan_pairs": _q_monge_elkan_pairs,
@@ -3489,6 +3508,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cl ON i.doc_id_l = cl.doc_id
             JOIN cnt cr ON i.doc_id_r = cr.doc_id
             WHERE i.o / (cl.n + cr.n - i.o) >= 0.6
+        """,
+        # brute-force truth set for the Ed-Join engine: length filter
+        # (lossless: ||x|-|y|| <= d is implied by ed <= d) + exact
+        # levenshtein. The engine's q-gram prefix/position filters are
+        # lossless too, so sub-quadratic output == this exact join.
+        "ed_join_pairs": """
+            WITH d AS (
+              SELECT doc_id, text AS s, length(text) AS L FROM documents
+              WHERE text IS NOT NULL AND length(text) >= 1),
+            p AS (
+              SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r,
+                     levenshtein(a.s, b.s) AS dist
+              FROM d a JOIN d b
+                ON a.doc_id < b.doc_id AND abs(a.L - b.L) <= 4)
+            SELECT doc_id_l, doc_id_r, CAST(dist AS BIGINT) AS dist
+            FROM p WHERE dist <= 4
         """,
         "hll_distinct_tokens": f"""
             WITH toks AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),

@@ -123,6 +123,7 @@ def main():
         "semdedup_prune",
         "prefix_containment",
         "setsim_join_pairs",
+        "ed_join_pairs",
         "phrase_match",
         "winnowing_pairs",
         "strip_dup_spans",
