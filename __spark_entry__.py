@@ -1139,6 +1139,44 @@ def _q_ed_join_pairs(spark, sf_dir):
     )
 
 
+def _q_bpe_pair_counts(spark, sf_dir):
+    # BPE training's sufficient statistic (Sennrich 2016): the weighted
+    # adjacent-symbol-pair histogram over the word VOCABULARY (one corpus
+    # scan, then corpus-size-independent work). Iteration-1 counts =
+    # char pairs; the full merge trajectory is bpe_merges below.
+    from ala_name_matching_spark.operators.bpe import (
+        encode_symbols,
+        pair_counts,
+        word_counts,
+    )
+
+    pc = pair_counts(
+        encode_symbols(word_counts(_docs(spark, sf_dir), min_count=2))
+    )
+    return pc.select(
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        F.col("cnt").cast("long").alias("pair_count"),
+    )
+
+
+def _q_bpe_merges(spark, sf_dir):
+    # Three full BPE iterations (count -> argmax -> left-to-right
+    # non-overlapping merge): the double-delimiter literal-replace
+    # encoding makes every iteration's rewrite bit-identical across
+    # Spark/DuckDB/Python, so the WHOLE trajectory is SQL-replayable
+    # (the unrolled-Lloyd/EM oracle construction applied to BPE).
+    from ala_name_matching_spark.operators.bpe import learn_merges, word_counts
+
+    mt, _ = learn_merges(word_counts(_docs(spark, sf_dir), min_count=2), 3)
+    return mt.select(
+        F.col("step").cast("long").alias("step"),
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        F.col("cnt").cast("long").alias("pair_count"),
+    )
+
+
 def _q_cm_token_counts(spark, sf_dir):
     # Count-Min sketch (Cormode & Muthukrishnan 2005) point-frequency
     # estimates next to exact counts. Deterministic md5-row hashing makes
@@ -2300,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile_chars": _q_quantile_profile_chars,
         "setsim_join_pairs": _q_setsim_join,
         "ed_join_pairs": _q_ed_join_pairs,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,
         "fs_match_weights": _q_fs_match_weights,
         "snm_pairs": _q_snm_pairs,
         "monge_elkan_pairs": _q_monge_elkan_pairs,
@@ -2471,6 +2511,65 @@ def _fuzzy_bm25_oracle() -> str:
                    PARTITION BY query_id
                    ORDER BY score DESC, doc_id) AS rank
           FROM scored) WHERE rank <= 5"""
+
+
+def _bpe_vocab_cte() -> str:
+    # word vocabulary: same tokenization macro as every token oracle,
+    # same alphabet guard + hapax prune as operators/bpe.word_counts
+    return f"""
+        toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+        vocab AS (
+          SELECT w, count(*) AS n FROM toks
+          WHERE regexp_full_match(w, '^[a-z0-9]+$')
+          GROUP BY w HAVING count(*) >= 2),
+        v0 AS (
+          SELECT w, n,
+                 '~' || array_to_string(
+                   list_transform(generate_series(1, length(w)),
+                                  i -> substr(w, i, 1)), '~~') || '~' AS enc
+          FROM vocab)"""
+
+
+def _bpe_pair_cte(src: str, p: str) -> str:
+    # weighted adjacent-pair histogram over the current segmentation:
+    # strip end delimiters, split on the double inner one, lateral-unnest
+    # the adjacency index (empty for 1-symbol words)
+    return f"""
+        {p} AS (
+          SELECT s[i] AS l_sym, s[i + 1] AS r_sym, sum(n) AS cnt
+          FROM (SELECT n,
+                       string_split(substr(enc, 2, length(enc) - 2), '~~')
+                         AS s
+                FROM {src}),
+               unnest(generate_series(1, len(s) - 1)) AS u(i)
+          GROUP BY 1, 2)"""
+
+
+def _bpe_merges_oracle(n_merges: int = 3) -> str:
+    # unrolled BPE trajectory: per iteration one histogram CTE, one
+    # argmax CTE (cnt DESC, pair ASC -- binary collation both engines),
+    # one literal-replace rewrite (exact left-to-right non-overlapping
+    # semantics under the double-delimiter encoding; operators/bpe.py)
+    parts = ["WITH" + _bpe_vocab_cte()]
+    for k in range(1, n_merges + 1):
+        parts.append("," + _bpe_pair_cte(f"v{k - 1}", f"p{k}"))
+        parts.append(f"""
+        , m{k} AS (SELECT l_sym, r_sym, cnt FROM p{k}
+                   ORDER BY cnt DESC, l_sym, r_sym LIMIT 1)""")
+        if k < n_merges:
+            parts.append(f"""
+        , v{k} AS (
+            SELECT w, n,
+                   replace(enc,
+                           '~' || m{k}.l_sym || '~~' || m{k}.r_sym || '~',
+                           '~' || m{k}.l_sym || m{k}.r_sym || '~') AS enc
+            FROM v{k - 1} CROSS JOIN m{k})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, l_sym AS left_sym, "
+        f"r_sym AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + sel
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3509,6 +3608,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cr ON i.doc_id_r = cr.doc_id
             WHERE i.o / (cl.n + cr.n - i.o) >= 0.6
         """,
+        # BPE iteration-1 pair histogram: char pairs weighted by word count
+        "bpe_pair_counts": (
+            "WITH"
+            + _bpe_vocab_cte()
+            + ","
+            + _bpe_pair_cte("v0", "p1")
+            + """
+            SELECT l_sym AS left_sym, r_sym AS right_sym,
+                   CAST(cnt AS BIGINT) AS pair_count
+            FROM p1
+        """
+        ),
+        "bpe_merges": _bpe_merges_oracle(3),
         # brute-force truth set for the Ed-Join engine: length filter
         # (lossless: ||x|-|y|| <= d is implied by ed <= d) + exact
         # levenshtein. The engine's q-gram prefix/position filters are
