@@ -74,25 +74,28 @@ def positional_qgrams(
     str_col: str = "s",
     q: int = 3,
 ) -> DataFrame:
-    """(id, s, L, g, pos): padded positional q-grams, one row per gram.
+    """(id, L, g, pos): padded positional q-grams, one row per gram.
 
     Padding with q-1 copies of sentinel chars on each side keeps edit
     distance unchanged and gives exactly L + q - 1 grams per string, so
     even 1-char strings participate (no zero-gram escape hatch needed).
     Pure codegen: concat + a sequence/transform explode, no UDF.
+
+    Deliberately does NOT carry the string itself: the gram table rides
+    two shuffles (df groupBy + prefix regroup), and a 300-char payload on
+    every gram row is ~q*len(text) dead bytes per record (measured ~450 MB
+    at sf0.1); the verify join refetches strings by id instead.
     """
     padded = F.concat(
         F.lit(_PAD_L * (q - 1)), F.col(str_col), F.lit(_PAD_R * (q - 1))
     )
     base = df.select(
         F.col(id_col).alias("id"),
-        F.col(str_col).alias("s"),
         F.length(str_col).alias("L"),
         padded.alias("__p"),
     ).where(F.col(str_col).isNotNull() & (F.length(str_col) >= 1))
     return base.select(
         "id",
-        "s",
         "L",
         F.posexplode(
             F.transform(
@@ -215,6 +218,13 @@ def edit_similarity_join(
     lim = q * (d - 1) + 1
     grams = positional_qgrams(df, id_col=id_col, str_col=str_col, q=q)
     pref, _ = prefix_postings(grams, d=d, q=q, max_prefix_df=max_prefix_df)
+    # the prefix table feeds BOTH sides of the candidate self-join; without
+    # a barrier the gram explode + df groupBy + regroup execute twice.
+    # Unlike set_join's ranked table (heavy token arrays -- measured
+    # slower to checkpoint than recompute) this is K rows of
+    # (id, L, g, pos) per record, so materializing is the cheap side:
+    # eager localCheckpoint halves the query (measured at sf0.1).
+    pref = pref.localCheckpoint(eager=True)
 
     l = pref.select(
         F.col("g"),

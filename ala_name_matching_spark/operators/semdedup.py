@@ -47,7 +47,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ala_name_matching_spark.operators.similarity_search import cosine_col
 
 
 def unit_rounded_col(vec_col: Column) -> Column:
@@ -154,15 +153,25 @@ def semdedup(
         cents = kmeans_fit(v, n_clusters, iters, dim)
         assign = _assign_udf(cents)
         a = v.withColumn("cluster_id", assign(F.col("nv")))
-        left = a.select(
+        # per-vector norm ONCE before the pair join (N rows, not N^2/k
+        # pairs); bit-identical to cosine_col's per-pair norm fold
+        from ala_name_matching_spark.operators.similarity_search import (
+            dot_expanded_col,
+            norm_expanded_col,
+        )
+
+        an = a.withColumn("_n", norm_expanded_col(F.col("nv"), dim))
+        left = an.select(
             F.col("cluster_id"),
             F.col("vec_id").alias("_id_l"),
             F.col("nv").alias("_nv_l"),
+            F.col("_n").alias("_n_l"),
         )
-        right = a.select(
+        right = an.select(
             F.col("cluster_id"),
             F.col("vec_id").alias("_id_r"),
             F.col("nv").alias("_nv_r"),
+            F.col("_n").alias("_n_r"),
         )
         # Verify-join strategy depends on the k regime. At production k
         # (~|C|/1000, far above core count) the plain equi-join on
@@ -177,10 +186,18 @@ def semdedup(
         if n_clusters < 2 * sc.defaultParallelism:
             left = left.repartition(sc.defaultParallelism)
             right = F.broadcast(right)
+        # cosine via the unrolled codegen dot (interpreted HOF folds on
+        # the quadratic pair stream were the honest-consume hot spot:
+        # 29.7 s -> codegen at sf0.1); value bit-identical to cosine_col
+        denom = F.col("_n_l") * F.col("_n_r")
+        cos = F.when(
+            denom > 0,
+            dot_expanded_col(F.col("_nv_l"), F.col("_nv_r"), dim) / denom,
+        ).otherwise(F.lit(0.0))
         pruned = (
             left.join(right, "cluster_id")
             .filter(F.col("_id_l") < F.col("_id_r"))
-            .filter(cosine_col(F.col("_nv_l"), F.col("_nv_r")) >= threshold)
+            .filter(cos >= threshold)
             .select(F.col("_id_r").alias("vec_id"))
             .distinct()
             .withColumn("_pruned", F.lit(True))

@@ -51,6 +51,56 @@ def norm_col(a: Column) -> Column:
     )
 
 
+def _sum_left_assoc(terms: list[Column]) -> Column:
+    # 0.0-seeded left-associated sum == the F.aggregate fold bit-for-bit
+    # (the leading lit(0.0) also pins the -0.0 + -0.0 corner)
+    out: Column = F.lit(0.0)
+    for t in terms:
+        out = out + t
+    return out
+
+
+def dot_expanded_col(a: Column, b: Column, dim: int) -> Column:
+    """dot_col for a KNOWN width, unrolled to an explicit expression.
+
+    Higher-order functions (aggregate/zip_with) are interpreted per
+    element -- on a pair-quadratic verify join that is the dominant cost
+    (semdedup's within-cluster filter: ~1M pairs x 3 folds x 64 elements
+    at sf0.1 == ~25 s). An unrolled element_at chain compiles into
+    whole-stage codegen and evaluates the SAME left-associated
+    double-precision sum, so every produced value is bit-identical to
+    dot_col's fold and no oracle changes.
+    """
+    return _sum_left_assoc(
+        [
+            F.element_at(a, i + 1).cast("double")
+            * F.element_at(b, i + 1).cast("double")
+            for i in range(dim)
+        ]
+    )
+
+
+def norm_expanded_col(a: Column, dim: int) -> Column:
+    """norm_col for a KNOWN width; same codegen/bit-identity contract."""
+    return F.sqrt(
+        _sum_left_assoc(
+            [
+                F.element_at(a, i + 1).cast("double")
+                * F.element_at(a, i + 1).cast("double")
+                for i in range(dim)
+            ]
+        )
+    )
+
+
+def cosine_expanded_col(a: Column, b: Column, dim: int) -> Column:
+    """cosine_col for a KNOWN width; bit-identical, codegen-compiled."""
+    denom = norm_expanded_col(a, dim) * norm_expanded_col(b, dim)
+    return F.when(denom > 0, dot_expanded_col(a, b, dim) / denom).otherwise(
+        F.lit(0.0)
+    )
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     denom = norm_col(a) * norm_col(b)
     return F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0))
