@@ -1139,6 +1139,27 @@ def _q_ed_join_pairs(spark, sf_dir):
     )
 
 
+def _q_pprl_dice_pairs(spark, sf_dir):
+    # Privacy-preserving linkage (Schnell et al. 2009): records encoded as
+    # Bloom-filter bigram bit sets (map-only, md5 positions), compared via
+    # the Dice coefficient within the standard blocking key. The bit set
+    # is carried as the sorted position array, so every pair's
+    # (inter, dice) replays bit-for-bit in DuckDB list ops.
+    from ala_name_matching_spark.operators.pprl import bloom_encode, dice_pairs
+
+    d = _docs(spark, sf_dir)
+    enc = bloom_encode(d, "doc_id", "text", m_bits=4096, k=2).join(
+        d.select(F.col("doc_id").alias("id"), _block_key_col().alias("bk")),
+        "id",
+    )
+    return dice_pairs(enc, "bk", threshold=0.9).select(
+        F.col("id_l").alias("doc_id_l"),
+        F.col("id_r").alias("doc_id_r"),
+        "inter",
+        "dice",
+    )
+
+
 def _q_bpe_pair_counts(spark, sf_dir):
     # BPE training's sufficient statistic (Sennrich 2016): the weighted
     # adjacent-symbol-pair histogram over the word VOCABULARY (one corpus
@@ -2338,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile_chars": _q_quantile_profile_chars,
         "setsim_join_pairs": _q_setsim_join,
         "ed_join_pairs": _q_ed_join_pairs,
+        "pprl_dice_pairs": _q_pprl_dice_pairs,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "fs_match_weights": _q_fs_match_weights,
@@ -3607,6 +3629,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cl ON i.doc_id_l = cl.doc_id
             JOIN cnt cr ON i.doc_id_r = cr.doc_id
             WHERE i.o / (cl.n + cr.n - i.o) >= 0.6
+        """,
+        # PPRL Bloom encodings replayed as DuckDB lists: same md5('pprl{j}|'
+        # || bigram) % m positions, same sorted distinct position set, so
+        # (inter, dice) are bit-identical set statistics
+        "pprl_dice_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     lower(split_part(text, ' ', 1)) || '|' ||
+                     lower(split_part(text, ' ', 2)) AS bk,
+                     '_' || lower(text) || '_' AS p
+              FROM documents),
+            enc AS (
+              SELECT doc_id, bk,
+                     list_sort(list_distinct(flatten(list_transform(
+                       list_distinct(list_transform(
+                         generate_series(1, length(p) - 1),
+                         i -> substr(p, i, 2))),
+                       g -> [
+                         CAST(CAST(('0x' || substr(md5('pprl0|' || g), 1, 15))
+                              AS BIGINT) % 4096 AS INT),
+                         CAST(CAST(('0x' || substr(md5('pprl1|' || g), 1, 15))
+                              AS BIGINT) % 4096 AS INT)
+                       ])))) AS bf
+              FROM d),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r,
+                     len(list_intersect(a.bf, b.bf)) AS inter,
+                     round(2.0 * len(list_intersect(a.bf, b.bf)) /
+                           (len(a.bf) + len(b.bf)), 6) AS dice
+              FROM enc a JOIN enc b
+                ON a.bk = b.bk AND a.doc_id < b.doc_id)
+            SELECT doc_id_l, doc_id_r, CAST(inter AS BIGINT) AS inter, dice
+            FROM pairs WHERE dice >= 0.9
         """,
         # BPE iteration-1 pair histogram: char pairs weighted by word count
         "bpe_pair_counts": (

@@ -124,6 +124,8 @@ def main():
         "prefix_containment",
         "setsim_join_pairs",
         "ed_join_pairs",
+        "pprl_dice_pairs",
+        "bpe_merges",
         "phrase_match",
         "winnowing_pairs",
         "strip_dup_spans",
