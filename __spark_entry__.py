@@ -1139,6 +1139,26 @@ def _q_ed_join_pairs(spark, sf_dir):
     )
 
 
+def _q_dsir_selection(spark, sf_dir):
+    # DSIR data selection (Xie et al. 2023): hashed-unigram importance
+    # weights log p_target/p_source per doc (target = the English slice),
+    # deterministic top-quota selection (md5 tie-break) standing in for
+    # the paper's Gumbel draw -- replayable end to end. Both LMs are
+    # 1024-bucket count vectors: bounded statistics at any corpus size.
+    from ala_name_matching_spark.operators.dsir import (
+        importance_weights,
+        select_top_quota,
+    )
+
+    d = _docs(spark, sf_dir)
+    w = importance_weights(
+        d, d.where(F.col("lang") == "en"), n_buckets=1024, alpha=1.0
+    )
+    return select_top_quota(w, quota=100).select(
+        F.col("id").alias("doc_id"), "log_weight", "selected"
+    )
+
+
 def _q_pprl_dice_pairs(spark, sf_dir):
     # Privacy-preserving linkage (Schnell et al. 2009): records encoded as
     # Bloom-filter bigram bit sets (map-only, md5 positions), compared via
@@ -2360,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_join_pairs": _q_setsim_join,
         "ed_join_pairs": _q_ed_join_pairs,
         "pprl_dice_pairs": _q_pprl_dice_pairs,
+        "dsir_selection": _q_dsir_selection,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "fs_match_weights": _q_fs_match_weights,
@@ -3629,6 +3650,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cl ON i.doc_id_l = cl.doc_id
             JOIN cnt cr ON i.doc_id_r = cr.doc_id
             WHERE i.o / (cl.n + cr.n - i.o) >= 0.6
+        """,
+        # DSIR replay: same md5('dsir|'||token) % 1024 bucket addressing,
+        # same add-1 models with unseen-bucket floors via full-outer join,
+        # same 6-dp rounded per-doc sum and (weight DESC, md5 id) rank
+        "dsir_selection": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, unnest({_TOKS}) AS t FROM documents),
+            b AS (
+              SELECT doc_id, lang,
+                     CAST(CAST(('0x' || substr(md5('dsir|' || t), 1, 15))
+                          AS BIGINT) % 1024 AS INT) AS bucket,
+                     count(*) AS n_tok
+              FROM toks WHERE t <> '' GROUP BY 1, 2, 3),
+            src AS (SELECT bucket, sum(n_tok) AS c FROM b GROUP BY 1),
+            tgt AS (SELECT bucket, sum(n_tok) AS c FROM b
+                    WHERE lang = 'en' GROUP BY 1),
+            ns AS (SELECT sum(c) AS n FROM src),
+            nt AS (SELECT sum(c) AS n FROM tgt),
+            model AS (
+              SELECT coalesce(t.bucket, s.bucket) AS bucket,
+                     coalesce(ln((t.c + 1.0) / (nt.n + 1024.0)),
+                              ln(1.0 / (nt.n + 1024.0)))
+                   - coalesce(ln((s.c + 1.0) / (ns.n + 1024.0)),
+                              ln(1.0 / (ns.n + 1024.0))) AS log_ratio
+              FROM tgt t FULL OUTER JOIN src s ON t.bucket = s.bucket
+              CROSS JOIN ns CROSS JOIN nt),
+            perdoc AS (
+              SELECT doc_id, bucket, sum(n_tok) AS n_tok FROM b
+              GROUP BY 1, 2),
+            w AS (
+              SELECT p.doc_id,
+                     round(sum(p.n_tok * m.log_ratio), 6) AS log_weight
+              FROM perdoc p JOIN model m USING (bucket)
+              GROUP BY 1),
+            rk AS (
+              SELECT doc_id, log_weight,
+                     row_number() OVER (
+                       ORDER BY log_weight DESC,
+                                md5(CAST(doc_id AS VARCHAR))) AS r
+              FROM w)
+            SELECT doc_id, log_weight, r <= 100 AS selected FROM rk
         """,
         # PPRL Bloom encodings replayed as DuckDB lists: same md5('pprl{j}|'
         # || bigram) % m positions, same sorted distinct position set, so

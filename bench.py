@@ -37,6 +37,15 @@ def main():
     timings: dict[str, float] = {}
 
     def timed(name, fn):
+        # Steady-state discipline: one untimed warm pass, then the timed
+        # run. Each query's plan carries unique generated code; janino
+        # compile dominates cold runs of the expression-heavy queries
+        # (minhash bands measured 6.4 s cold vs 0.45 s warm at sf0.1) and
+        # amortizes to nothing at scale, so timing the second execution
+        # measures the operator, not the JIT -- the same warm-up rule the
+        # BENCH/BASELINE.md scaling protocol pins. JSON carries
+        # "warmup_runs" so rounds are compared like-for-like.
+        fn()
         t0 = time.time()
         n = fn()
         timings[name] = round(time.time() - t0, 3)
@@ -126,6 +135,7 @@ def main():
         "ed_join_pairs",
         "pprl_dice_pairs",
         "bpe_merges",
+        "dsir_selection",
         "phrase_match",
         "winnowing_pairs",
         "strip_dup_spans",
@@ -166,6 +176,9 @@ def main():
                 # count(1)), so earlier rounds under-timed projection-heavy
                 # queries. Totals are NOT comparable to BENCH_r01/r02.
                 "consume": "bitxor-xxhash64-all-columns",
+                # each query: one untimed warm pass (codegen/JIT), timed
+                # second run -- steady-state operator cost
+                "warmup_runs": 1,
             }
         )
     )
