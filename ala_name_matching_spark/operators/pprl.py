@@ -17,10 +17,10 @@ attacks (Kuzu et al. 2011); hardening (salting, balancing, XOR-folding)
 is orthogonal to the dataflow and out of scope here.
 
 Spark shape, built for 100 TB:
-  * encoding is MAP-ONLY: per record, bigram array -> k md5 positions per
-    bigram -> sorted distinct position array. No shuffle, no UDF -- all
-    higher-order built-ins, and the per-record element count is bounded
-    by k * (len + 1), evaluated once per record (never per pair).
+  * encoding hashes each DISTINCT bigram once (the vocabulary is
+    alphabet^2-bounded -> broadcast join), then one collect_set groupBy
+    rebuilds per-record position sets; per-record element count is
+    bounded by k * (len + 1). No UDF anywhere.
   * the bit SET is represented as the sorted int array of set positions
     (identical to the bitmap up to encoding): |A| = size, |A AND B| =
     size(array_intersect) -- whole-stage-codegen set ops, and the same
@@ -76,26 +76,54 @@ def bloom_encode(
     """(id, bf, nbits): the Bloom-filter bit set per record.
 
     bf = sorted distinct array of set positions over the padded lowercase
-    field's character bigrams; nbits = |bf| (the popcount). Map-only.
-    """
-    padded = F.concat(F.lit(_PAD), F.lower(F.col(text_col)), F.lit(_PAD))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(padded) - 1),
-            lambda i: F.substring(padded, i, 2),
-        )
-    )
-    bf = F.array_sort(
-        F.array_distinct(
-            F.flatten(
-                F.transform(grams, lambda g: _gram_positions(g, m_bits, k))
-            )
-        )
-    )
-    return df.select(
+    field's character bigrams; nbits = |bf| (the popcount). Null/empty
+    fields are dropped (they have no bigrams to encode).
+
+    Shape: the md5 position hashing runs ONCE PER DISTINCT BIGRAM, not
+    per occurrence -- the bigram vocabulary is alphabet^2-bounded (a few
+    hundred rows on text), so it broadcast-joins against the exploded
+    (id, gram) stream and one collect_set groupBy rebuilds the per-record
+    set. The all-HOF map-only formulation (hash inside a per-record
+    lambda) was measured 5x slower at sf0.1: interpreted md5 per gram
+    OCCURRENCE (~k * len per record) swamps the one (id, position)
+    shuffle this version pays."""
+    # stage the padded string as a bound attribute FIRST: lambda bodies
+    # skip common-subexpression elimination (the shingles_from_tokens PERF
+    # rule), so an unstaged concat+lower re-evaluates per window index --
+    # O(len^2) char work per record (measured 4 s of a 9.5 s encode)
+    staged = df.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= 1)
+    ).select(
         F.col(id_col).alias("id"),
-        bf.alias("bf"),
-    ).withColumn("nbits", F.size("bf"))
+        F.concat(F.lit(_PAD), F.lower(F.col(text_col)), F.lit(_PAD)).alias(
+            "__pad"
+        ),
+    )
+    grams = staged.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__pad") - 1),
+                    lambda i: F.substring("__pad", i, 2),
+                )
+            )
+        ).alias("g"),
+    )
+    # consumed twice (vocab + join): barrier the skinny (id, g) stream
+    grams = grams.localCheckpoint(eager=True)
+    gpos = (
+        grams.select("g")
+        .distinct()
+        .select("g", _gram_positions(F.col("g"), m_bits, k).alias("__ps"))
+    )
+    return (
+        grams.join(F.broadcast(gpos), "g")
+        .select("id", F.explode("__ps").alias("__p"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("__p")).alias("bf"))
+        .withColumn("nbits", F.size("bf"))
+    )
 
 
 def dice_pairs(
@@ -109,6 +137,11 @@ def dice_pairs(
     exact set statistics of the encodings (codegen array ops); dice is
     rounded to 6 dp -- the cross-engine hashing anchor.
     """
+    # the encoding projection (per-record md5 position sets -- interpreted
+    # HOF over ~k*len elements) feeds BOTH sides of the self-join; a
+    # barrier executes it once (the ed_join prefix-table rule: skinny
+    # payload -> checkpoint wins; measured ~2x at sf0.1)
+    encoded = encoded.localCheckpoint(eager=True)
     l = encoded.select(
         F.col(block_col).alias("__b"),
         F.col("id").alias("id_l"),

@@ -75,7 +75,12 @@ def test_clk_union_composition(spark):
         assert pos <= got[3], field
 
 
-def test_encode_is_map_only(spark):
+def test_encode_plan_shape(spark):
+    # one Exchange only (the collect_set groupBy rebuilding per-record
+    # sets); the gram->positions lookup must be a broadcast join (the
+    # bigram vocabulary is alphabet^2-bounded), never a shuffle join
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     plan = bloom_encode(df)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
