@@ -76,11 +76,12 @@ def test_clk_union_composition(spark):
 
 
 def test_encode_plan_shape(spark):
-    # one Exchange only (the collect_set groupBy rebuilding per-record
-    # sets); the gram->positions lookup must be a broadcast join (the
-    # bigram vocabulary is alphabet^2-bounded), never a shuffle join
+    # two Exchanges only -- the vocabulary distinct (partially aggregated
+    # to <= alphabet^2 rows per task before it ships) and the collect_set
+    # groupBy rebuilding per-record sets; the gram->positions lookup must
+    # be a broadcast join, never a shuffle join
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     plan = bloom_encode(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
