@@ -1139,6 +1139,23 @@ def _q_ed_join_pairs(spark, sf_dir):
     )
 
 
+def _q_quality_lr_weights(spark, sf_dir):
+    # Distributed quality-classifier training (the CCNet/GPT-3 linear
+    # filter shape): hashed-TF logistic regression, 3 full-batch GD
+    # iterations, per-iteration 6-dp weight rounding -- the Lloyd/EM/BPE
+    # bounded-statistic trajectory, fully replayed by the unrolled oracle.
+    # Labels: lang == 'en' (the same proxy target as dsir_selection).
+    from ala_name_matching_spark.operators.logreg import tf_features, train_logreg
+
+    d = _docs(spark, sf_dir)
+    feats = tf_features(d, n_buckets=256)
+    labels = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    return train_logreg(feats, labels, n_buckets=256, iters=3, lr=0.5)
+
+
 def _q_dsir_selection(spark, sf_dir):
     # DSIR data selection (Xie et al. 2023): hashed-unigram importance
     # weights log p_target/p_source per doc (target = the English slice),
@@ -2381,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ed_join_pairs": _q_ed_join_pairs,
         "pprl_dice_pairs": _q_pprl_dice_pairs,
         "dsir_selection": _q_dsir_selection,
+        "quality_lr_weights": _q_quality_lr_weights,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "fs_match_weights": _q_fs_match_weights,
@@ -3650,6 +3668,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cl ON i.doc_id_l = cl.doc_id
             JOIN cnt cr ON i.doc_id_r = cr.doc_id
             WHERE i.o / (cl.n + cr.n - i.o) >= 0.6
+        """,
+        # hashed-TF logistic regression replay: 3 unrolled GD iterations.
+        # w starts at zero (iteration 1's p is exactly 0.5 by
+        # construction); weights round to 6 dp per update, so exp() and
+        # summation-order noise cannot compound across iterations
+        "quality_lr_weights": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, unnest({_TOKS}) AS t FROM documents),
+            cnt AS (
+              SELECT doc_id, lang,
+                     CAST(CAST(('0x' || substr(md5('lrq|' || t), 1, 15))
+                          AS BIGINT) % 256 AS INT) AS bucket,
+                     count(*) AS c
+              FROM toks WHERE t <> '' GROUP BY 1, 2, 3),
+            tot AS (SELECT doc_id, sum(c) AS len FROM cnt GROUP BY 1),
+            f AS (
+              SELECT c.doc_id AS id, c.bucket,
+                     CAST(c.c AS DOUBLE) / t.len AS x,
+                     CASE WHEN c.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+              FROM cnt c JOIN tot t USING (doc_id)),
+            n AS (SELECT count(DISTINCT id) AS n FROM f),
+            g1 AS (SELECT bucket, sum((0.5 - y) * x) AS g FROM f GROUP BY 1),
+            w1 AS (SELECT bucket, round(-0.5 * g / n.n, 6) AS w
+                   FROM g1 CROSS JOIN n),
+            m2 AS (SELECT f.id, f.y, sum(f.x * w1.w) AS m
+                   FROM f JOIN w1 USING (bucket) GROUP BY 1, 2),
+            p2 AS (SELECT id, y, 1.0 / (1.0 + exp(-m)) AS p FROM m2),
+            g2 AS (SELECT f.bucket, sum((p2.p - f.y) * f.x) AS g
+                   FROM f JOIN p2 USING (id) GROUP BY 1),
+            w2 AS (SELECT g2.bucket, round(w1.w - 0.5 * g2.g / n.n, 6) AS w
+                   FROM g2 JOIN w1 USING (bucket) CROSS JOIN n),
+            m3 AS (SELECT f.id, f.y, sum(f.x * w2.w) AS m
+                   FROM f JOIN w2 USING (bucket) GROUP BY 1, 2),
+            p3 AS (SELECT id, y, 1.0 / (1.0 + exp(-m)) AS p FROM m3),
+            g3 AS (SELECT f.bucket, sum((p3.p - f.y) * f.x) AS g
+                   FROM f JOIN p3 USING (id) GROUP BY 1),
+            w3 AS (SELECT g3.bucket, round(w2.w - 0.5 * g3.g / n.n, 6) AS w
+                   FROM g3 JOIN w2 USING (bucket) CROSS JOIN n)
+            SELECT bucket, w AS weight FROM w3
         """,
         # DSIR replay: same md5('dsir|'||token) % 1024 bucket addressing,
         # same add-1 models with unseen-bucket floors via full-outer join,

@@ -136,6 +136,7 @@ def main():
         "pprl_dice_pairs",
         "bpe_merges",
         "dsir_selection",
+        "quality_lr_weights",
         "phrase_match",
         "winnowing_pairs",
         "strip_dup_spans",
