@@ -1235,6 +1235,27 @@ def _q_bpe_merges(spark, sf_dir):
     )
 
 
+def _q_bpe_tokenize(spark, sf_dir):
+    # The APPLY side of the tokenizer: learn 3 merges on the vocabulary,
+    # then segment EVERY document (map-only literal-replace chain, no
+    # OOV -- unmerged symbols stay characters). Output: per-doc word and
+    # BPE-token counts.
+    from ala_name_matching_spark.operators.bpe import (
+        learn_merges,
+        tokenize_with_merges,
+        word_counts,
+    )
+
+    d = _docs(spark, sf_dir)
+    mt, _ = learn_merges(word_counts(d, min_count=2), 3)
+    merges = [(r.left, r.right) for r in mt.orderBy("step").collect()]
+    return tokenize_with_merges(d, merges).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def _q_cm_token_counts(spark, sf_dir):
     # Count-Min sketch (Cormode & Muthukrishnan 2005) point-frequency
     # estimates next to exact counts. Deterministic md5-row hashing makes
@@ -2401,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_weights": _q_quality_lr_weights,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
+        "bpe_tokenize": _q_bpe_tokenize,
         "fs_match_weights": _q_fs_match_weights,
         "snm_pairs": _q_snm_pairs,
         "monge_elkan_pairs": _q_monge_elkan_pairs,
@@ -2606,7 +2628,7 @@ def _bpe_pair_cte(src: str, p: str) -> str:
           GROUP BY 1, 2)"""
 
 
-def _bpe_merges_oracle(n_merges: int = 3) -> str:
+def _bpe_chain_ctes(n_merges: int) -> str:
     # unrolled BPE trajectory: per iteration one histogram CTE, one
     # argmax CTE (cnt DESC, pair ASC -- binary collation both engines),
     # one literal-replace rewrite (exact left-to-right non-overlapping
@@ -2625,12 +2647,51 @@ def _bpe_merges_oracle(n_merges: int = 3) -> str:
                            '~' || m{k}.l_sym || '~~' || m{k}.r_sym || '~',
                            '~' || m{k}.l_sym || m{k}.r_sym || '~') AS enc
             FROM v{k - 1} CROSS JOIN m{k})""")
+    return "".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int = 3) -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS BIGINT) AS step, l_sym AS left_sym, "
         f"r_sym AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
         for k in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n" + sel
+    return _bpe_chain_ctes(n_merges) + "\n" + sel
+
+
+def _bpe_tokenize_oracle(n_merges: int = 3) -> str:
+    # segment EVERY corpus word under the learned merge chain: encode,
+    # apply the same n literal replaces, count symbols from the
+    # inner-delimiter count; out-of-alphabet words count 1 (engine parity)
+    enc = (
+        "'~' || array_to_string(list_transform("
+        "generate_series(1, length(w)), i -> substr(w, i, 1)), '~~') || '~'"
+    )
+    for k in range(1, n_merges + 1):
+        enc = (
+            f"replace({enc}, '~' || m{k}.l_sym || '~~' || m{k}.r_sym || '~',"
+            f" '~' || m{k}.l_sym || m{k}.r_sym || '~')"
+        )
+    crosses = " ".join(f"CROSS JOIN m{k}" for k in range(1, n_merges + 1))
+    return (
+        _bpe_chain_ctes(n_merges)
+        + f"""
+        , corpus_words AS (
+            SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+        seg AS (
+            SELECT doc_id,
+                   CASE WHEN NOT regexp_full_match(w, '^[a-z0-9]+$')
+                        THEN CAST(1 AS BIGINT)
+                        ELSE CAST((length({enc}) -
+                              length(replace({enc}, '~~', ''))) / 2 + 1
+                             AS BIGINT)
+                   END AS nt
+            FROM corpus_words {crosses}
+            WHERE w <> '')
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+        FROM seg GROUP BY doc_id"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3795,6 +3856,7 @@ def oracle_sql() -> dict[str, str]:
         """
         ),
         "bpe_merges": _bpe_merges_oracle(3),
+        "bpe_tokenize": _bpe_tokenize_oracle(3),
         # brute-force truth set for the Ed-Join engine: length filter
         # (lossless: ||x|-|y|| <= d is implied by ed <= d) + exact
         # levenshtein. The engine's q-gram prefix/position filters are

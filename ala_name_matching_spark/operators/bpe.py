@@ -125,6 +125,57 @@ def apply_merge(encoded: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+def tokenize_with_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_pattern: str = "^[a-z0-9]+$",
+) -> DataFrame:
+    """(id, n_words, n_bpe_tokens): segment every document under a learned
+    merge list -- the APPLY side of the tokenizer (train on a sample,
+    tokenize the corpus; merges come from learn_merges' merge_table).
+
+    Map-only over the corpus: each word is encoded and rewritten by the
+    merge chain (one literal replace per merge -- identical left-to-right
+    semantics as training, module docstring), then counted. There is no
+    OOV: unmerged symbols remain characters, exactly BPE's fallback.
+    Words outside `word_pattern` (would collide with the encoding
+    delimiter) count as 1 token each, stated rather than silently
+    dropped.
+    """
+    from ala_name_matching_spark.operators.dedup import tokens_col
+
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("w"),
+    ).where(F.col("w") != "")
+    ok = F.col("w").rlike(word_pattern)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.substring("w", i, 1)
+    )
+    enc = F.concat(F.lit(_D), F.array_join(chars, _D * 2), F.lit(_D))
+    for left, right in merges:
+        enc = F.replace(
+            enc,
+            F.lit(f"{_D}{left}{_D}{_D}{right}{_D}"),
+            F.lit(f"{_D}{left}{right}{_D}"),
+        )
+    # tokens per word = inner-delimiter count + 1 = (len(enc)-len(strip))/2 + 1
+    n_tok = F.when(~ok, F.lit(1)).otherwise(
+        (F.length(enc) - F.length(F.replace(enc, F.lit(_D * 2), F.lit("")))) / 2
+        + 1
+    )
+    return (
+        words.select("id", n_tok.cast("long").alias("nt"))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("nt").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def learn_merges(
     vocab: DataFrame, n_merges: int
 ) -> tuple[DataFrame, DataFrame]:

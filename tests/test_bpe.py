@@ -95,6 +95,53 @@ def test_pair_counts_weighted_by_word_count(spark):
     assert got == {("a", "b"): 7, ("b", "c"): 2}  # 'z' has no pairs
 
 
+def test_tokenize_with_merges_matches_reference_segmentation(spark):
+    from ala_name_matching_spark.operators.bpe import tokenize_with_merges
+
+    rows = [
+        (0, "low lower lowest low low"),
+        (1, "newer newest new news"),
+        (2, "aaa aaaa aa a"),
+        (3, "PUNCT! stays one-token aaa"),  # out-of-alphabet words -> 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = word_counts(docs)
+    wn = {r.w: r.n for r in vocab.collect()}
+    _, segs = _py_bpe(wn, 4)
+    mt, _ = learn_merges(vocab, 4)
+    merges = [(r.left, r.right) for r in mt.orderBy("step").collect()]
+    got = {
+        r.id: (r.n_words, r.n_bpe_tokens)
+        for r in tokenize_with_merges(docs, merges).collect()
+    }
+
+    def py_ntok(w):
+        if w not in segs:  # out-of-alphabet or hapax-pruned? apply merges
+            s = list(w)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return len(s)
+        return len(segs[w])
+
+    import re
+
+    for i, text in rows:
+        ws = [w for w in text.lower().split() if w]
+        want_tokens = sum(
+            1 if not re.fullmatch(r"[a-z0-9]+", w) else py_ntok(w)
+            for w in ws
+        )
+        assert got[i] == (len(ws), want_tokens), text
+
+
 def test_vocab_pattern_and_min_count(spark):
     docs = spark.createDataFrame(
         [(0, "keep keep keep dr~op 123ok PUNCT!"), (1, "keep once")],
