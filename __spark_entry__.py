@@ -1139,6 +1139,21 @@ def _q_ed_join_pairs(spark, sf_dir):
     )
 
 
+_BLOCKLIST = ["slow", "hash join", "broken pipeline"]
+
+
+def _q_blocklist_filter(spark, sf_dir):
+    # C4-style word-boundary blocklist gate (Raffel et al. 2020): docs
+    # exploded into word n-grams only for the n values in the (tiny,
+    # broadcast) phrase list; multi-word phrases anchor exactly, no
+    # cross-boundary substring false positives.
+    from ala_name_matching_spark.operators.text_analysis import blocklist_hits
+
+    return blocklist_hits(_docs(spark, sf_dir), _BLOCKLIST).select(
+        F.col("id").alias("doc_id"), "n_hits", "flagged"
+    )
+
+
 def _q_quality_lr_weights(spark, sf_dir):
     # Distributed quality-classifier training (the CCNet/GPT-3 linear
     # filter shape): hashed-TF logistic regression, 3 full-batch GD
@@ -2420,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_dice_pairs": _q_pprl_dice_pairs,
         "dsir_selection": _q_dsir_selection,
         "quality_lr_weights": _q_quality_lr_weights,
+        "blocklist_filter": _q_blocklist_filter,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_tokenize": _q_bpe_tokenize,
@@ -3729,6 +3745,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cl ON i.doc_id_l = cl.doc_id
             JOIN cnt cr ON i.doc_id_r = cr.doc_id
             WHERE i.o / (cl.n + cr.n - i.o) >= 0.6
+        """,
+        # blocklist replay: same normalized word 1- and 2-grams, same
+        # phrase list, zero-hit docs via left join
+        "blocklist_filter": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(t) AS gram FROM toks
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS gram
+              FROM toks WHERE len(t) >= 2),
+            p(gram) AS (VALUES ('slow'), ('hash join'), ('broken pipeline')),
+            h AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM grams JOIN p USING (gram) GROUP BY 1)
+            SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS flagged
+            FROM documents d LEFT JOIN h USING (doc_id)
         """,
         # hashed-TF logistic regression replay: 3 unrolled GD iterations.
         # w starts at zero (iteration 1's p is exactly 0.5 by

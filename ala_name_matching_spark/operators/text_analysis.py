@@ -431,3 +431,63 @@ def char_entropy(
     return counts.groupBy("_id", "_n").agg(
         F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy")
     ).select(F.col("_id").alias(id_col), "char_entropy")
+
+
+def blocklist_hits(
+    docs,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(id, n_hits, flagged): C4-style word-boundary blocklist filtering
+    (Raffel et al. 2020 drop pages containing any "bad words" list entry;
+    word-boundary matching, multi-word phrases included).
+
+    Substring LIKE scans false-positive across word boundaries and cannot
+    anchor multi-word phrases cheaply; instead each document is exploded
+    into word n-grams ONLY for the n values present in the phrase list,
+    and the (tiny, fixed) phrase table broadcast-joins against them. One
+    partial-agg groupBy counts hits per doc; docs with zero hits ride a
+    left join so the output covers every input row. Phrases are matched
+    on the lowercase/whitespace-fold token form -- the corpus-side
+    normalization every other token lane uses.
+    """
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    norm = [" ".join(p.lower().split()) for p in phrases]
+    lens = sorted({len(p.split()) for p in norm})
+    ptab = F.broadcast(
+        spark.createDataFrame([(p,) for p in norm], "gram string")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__w")
+    )
+    grams = None
+    for n in lens:
+        # guard: sequence(1, stop) DESCENDS when stop < 1 (Spark semantics),
+        # so docs shorter than the phrase are filtered, not exploded
+        g = toks.where(F.size("__w") >= n).select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("__w", i, n)),
+                )
+            ).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    hits = (
+        grams.join(ptab, "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("flagged"),
+        )
+    )
