@@ -1168,7 +1168,7 @@ def _q_quality_lr_weights(spark, sf_dir):
         F.col("doc_id").alias("id"),
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
-    return train_logreg(feats, labels, n_buckets=256, iters=3, lr=0.5)
+    return train_logreg(feats, labels, iters=3, lr=0.5)
 
 
 def _q_dsir_selection(spark, sf_dir):
@@ -2678,17 +2678,26 @@ def _bpe_merges_oracle(n_merges: int = 3) -> str:
 def _bpe_tokenize_oracle(n_merges: int = 3) -> str:
     # segment EVERY corpus word under the learned merge chain: encode,
     # apply the same n literal replaces, count symbols from the
-    # inner-delimiter count; out-of-alphabet words count 1 (engine parity)
+    # inner-delimiter count; out-of-alphabet words count 1 (engine
+    # parity). Merge patterns enter as SCALAR subqueries coalesced to a
+    # never-matching sentinel, so a vocabulary that dries up before
+    # n_merges (empty m{k}) degrades to a no-op replace -- matching
+    # learn_merges' early break -- instead of CROSS JOIN zeroing the
+    # whole corpus.
     enc = (
         "'~' || array_to_string(list_transform("
         "generate_series(1, length(w)), i -> substr(w, i, 1)), '~~') || '~'"
     )
     for k in range(1, n_merges + 1):
-        enc = (
-            f"replace({enc}, '~' || m{k}.l_sym || '~~' || m{k}.r_sym || '~',"
-            f" '~' || m{k}.l_sym || m{k}.r_sym || '~')"
+        pat = (
+            f"coalesce((SELECT '~' || l_sym || '~~' || r_sym || '~' "
+            f"FROM m{k}), chr(1))"
         )
-    crosses = " ".join(f"CROSS JOIN m{k}" for k in range(1, n_merges + 1))
+        rep = (
+            f"coalesce((SELECT '~' || l_sym || r_sym || '~' "
+            f"FROM m{k}), chr(1))"
+        )
+        enc = f"replace({enc}, {pat}, {rep})"
     return (
         _bpe_chain_ctes(n_merges)
         + f"""
@@ -2702,7 +2711,7 @@ def _bpe_tokenize_oracle(n_merges: int = 3) -> str:
                               length(replace({enc}, '~~', ''))) / 2 + 1
                              AS BIGINT)
                    END AS nt
-            FROM corpus_words {crosses}
+            FROM corpus_words
             WHERE w <> '')
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
@@ -3856,7 +3865,10 @@ def oracle_sql() -> dict[str, str]:
                      lower(split_part(text, ' ', 1)) || '|' ||
                      lower(split_part(text, ' ', 2)) AS bk,
                      '_' || lower(text) || '_' AS p
-              FROM documents),
+              FROM documents
+              -- mirror bloom_encode's guard: empty/null fields have no
+              -- bigrams and are dropped, not encoded as the pad pair
+              WHERE text IS NOT NULL AND length(text) >= 1),
             enc AS (
               SELECT doc_id, bk,
                      list_sort(list_distinct(flatten(list_transform(

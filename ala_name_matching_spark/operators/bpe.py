@@ -96,7 +96,13 @@ def pair_counts(encoded: DataFrame) -> DataFrame:
     shingles_from_tokens CSE discipline), one explode, one partial-agg
     groupBy. Every adjacent OCCURRENCE counts, weighted by word count.
     """
-    staged = encoded.select("n", _symbols("enc").alias("__s"))
+    # filter BEFORE the explode: sequence(1, stop) DESCENDS when stop < 1
+    # (Spark semantics), so a 1-symbol row would generate [1, 0] and
+    # element_at(_, 0) throws; relying on the optimizer to push a
+    # post-explode filter below the Generate is not a contract
+    staged = encoded.select("n", _symbols("enc").alias("__s")).where(
+        F.size("__s") >= 2
+    )
     pairs = staged.select(
         "n",
         F.explode(
@@ -108,7 +114,7 @@ def pair_counts(encoded: DataFrame) -> DataFrame:
                 ),
             )
         ).alias("p"),
-    ).where(F.size("__s") >= 2)
+    )
     return pairs.groupBy(
         F.col("p.left").alias("left"), F.col("p.right").alias("right")
     ).agg(F.sum("n").alias("cnt"))

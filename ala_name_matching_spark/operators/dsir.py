@@ -34,7 +34,7 @@ Spark shape, built for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -95,8 +95,18 @@ def importance_weights(
     coalesced to the floors, so the two models are defined on the same
     support without materializing all B buckets.
     """
-    src_b = hashed_buckets(source, id_col, text_col, n_buckets)
-    tgt_b = hashed_buckets(target, id_col, text_col, n_buckets)
+    import math
+
+    # each side's bucket table is re-consumed (model counts + totals +
+    # scoring join) -- barrier once so the corpus scan/tokenize runs once
+    # per side, keeping the documented two-scan cost (the bpe/pprl/logreg
+    # bounded-table checkpoint rule)
+    src_b = hashed_buckets(source, id_col, text_col, n_buckets).localCheckpoint(
+        eager=True
+    )
+    tgt_b = hashed_buckets(target, id_col, text_col, n_buckets).localCheckpoint(
+        eager=True
+    )
 
     m_s = _bucket_model(src_b, n_buckets, alpha).withColumnRenamed(
         "logp", "logp_s"
@@ -105,15 +115,17 @@ def importance_weights(
         "logp", "logp_t"
     )
 
-    # floors for buckets unseen by one side: log(alpha / (N + alpha*B))
-    def floor_of(per_doc: DataFrame) -> Column:
-        return F.log(
-            F.lit(alpha)
-            / (F.coalesce(F.sum("n_tok"), F.lit(0)) + F.lit(alpha * n_buckets))
-        )
+    # floors for buckets unseen by one side: log(alpha / (N + alpha*B));
+    # the 1-ulp libm spread between python/JVM/DuckDB log is absorbed by
+    # the 6-dp output round like every other log in this lane
+    def _floor(per_doc: DataFrame) -> float:
+        n = per_doc.agg(
+            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("n")
+        ).collect()[0]["n"]
+        return math.log(alpha / (n + alpha * n_buckets))
 
-    n_s = src_b.agg(floor_of(src_b).alias("f")).collect()[0]["f"]
-    n_t = tgt_b.agg(floor_of(tgt_b).alias("f")).collect()[0]["f"]
+    n_s = _floor(src_b)
+    n_t = _floor(tgt_b)
 
     model = (
         m_t.join(m_s, "bucket", "full_outer")

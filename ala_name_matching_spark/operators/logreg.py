@@ -75,15 +75,17 @@ def tf_features(
 def train_logreg(
     feats: DataFrame,
     labels: DataFrame,
-    n_buckets: int = 256,
     iters: int = 3,
     lr: float = 0.5,
 ) -> DataFrame:
     """(bucket, weight): GD-trained weights after `iters` updates.
 
-    feats = tf_features output; labels = (id, y) with y in {0.0, 1.0}.
-    Per iteration one bounded collect (<= n_buckets weight rows); the
-    corpus-grain work is two partial-agg groupBys + one broadcast join.
+    feats = tf_features output (the bucket space is whatever tf_features
+    hashed into -- there is no separate width parameter to disagree
+    with); labels = (id, y) with y in {0.0, 1.0}. Per iteration one
+    bounded collect (at most the observed-bucket count, <= tf_features'
+    n_buckets); the corpus-grain work is two partial-agg groupBys + one
+    broadcast join.
     """
     spark = feats.sparkSession
     # feats & labels are consumed every iteration: barrier once

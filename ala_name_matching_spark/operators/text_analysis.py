@@ -455,7 +455,14 @@ def blocklist_hits(
     from pyspark.sql import functions as F
 
     spark = docs.sparkSession
-    norm = [" ".join(p.lower().split()) for p in phrases]
+    norm = [" ".join(p.lower().split()) for p in phrases if p.strip()]
+    if not norm:
+        # empty blocklist: contract says every input row is covered
+        return docs.select(
+            F.col(id_col).alias("id"),
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit(False).alias("flagged"),
+        )
     lens = sorted({len(p.split()) for p in norm})
     ptab = F.broadcast(
         spark.createDataFrame([(p,) for p in norm], "gram string")

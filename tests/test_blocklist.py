@@ -49,6 +49,13 @@ def test_zero_hit_docs_covered_and_short_docs_safe(spark):
     assert got == {1: (0, False), 2: (0, False)}
 
 
+def test_empty_blocklist_covers_all_rows(spark):
+    got = _run(spark, [(1, "anything"), (2, "at all")], [])
+    assert got == {1: (0, False), 2: (0, False)}
+    got = _run(spark, [(1, "anything")], ["  "])  # normalizes to empty
+    assert got == {1: (0, False)}
+
+
 def test_case_and_whitespace_normalized(spark):
     got = _run(spark, [(1, "  Hash   JOIN  now")], ["hash join"])
     assert got[1] == (1, True)

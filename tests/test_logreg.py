@@ -55,7 +55,7 @@ def test_matches_python_reference(spark):
     labels = df.select(F.col("doc_id").alias("id"), "y")
     got = {
         r.bucket: r.weight
-        for r in train_logreg(feats, labels, n_buckets=64, iters=3, lr=0.5).collect()
+        for r in train_logreg(feats, labels, iters=3, lr=0.5).collect()
     }
     want = _py_train(ROWS, 64, 3, 0.5)
     assert set(got) == set(want)
@@ -67,7 +67,7 @@ def test_training_separates_labels(spark):
     df = spark.createDataFrame(ROWS, "doc_id long, text string, y double")
     feats = tf_features(df, n_buckets=64)
     labels = df.select(F.col("doc_id").alias("id"), "y")
-    w = train_logreg(feats, labels, n_buckets=64, iters=10, lr=2.0)
+    w = train_logreg(feats, labels, iters=10, lr=2.0)
     scores = {r.id: r.score for r in score_docs(feats, w).collect()}
     pos = min(scores[i] for i, _, y in ROWS if y == 1.0)
     neg = max(scores[i] for i, _, y in ROWS if y == 0.0)
@@ -80,11 +80,11 @@ def test_weight_support_bounded_and_deterministic(spark):
     labels = df.select(F.col("doc_id").alias("id"), "y")
     w1 = sorted(
         (r.bucket, r.weight)
-        for r in train_logreg(feats, labels, n_buckets=16, iters=3).collect()
+        for r in train_logreg(feats, labels, iters=3).collect()
     )
     w2 = sorted(
         (r.bucket, r.weight)
-        for r in train_logreg(feats, labels, n_buckets=16, iters=3).collect()
+        for r in train_logreg(feats, labels, iters=3).collect()
     )
     assert w1 == w2
     assert len(w1) <= 16
