@@ -1142,6 +1142,25 @@ def _q_ed_join_pairs(spark, sf_dir):
 _BLOCKLIST = ["slow", "hash join", "broken pipeline"]
 
 
+def _q_hdr_quantile_chars(spark, sf_dir):
+    # HdrHistogram-style mergeable quantile sketch: all-integer bucketing
+    # (bit-length exponent + 5-bit linear sub-buckets -- no libm in
+    # bucket assignment, unlike DDSketch's log-gamma), so the sketch AND
+    # its inverse-CDF estimates replay bit-for-bit in SQL. The bounded
+    # counter table replaces the per-group sort exact percentiles need.
+    from ala_name_matching_spark.operators.sketches import (
+        hdr_histogram,
+        hdr_quantiles,
+    )
+
+    h = hdr_histogram(
+        _docs(spark, sf_dir), "n_chars", group_cols=["lang"], sub_bits=5
+    )
+    return hdr_quantiles(h, [0.5, 0.9, 0.99], group_cols=["lang"]).select(
+        "lang", "q", "est", F.col("n").cast("long").alias("n")
+    )
+
+
 def _q_blocklist_filter(spark, sf_dir):
     # C4-style word-boundary blocklist gate (Raffel et al. 2020): docs
     # exploded into word n-grams only for the n values in the (tiny,
@@ -2436,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": _q_dsir_selection,
         "quality_lr_weights": _q_quality_lr_weights,
         "blocklist_filter": _q_blocklist_filter,
+        "hdr_quantile_chars": _q_hdr_quantile_chars,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_tokenize": _q_bpe_tokenize,
@@ -3754,6 +3774,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cl ON i.doc_id_l = cl.doc_id
             JOIN cnt cr ON i.doc_id_r = cr.doc_id
             WHERE i.o / (cl.n + cr.n - i.o) >= 0.6
+        """,
+        # HDR sketch replay: same integer bucketing (bit-length exponent,
+        # 5-bit sub-buckets), same window cumsum and inverse-CDF pick
+        "hdr_quantile_chars": """
+            WITH v AS (
+              SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+              WHERE n_chars >= 1),
+            b AS (
+              SELECT lang,
+                     (v >> greatest(length(bin(v)) - 1 - 5, 0))
+                       << greatest(length(bin(v)) - 1 - 5, 0) AS bucket_lo,
+                     count(*) AS cnt
+              FROM v GROUP BY 1, 2),
+            c AS (
+              SELECT lang, bucket_lo,
+                     sum(cnt) OVER (PARTITION BY lang ORDER BY bucket_lo)
+                       AS cum,
+                     sum(cnt) OVER (PARTITION BY lang) AS n
+              FROM b),
+            q(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                            (CAST(0.99 AS DOUBLE)))
+            SELECT lang, q, CAST(min(bucket_lo) AS BIGINT) AS est,
+                   CAST(n AS BIGINT) AS n
+            FROM c CROSS JOIN q
+            WHERE cum >= ceil(q * n)
+            GROUP BY lang, q, n
         """,
         # blocklist replay: same normalized word 1- and 2-grams, same
         # phrase list, zero-hit docs via left join

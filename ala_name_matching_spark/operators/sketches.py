@@ -306,3 +306,98 @@ def cm_estimate(
         .groupBy("item")
         .agg(F.min("c").alias("cm_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HdrHistogram-style quantile sketch (Gil Tene's High Dynamic Range
+# histogram bucketing). The 100 TB quantile problem: exact PERCENTILE_CONT
+# needs a per-group sort of every value; the sketch replaces it with a
+# BOUNDED counter table that merges by addition. Bucketing is ALL-INTEGER
+# -- exponent e = bit_length(v) - 1 (the power-of-two band) and a linear
+# sub-bucket of the next `sub_bits` mantissa bits -- so, unlike
+# log-gamma schemes (DDSketch), bucket assignment has no libm call to
+# disagree across engines: every index replays bit-for-bit in SQL (the
+# bin()-length trick the HLL lane already uses). Relative error of the
+# lower-bound representative is < 2^-sub_bits for values >= 2^sub_bits
+# (exact below, where buckets are unit-width); merging histograms is
+# count addition on equal bucket ids.
+# ---------------------------------------------------------------------------
+
+
+def hdr_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    sub_bits: int = 5,
+) -> DataFrame:
+    """(group..., bucket_lo, cnt): bounded mergeable histogram of a
+    POSITIVE integer column. bucket_lo is the bucket's smallest member --
+    the deterministic representative the quantile estimate returns.
+
+    One partial-aggregated groupBy; the table is bounded by
+    (max bit_length) * 2^sub_bits rows per group (~2k rows for 64-bit
+    values at sub_bits=5), independent of row count.
+    """
+    g = [F.col(c) for c in (group_cols or [])]
+    v = F.col(value_col).cast("long")
+    e = F.length(F.bin(v)) - 1  # floor(log2 v), integer-exact
+    # values below 2^sub_bits: unit buckets (bucket_lo = v, exact).
+    # above: keep the top sub_bits+1 bits, zero the rest.
+    shift = F.greatest(e - F.lit(sub_bits), F.lit(0))
+    lo = F.call_function(
+        "shiftleft",
+        F.call_function("shiftright", v, shift.cast("int")),
+        shift.cast("int"),
+    )
+    return (
+        df.where(v >= 1)
+        .select(*g, lo.alias("bucket_lo"))
+        .groupBy(*g, "bucket_lo")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hdr_merge(*hists: DataFrame) -> DataFrame:
+    """Merge histograms built with the same sub_bits: add counts."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., q, est, n): lower-bound quantile estimates.
+
+    est = bucket_lo of the first bucket whose running count reaches
+    ceil(q * n) -- the inverse-CDF convention on the sketch; within
+    < 2^-sub_bits relative error of the true value by the bucketing
+    bound. The windows run over the BOUNDED bucket table (never the
+    data), partitioned by group -- the threshold_sweep discipline.
+    """
+    from pyspark.sql import Window
+
+    g = group_cols or []
+    w_tot = Window.partitionBy(*g)
+    w_cum = Window.partitionBy(*g).orderBy("bucket_lo")
+    c = hist.select(
+        *[F.col(x) for x in g],
+        "bucket_lo",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("n"),
+    )
+    qdf = F.broadcast(
+        hist.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+    )
+    hit = c.join(qdf).where(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
+    )
+    return (
+        hit.groupBy(*g, "q", "n")
+        .agg(F.min("bucket_lo").alias("est"))
+        .select(*g, "q", F.col("est").cast("long").alias("est"), "n")
+    )
