@@ -1142,6 +1142,27 @@ def _q_ed_join_pairs(spark, sf_dir):
 _BLOCKLIST = ["slow", "hash join", "broken pipeline"]
 
 
+def _q_symspell_lookup(spark, sf_dir):
+    # SymSpell symmetric-delete fuzzy lookup (the reference's
+    # dictionary-lookup shape made O(1)-per-query): dictionary = corpus
+    # word vocabulary, queries = the deterministic md5-prefix 1/16 sample
+    # of it; all dictionary words within edit distance 2 of each query,
+    # exact (shared-delete-variant equi-join + banded verify).
+    from ala_name_matching_spark.operators.bpe import word_counts
+    from ala_name_matching_spark.operators.symspell import symspell_lookup
+
+    vocab = word_counts(_docs(spark, sf_dir), min_count=1).select(
+        F.col("w").alias("term")
+    )
+    d = vocab.select(F.col("term").alias("dict_id"), "term")
+    q = vocab.where(
+        F.substring(F.md5("term"), 1, 1) == "0"
+    ).select(F.col("term").alias("query_id"), "term")
+    return symspell_lookup(d, q, d=2).select(
+        "query_term", "dict_term", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def _q_hdr_quantile_chars(spark, sf_dir):
     # HdrHistogram-style mergeable quantile sketch: all-integer bucketing
     # (bit-length exponent + 5-bit linear sub-buckets -- no libm in
@@ -2456,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_weights": _q_quality_lr_weights,
         "blocklist_filter": _q_blocklist_filter,
         "hdr_quantile_chars": _q_hdr_quantile_chars,
+        "symspell_lookup": _q_symspell_lookup,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_tokenize": _q_bpe_tokenize,
@@ -3774,6 +3796,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cl ON i.doc_id_l = cl.doc_id
             JOIN cnt cr ON i.doc_id_r = cr.doc_id
             WHERE i.o / (cl.n + cr.n - i.o) >= 0.6
+        """,
+        # SymSpell truth set: the engine's delete-variant equi-join +
+        # banded verify is exact, so brute-force levenshtein over
+        # vocabulary x sampled-queries is the oracle
+        "symspell_lookup": f"""
+            WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+            vocab AS (
+              SELECT w FROM toks
+              WHERE regexp_full_match(w, '^[a-z0-9]+$')
+              GROUP BY w),
+            q AS (SELECT w FROM vocab WHERE substr(md5(w), 1, 1) = '0')
+            SELECT q.w AS query_term, v.w AS dict_term,
+                   CAST(levenshtein(q.w, v.w) AS BIGINT) AS dist
+            FROM q CROSS JOIN vocab v
+            WHERE levenshtein(q.w, v.w) <= 2
         """,
         # HDR sketch replay: same integer bucketing (bit-length exponent,
         # 5-bit sub-buckets), same window cumsum and inverse-CDF pick

@@ -137,6 +137,9 @@ def main():
         "bpe_merges",
         "dsir_selection",
         "quality_lr_weights",
+        "symspell_lookup",
+        "hdr_quantile_chars",
+        "blocklist_filter",
         "phrase_match",
         "winnowing_pairs",
         "strip_dup_spans",
