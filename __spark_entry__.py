@@ -1142,6 +1142,19 @@ def _q_ed_join_pairs(spark, sf_dir):
 _BLOCKLIST = ["slow", "hash join", "broken pipeline"]
 
 
+def _q_zorder_key_orders(spark, sf_dir):
+    # Z-order (Morton) key over (o_custkey, o_orderkey) -- the
+    # multi-dimension data-skipping layout key (Delta/Iceberg OPTIMIZE
+    # ZORDER BY). All-integer grid mapping + bit interleave, so the key
+    # replays bit-for-bit in SQL; write_zordered uses it to give every
+    # parquet file a tight min-max envelope on EVERY dimension.
+    from ala_name_matching_spark.sources.zorder import zorder_key
+
+    o = _read(spark, sf_dir, "orders")
+    key, _ = zorder_key(o, ["o_custkey", "o_orderkey"], bits=8)
+    return o.select("o_orderkey", key.alias("zkey"))
+
+
 def _q_symspell_lookup(spark, sf_dir):
     # SymSpell symmetric-delete fuzzy lookup (the reference's
     # dictionary-lookup shape made O(1)-per-query): dictionary = corpus
@@ -2478,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": _q_blocklist_filter,
         "hdr_quantile_chars": _q_hdr_quantile_chars,
         "symspell_lookup": _q_symspell_lookup,
+        "zorder_key_orders": _q_zorder_key_orders,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_tokenize": _q_bpe_tokenize,
@@ -3797,6 +3811,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cr ON i.doc_id_r = cr.doc_id
             WHERE i.o / (cl.n + cr.n - i.o) >= 0.6
         """,
+        # Morton-key replay: same integer grid cells (floor of an IEEE
+        # double division -- deterministic cross-engine), same interleave
+        "zorder_key_orders": (
+            lambda _bits=8, _n=2: """
+            WITH b AS (
+              SELECT min(o_custkey) AS lo0, max(o_custkey) AS hi0,
+                     min(o_orderkey) AS lo1, max(o_orderkey) AS hi1
+              FROM orders),
+            cells AS (
+              SELECT o_orderkey,
+                     CAST(floor((o_custkey - lo0) * 255 /
+                          greatest(hi0 - lo0, 1)) AS BIGINT) AS c0,
+                     CAST(floor((o_orderkey - lo1) * 255 /
+                          greatest(hi1 - lo1, 1)) AS BIGINT) AS c1
+              FROM orders CROSS JOIN b)
+            SELECT o_orderkey, CAST(("""
+            + " | ".join(
+                f"(((c{i} >> {bb}) & 1) << {bb * _n + i})"
+                for bb in range(_bits)
+                for i in range(_n)
+            )
+            + """) AS BIGINT) AS zkey FROM cells"""
+        )(),
         # SymSpell truth set: the engine's delete-variant equi-join +
         # banded verify is exact, so brute-force levenshtein over
         # vocabulary x sampled-queries is the oracle
