@@ -1142,6 +1142,15 @@ def _q_ed_join_pairs(spark, sf_dir):
 _BLOCKLIST = ["slow", "hash join", "broken pipeline"]
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    # Interpolated bigram LM scoring (the CCNet perplexity-filter shape,
+    # n=2 with Jelinek-Mercer mixing against the unigram back-off):
+    # per-doc mean ln(lam*p_bi + (1-lam)*p_uni) over adjacent pairs.
+    from ala_name_matching_spark.operators.text_analysis import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir), lam=0.7)
+
+
 def _q_zorder_key_orders(spark, sf_dir):
     # Z-order (Morton) key over (o_custkey, o_orderkey) -- the
     # multi-dimension data-skipping layout key (Delta/Iceberg OPTIMIZE
@@ -2492,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_quantile_chars": _q_hdr_quantile_chars,
         "symspell_lookup": _q_symspell_lookup,
         "zorder_key_orders": _q_zorder_key_orders,
+        "bigram_logprob": _q_bigram_logprob,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_tokenize": _q_bpe_tokenize,
@@ -3810,6 +3820,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cl ON i.doc_id_l = cl.doc_id
             JOIN cnt cr ON i.doc_id_r = cr.doc_id
             WHERE i.o / (cl.n + cr.n - i.o) >= 0.6
+        """,
+        # interpolated-bigram LM replay: same three corpus statistics
+        # (bigram, context, unigram counts), same mixing, ln absorbed by
+        # the 6-dp round; < 2-token docs kept with null mean via left join
+        "bigram_logprob": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            pairs AS (
+              SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+              FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+              WHERE len(w) >= 2),
+            toks AS (SELECT unnest(w) AS tok FROM t),
+            uni AS (SELECT tok, count(*) AS c_uni FROM toks GROUP BY 1),
+            tot AS (SELECT sum(c_uni) AS n_total FROM uni),
+            bi AS (SELECT w1, w2, count(*) AS c_bi FROM pairs GROUP BY 1, 2),
+            ctx AS (SELECT w1, sum(c_bi) AS c_ctx FROM bi GROUP BY 1),
+            scored AS (
+              SELECT p.doc_id, count(*) AS n_pairs,
+                     round(avg(ln(0.7 * (b.c_bi / CAST(c.c_ctx AS DOUBLE))
+                                  + 0.3 * (u.c_uni / CAST(tot.n_total
+                                                          AS DOUBLE)))), 6)
+                       AS mean_bigram_logprob
+              FROM pairs p
+              JOIN bi b USING (w1, w2)
+              JOIN ctx c USING (w1)
+              JOIN uni u ON u.tok = p.w2
+              CROSS JOIN tot
+              GROUP BY p.doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   s.mean_bigram_logprob
+            FROM t LEFT JOIN scored s USING (doc_id)
         """,
         # Morton-key replay: same integer grid cells (floor of an IEEE
         # double division -- deterministic cross-engine), same interleave

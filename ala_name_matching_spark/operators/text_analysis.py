@@ -498,3 +498,77 @@ def blocklist_hits(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("flagged"),
         )
     )
+
+
+def bigram_logprob(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+):
+    """Per-doc mean INTERPOLATED bigram log-probability -- the next rung
+    of the perplexity-filter ladder above unigram_logprob (CCNet-style
+    KenLM filters are interpolated n-gram LMs; this is the n=2 member
+    with Jelinek-Mercer mixing, fitted on the corpus itself):
+
+        p(w2 | w1) = lam * c(w1 w2)/c(w1 .) + (1 - lam) * c(w2)/N
+
+    Scored over each doc's n-1 adjacent pairs (docs with < 2 tokens get
+    n_pairs = 0 and a null mean, kept -- the caller decides their fate).
+    The unigram back-off term makes every pair scorable (no zero-prob
+    pairs: both factors are corpus-fitted, and the unigram term is never
+    zero for a counted token).
+
+    SCALE: one explode builds the positional token stream; the bigram
+    table, the w1-context totals and the unigram table are three
+    partial-agg groupBys over it (bigram-vocabulary-sized results); the
+    per-doc score is one join of the doc's pairs against the (broadcast-
+    eligible at fixture scale, bucketed at corpus scale) bigram stats +
+    one groupBy(doc). ln is absorbed by the 6-dp round (the
+    unigram_logprob contract).
+    """
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("__w")
+    )
+    pairs = staged.where(F.size("__w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - 1),
+                lambda i: F.struct(
+                    F.element_at("__w", i).alias("w1"),
+                    F.element_at("__w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    toks = staged.select(F.explode("__w").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c_uni"))
+    total = uni.agg(F.sum("c_uni").alias("n_total"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    ctx = bi.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
+
+    p_bi = F.col("c_bi") / F.col("c_ctx")
+    p_uni = F.col("c_uni") / F.col("n_total")
+    lp = F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(lp), 6).alias("mean_bigram_logprob"),
+        )
+    )
+    return (
+        staged.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            "mean_bigram_logprob",
+        )
+    )

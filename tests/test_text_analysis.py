@@ -220,3 +220,43 @@ def test_char_entropy_known_values(spark):
     assert got[2] == round(math.log(4), 6)     # uniform over 4 chars
     assert got[3] == round(math.log(2), 6)     # two chars, equal mass
     assert 4 not in got                        # empty text filtered
+
+
+def test_bigram_logprob_reference_and_edge_cases(spark):
+    import math
+
+    from ala_name_matching_spark.operators.text_analysis import bigram_logprob
+
+    rows = [
+        (1, "a b a b a"),
+        (2, "a b"),
+        (3, "solo"),        # < 2 tokens: n_pairs 0, null mean
+        (4, "c c c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_pairs, r.mean_bigram_logprob)
+        for r in bigram_logprob(df, lam=0.7).collect()
+    }
+    # python reference over the same corpus statistics
+    toks = {i: t.split() for i, t in rows}
+    uni, bi, ctx = {}, {}, {}
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    for (a, _), c in bi.items():
+        ctx[a] = ctx.get(a, 0) + c
+    n_total = sum(uni.values())
+    for i, ws in toks.items():
+        ps = list(zip(ws, ws[1:]))
+        if not ps:
+            assert got[i] == (0, None)
+            continue
+        mean = sum(
+            math.log(0.7 * bi[p] / ctx[p[0]] + 0.3 * uni[p[1]] / n_total)
+            for p in ps
+        ) / len(ps)
+        assert got[i][0] == len(ps)
+        assert abs(got[i][1] - round(mean, 6)) < 2e-6, i
