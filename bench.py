@@ -140,6 +140,8 @@ def main():
         "symspell_lookup",
         "hdr_quantile_chars",
         "blocklist_filter",
+        "zorder_key_orders",
+        "bigram_logprob",
         "phrase_match",
         "winnowing_pairs",
         "strip_dup_spans",
