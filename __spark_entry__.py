@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 106 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 127 queries are
                   value-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key, an
                   unrolled-CTE replay of the SemDeDup k-means loop, a
@@ -733,6 +733,19 @@ def _q_stratified_sample(spark, sf_dir):
         default_frac=0.5,
     )
 
+
+
+def _q_weighted_sample(spark, sf_dir):
+    # Efraimidis-Spirtes A-ES weighted sampling without replacement:
+    # length-weighted top-100 draw, es_key = ln(md5-uniform)/weight rounded
+    # to 9 dp pre-rank, top-k via the distributed global_rank (never a
+    # single-partition window).
+    from ala_name_matching_spark.operators.sampling import weighted_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", k=100).select(
+        "doc_id", "n_chars", "es_key", "es_rank"
+    )
 
 
 def _q_pack_sequences(spark, sf_dir):
@@ -1613,6 +1626,19 @@ def _multikey_assignments(spark, sf_dir):
     )
 
 
+def _q_tf_adjusted_weights(spark, sf_dir):
+    # Winkler 1989 / Splink-style term-frequency adjustment: per-value
+    # agreement weights from exact BIGINT frequency statistics (rare-value
+    # agreement outweighs "Smith"-grade agreement). Field = first token of
+    # the lowercased text -- a skewed name-like distribution.
+    from ala_name_matching_spark.operators.linkage import tf_adjusted_weights
+
+    d = _docs(spark, sf_dir).select(
+        F.split(F.lower(F.col("text")), " ").getItem(0).alias("first_tok")
+    )
+    return tf_adjusted_weights(d, "first_tok")
+
+
 def _q_meta_blocking_prune(spark, sf_dir):
     # Meta-blocking (Papadakis et al., TKDE 2014): records carry THREE
     # blocking keys; candidate edges are CBS-weighted by shared-block count
@@ -1669,6 +1695,16 @@ def _q_adjusted_rand(spark, sf_dir):
     from ala_name_matching_spark.operators.er_metrics import adjusted_rand
 
     return adjusted_rand(_labels(spark, sf_dir))
+
+
+def _q_nmi_scorecard(spark, sf_dir):
+    # Information-theoretic clustering scorecard over the same planted
+    # split/merge labels: MI + marginal entropies from exact BIGINT
+    # contingency statistics (key-sorted double folds), homogeneity /
+    # completeness / V-measure (= arithmetic-mean NMI at beta=1).
+    from ala_name_matching_spark.operators.er_metrics import nmi_scorecard
+
+    return nmi_scorecard(_labels(spark, sf_dir))
 
 
 def _q_cluster_cohesion(spark, sf_dir):
@@ -1844,6 +1880,30 @@ def _q_monge_elkan_pairs(spark, sf_dir):
         "me_lr",
         "me_rl",
         "me_sym",
+    )
+
+
+def _q_soft_tfidf_pairs(spark, sf_dir):
+    # Soft-TF-IDF (Cohen/Ravikumar/Fienberg 2003): TF-IDF weighting
+    # composed with a CLOSE(theta=0.9) normalized-Levenshtein token match
+    # -- the hybrid comparator their study found dominant for name
+    # matching. Same blocked pair universe as monge_elkan/tfidf_cosine.
+    from ala_name_matching_spark.operators.comparators import soft_tfidf_pairs
+
+    d = _spread(
+        _docs(spark, sf_dir).select(
+            _block_key_col().alias("bk"), "doc_id", "text"
+        )
+    )
+    return soft_tfidf_pairs(
+        d, id_col="doc_id", text_col="text", block_col="bk", theta=0.9,
+        max_tokens=10,
+    ).select(
+        F.col("id_l").alias("doc_id_l"),
+        F.col("id_r").alias("doc_id_r"),
+        "soft_lr",
+        "soft_rl",
+        "soft_sym",
     )
 
 
@@ -2476,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "train_holdout_split": _q_train_holdout_split,
         "stratified_sample": _q_stratified_sample,
+        "weighted_sample": _q_weighted_sample,
         "pack_sequences": _q_pack_sequences,
         "cosine_neardups_exact": _q_cosine_neardups_exact,
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
@@ -2506,13 +2567,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_tokenize": _q_bpe_tokenize,
         "fs_match_weights": _q_fs_match_weights,
+        "tf_adjusted_weights": _q_tf_adjusted_weights,
         "snm_pairs": _q_snm_pairs,
         "monge_elkan_pairs": _q_monge_elkan_pairs,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "soft_tfidf_pairs": _q_soft_tfidf_pairs,
         "golden_record": _q_golden_record,
         "meta_blocking_prune": _q_meta_blocking_prune,
         "bcubed_scorecard": _q_bcubed_scorecard,
         "adjusted_rand": _q_adjusted_rand,
+        "nmi_scorecard": _q_nmi_scorecard,
         "cluster_cohesion": _q_cluster_cohesion,
         "cluster_repair": _q_cluster_repair,
         "two_source_linkage": _q_two_source_linkage,
@@ -3240,6 +3304,25 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN '4000'
                             WHEN 'zh' THEN 'e666'
                             ELSE '8000' END""",
+        # A-ES weighted sample: identical 52-bit md5 uniform ((h+0.5)/2^52,
+        # exactly representable), es_key = ln(u)/w rounded to 9 dp BEFORE
+        # ranking (absorbs libm ln ulp), id tie-break; row_number replays
+        # the distributed global_rank
+        "weighted_sample": """
+            WITH k AS (
+              SELECT doc_id, n_chars,
+                     round(ln((CAST(('0x' || substr(md5('aes-v1' ||
+                                CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                               + 0.5) / 4503599627370496.0)
+                           / CAST(n_chars AS DOUBLE), 9) AS es_key
+              FROM documents WHERE n_chars > 0),
+            rk AS (
+              SELECT doc_id, n_chars, es_key,
+                     CAST(row_number() OVER (ORDER BY es_key DESC, doc_id)
+                          - 1 AS BIGINT) AS es_rank
+              FROM k)
+            SELECT doc_id, n_chars, es_key, es_rank FROM rk
+            WHERE es_rank < 100""",
         "pack_sequences": """
             WITH m AS (
               SELECT doc_id,
@@ -3402,6 +3485,34 @@ def oracle_sql() -> dict[str, str]:
         # unrolled-CTE replay of the Fellegi-Sunter EM fit (same init,
         # factor order, and pid-ordered M-step sums as fs_em)
         "fs_match_weights": _fs_oracle_sql(_BK, _FS_ITERS),
+        # TF adjustment: exact BIGINT frequency statistics (n_v, N, sum
+        # n_v^2); only the final log2s are libm, absorbed by the 6-dp
+        # round (Spark computes log(2, x) = ln x / ln 2)
+        "tf_adjusted_weights": """
+            WITH v AS (
+              SELECT string_split(lower(text), ' ')[1] AS value
+              FROM documents
+              WHERE string_split(lower(text), ' ')[1] IS NOT NULL),
+            f AS (
+              SELECT value, CAST(count(*) AS BIGINT) AS n_v
+              FROM v GROUP BY 1),
+            t AS (
+              SELECT CAST(sum(n_v) AS BIGINT) AS n,
+                     CAST(sum(n_v * n_v) AS BIGINT) AS sq
+              FROM f)
+            SELECT value, n_v,
+                   round(CAST(n_v AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS u_value,
+                   round(CAST(sq AS DOUBLE) /
+                         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                     AS u_field,
+                   round(ln((CAST(sq AS DOUBLE) /
+                             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+                            (CAST(n_v AS DOUBLE) / CAST(n AS DOUBLE)))
+                         / ln(2.0), 6) AS tf_adjustment,
+                   round(ln(0.9 / (CAST(n_v AS DOUBLE) / CAST(n AS DOUBLE)))
+                         / ln(2.0), 6) AS adjusted_weight
+            FROM f, t""",
         "snm_pairs": """
             WITH r AS (
               SELECT doc_id,
@@ -3696,6 +3807,73 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 1.0 END, 6) AS ari
             FROM cs, ps, gs
         """,
+        # NMI/V-measure: BIGINT contingency statistics; MI + entropy terms
+        # are doubles folded in key-sorted order (the bcubed contract);
+        # 6-dp round absorbs libm ln ulp; v computed from ROUNDED h/c on
+        # both engines
+        "nmi_scorecard": """
+            WITH l AS (
+              SELECT CASE WHEN doc_id % 10 >= 8
+                       THEN 'm' || CAST(doc_id // 20 AS VARCHAR)
+                       ELSE 'c' || CAST(doc_id // 10 AS VARCHAR) END AS p,
+                     'g' || CAST(doc_id // 10 AS VARCHAR) AS g
+              FROM documents),
+            cells AS (
+              SELECT p, g, CAST(count(*) AS BIGINT) AS n_pg
+              FROM l GROUP BY 1, 2),
+            mp AS (
+              SELECT p, CAST(sum(n_pg) AS BIGINT) AS n_p
+              FROM cells GROUP BY 1),
+            mg AS (
+              SELECT g, CAST(sum(n_pg) AS BIGINT) AS n_g
+              FROM cells GROUP BY 1),
+            nt AS (SELECT CAST(sum(n_pg) AS BIGINT) AS n FROM cells),
+            mi AS (
+              SELECT list_sum(list_transform(
+                       list_sort(list(struct_pack(kp := kp, kg := kg,
+                                                  term := term))),
+                       x -> x.term)) AS mi
+              FROM (
+                SELECT cells.p AS kp, cells.g AS kg,
+                       (CAST(n_pg AS DOUBLE) / CAST(n AS DOUBLE)) *
+                         ln((CAST(n_pg AS DOUBLE) * CAST(n AS DOUBLE)) /
+                            (CAST(n_p AS DOUBLE) * CAST(n_g AS DOUBLE)))
+                         AS term
+                FROM cells JOIN mp USING (p) JOIN mg USING (g)
+                CROSS JOIN nt)),
+            hp AS (
+              SELECT list_sum(list_transform(
+                       list_sort(list(struct_pack(k := p, term :=
+                         -(CAST(n_p AS DOUBLE) / CAST(n AS DOUBLE)) *
+                           ln(CAST(n_p AS DOUBLE) / CAST(n AS DOUBLE))))),
+                       x -> x.term)) AS h_pred
+              FROM mp CROSS JOIN nt),
+            hg AS (
+              SELECT list_sum(list_transform(
+                       list_sort(list(struct_pack(k := g, term :=
+                         -(CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE)) *
+                           ln(CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE))))),
+                       x -> x.term)) AS h_gold
+              FROM mg CROSS JOIN nt),
+            hc AS (
+              -- raw (unrounded) mi/h feed the h/c ratios; only outputs
+              -- are rounded. Aliases renamed so DuckDB's lateral-alias
+              -- resolution cannot shadow the raw columns.
+              SELECT n AS n_records, round(mi.mi, 6) AS mi_r,
+                     round(hp.h_pred, 6) AS hp_r, round(hg.h_gold, 6) AS hg_r,
+                     round(CASE WHEN hg.h_gold > 0.0 THEN mi.mi / hg.h_gold
+                           ELSE 1.0 END, 6) AS homogeneity,
+                     round(CASE WHEN hp.h_pred > 0.0 THEN mi.mi / hp.h_pred
+                           ELSE 1.0 END, 6) AS completeness
+              FROM nt, mi, hp, hg)
+            SELECT n_records, mi_r AS mi, hp_r AS h_pred, hg_r AS h_gold,
+                   homogeneity, completeness,
+                   round(CASE WHEN (homogeneity + completeness) > 0.0 THEN
+                     2.0 * homogeneity * completeness /
+                       (homogeneity + completeness)
+                     ELSE 0.0 END, 6) AS v_measure
+            FROM hc
+        """,
         # Monge-Elkan: identical sorted-distinct token prep, identical
         # left-associated fold order, bit-identical levenshtein ratio --
         # 6-dp round is belt-and-braces only
@@ -3727,6 +3905,84 @@ def oracle_sql() -> dict[str, str]:
         # TF-IDF cosine: folds replayed in the same token-sorted order;
         # the one libm call (ln in idf) is absorbed by the 6-dp round,
         # same contract as fs_match_weights' log2
+        # Soft-TF-IDF: identical sliced-sorted-distinct token prep and idf,
+        # doc-L2-normalized weights, CLOSE(0.9) via exact-rational nlev
+        # (double equality safe cross-engine), argmax = first token-sorted
+        # attainer, left folds in token order; ln absorbed by 6-dp round
+        "soft_tfidf_pairs": f"""
+            WITH d AS (
+              SELECT {_BK} AS bk, doc_id,
+                     list_filter(
+                       list_sort(list_distinct(
+                         string_split(lower(text), ' ')))[1:10],
+                       t -> t <> '') AS toks
+              FROM documents),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            tok AS (SELECT bk, doc_id, unnest(toks) AS token FROM d),
+            dft AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+            w AS (
+              SELECT bk, doc_id, token,
+                     ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf
+              FROM tok JOIN dft USING (token) CROSS JOIN n),
+            tw AS (
+              SELECT bk, doc_id,
+                     list(struct_pack(t := token, idf := idf)
+                          ORDER BY token) AS tw
+              FROM w GROUP BY 1, 2),
+            wt AS (
+              SELECT bk, doc_id,
+                     list_transform(tw, x -> struct_pack(t := x.t,
+                       w := x.idf / sqrt(list_sum(
+                         list_transform(tw, y -> y.idf * y.idf))))) AS wt
+              FROM tw),
+            p AS (
+              SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+                     CASE WHEN len(l.wt) > 0 AND len(r.wt) > 0 THEN
+                       list_sum(list_transform(l.wt, a ->
+                         CASE WHEN list_max(list_transform(r.wt, bb ->
+                                1.0 - CAST(levenshtein(a.t, bb.t) AS DOUBLE)
+                                      / greatest(length(a.t), length(bb.t))))
+                              > 0.9 THEN
+                           a.w
+                           * list_filter(r.wt, b ->
+                               (1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                                      / greatest(length(a.t), length(b.t)))
+                               = list_max(list_transform(r.wt, bb ->
+                                   1.0 - CAST(levenshtein(a.t, bb.t)
+                                              AS DOUBLE)
+                                         / greatest(length(a.t),
+                                                    length(bb.t)))))[1].w
+                           * list_max(list_transform(r.wt, bb ->
+                               1.0 - CAST(levenshtein(a.t, bb.t) AS DOUBLE)
+                                     / greatest(length(a.t), length(bb.t))))
+                         ELSE 0.0 END))
+                     END AS lr,
+                     CASE WHEN len(l.wt) > 0 AND len(r.wt) > 0 THEN
+                       list_sum(list_transform(r.wt, a ->
+                         CASE WHEN list_max(list_transform(l.wt, bb ->
+                                1.0 - CAST(levenshtein(a.t, bb.t) AS DOUBLE)
+                                      / greatest(length(a.t), length(bb.t))))
+                              > 0.9 THEN
+                           a.w
+                           * list_filter(l.wt, b ->
+                               (1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                                      / greatest(length(a.t), length(b.t)))
+                               = list_max(list_transform(l.wt, bb ->
+                                   1.0 - CAST(levenshtein(a.t, bb.t)
+                                              AS DOUBLE)
+                                         / greatest(length(a.t),
+                                                    length(bb.t)))))[1].w
+                           * list_max(list_transform(l.wt, bb ->
+                               1.0 - CAST(levenshtein(a.t, bb.t) AS DOUBLE)
+                                     / greatest(length(a.t), length(bb.t))))
+                         ELSE 0.0 END))
+                     END AS rl
+              FROM wt l JOIN wt r ON l.bk = r.bk AND l.doc_id < r.doc_id)
+            SELECT doc_id_l, doc_id_r, round(lr, 6) AS soft_lr,
+                   round(rl, 6) AS soft_rl,
+                   round((lr + rl) / 2.0, 6) AS soft_sym
+            FROM p
+        """,
         "tfidf_cosine_pairs": f"""
             WITH base AS (SELECT {_BK} AS bk, doc_id, text FROM documents),
             n AS (SELECT count(*) AS n FROM base),

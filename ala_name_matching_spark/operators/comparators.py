@@ -115,6 +115,124 @@ def monge_elkan_pairs(
     )
 
 
+def _soft_tfidf_expr(toks_l: str, toks_r: str, theta: float) -> str:
+    """SQL expression: Soft-TF-IDF of weighted token array `toks_l`
+    against `toks_r` (asymmetric). Elements are structs (t, w) with w the
+    doc-normalized idf weight, arrays token-sorted.
+
+    For each a in toks_l: best = max normalized-Levenshtein similarity to
+    any b in toks_r; if best > theta the contribution is
+    a.w * w(argmax b) * best. The argmax is resolved as the FIRST
+    token-sorted b attaining the max -- `filter(..., == best)[0]` -- which
+    is deterministic because nlev similarities are exact rationals
+    computed identically on both engines (the pair_scores_lev anchor), so
+    the double equality is safe cross-engine.
+    """
+    def sim(v: str) -> str:
+        return (
+            f"1.0D - CAST(levenshtein(a.t, {v}.t) AS DOUBLE) / "
+            f"greatest(length(a.t), length({v}.t))"
+        )
+
+    # distinct lambda-variable names per nesting level: the filter binds
+    # `b` while re-evaluating `best` (which binds `bb`) inside it
+    best = f"array_max(transform({toks_r}, bb -> {sim('bb')}))"
+    best_w = f"filter({toks_r}, b -> ({sim('b')}) == ({best}))[0].w"
+    contrib = (
+        f"CASE WHEN ({best}) > {theta!r}D THEN "
+        f"a.w * ({best_w}) * ({best}) ELSE 0.0D END"
+    )
+    return (
+        f"CASE WHEN size({toks_l}) > 0 AND size({toks_r}) > 0 THEN "
+        f"aggregate({toks_l}, 0.0D, (acc, a) -> acc + ({contrib})) "
+        f"END"
+    )
+
+
+def soft_tfidf_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "block_key",
+    theta: float = 0.9,
+    max_tokens: int = 10,
+) -> DataFrame:
+    """Within-block pairs scored with Soft-TF-IDF (Cohen, Ravikumar &
+    Fienberg 2003) -- the hybrid their name-matching study found dominant:
+    TF-IDF's rare-token weighting composed with a per-token edit-distance
+    CLOSE(theta) match, so 'jon smyth' vs 'john smith' scores high where
+    plain TF-IDF cosine sees zero shared tokens and plain Levenshtein
+    drowns in the unshared ones.
+
+    score_lr = sum over tokens a of L with best-match similarity
+    (normalized Levenshtein, the cross-engine-exact inner metric this
+    module standardizes on) above theta of
+    V(a, L) * V(argmax_b, R) * max_b sim(a, b), with V the doc-L2-
+    normalized smooth idf weight (same idf as tfidf_cosine_pairs).
+    Output: (id_l, id_r, soft_lr, soft_rl, soft_sym), 6-dp rounded.
+
+    Scale shape: one explode + one partial-agg groupBy for df, one
+    groupBy(_id) building the bounded (max_tokens) weighted-token arrays,
+    then the O(K^2)-per-pair comparator runs entirely inside whole-stage
+    codegen on the block self-join -- the monge_elkan shape with an idf
+    dimension table folded into the token arrays instead of a per-pair
+    join. Determinism: token arrays sorted, folds left-associated in
+    token order, idf's ln absorbed by the 6-dp round.
+    """
+    n_docs = docs.count()  # corpus-level constant, like tfidf_cosine_pairs
+    base = docs.select(
+        F.col(block_col).alias("_bk"),
+        F.col(id_col).alias("_id"),
+        F.expr(_sorted_tokens(text_col, max_tokens)).alias("_toks"),
+    )
+    tok = base.select(
+        "_bk", "_id", F.explode("_toks").alias("token")
+    ).filter(F.col("token") != "")
+    df_t = tok.groupBy("token").agg(F.count("*").alias("df"))
+    w = tok.join(df_t, "token").withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0,
+    )
+    weighted = (
+        w.groupBy("_bk", "_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("token").alias("t"), F.col("idf")))
+            ).alias("tw")
+        )
+        .select(
+            "_bk",
+            "_id",
+            F.expr(
+                "transform(tw, x -> struct(x.t AS t, x.idf / "
+                "sqrt(aggregate(tw, 0.0D, (acc, y) -> acc + y.idf * y.idf))"
+                " AS w))"
+            ).alias("_wt"),
+        )
+    )
+    l = weighted.select(
+        "_bk", F.col("_id").alias("id_l"), F.col("_wt").alias("toks_l")
+    )
+    r = weighted.select(
+        "_bk", F.col("_id").alias("id_r"), F.col("_wt").alias("toks_r")
+    )
+    lr = _soft_tfidf_expr("toks_l", "toks_r", theta)
+    rl = _soft_tfidf_expr("toks_r", "toks_l", theta)
+    return (
+        l.join(r, "_bk")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select(
+            "id_l",
+            "id_r",
+            F.round(F.expr(lr), 6).alias("soft_lr"),
+            F.round(F.expr(rl), 6).alias("soft_rl"),
+            F.round((F.expr(lr) + F.expr(rl)) / F.lit(2.0), 6).alias(
+                "soft_sym"
+            ),
+        )
+    )
+
+
 def tfidf_cosine_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -267,6 +267,122 @@ def adjusted_rand(
     )
 
 
+def nmi_scorecard(
+    labels: DataFrame,
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_cluster",
+) -> DataFrame:
+    """One-row information-theoretic clustering scorecard: mutual
+    information, marginal entropies, homogeneity / completeness
+    (Rosenberg & Hirschberg 2007) and V-measure -- which for beta = 1 is
+    exactly NMI under arithmetic-mean normalization (Vinh et al. 2010),
+    so one scorecard covers both conventions.
+
+    Complements bcubed_quality / adjusted_rand with the third standard
+    family: ARI corrects for chance, B-cubed weights records, NMI/V
+    decomposes the error into over-merging (homogeneity loss) vs
+    over-splitting (completeness loss) -- the two failure modes
+    cluster_repair's threshold refinement trades between.
+
+    Float contract: every sufficient statistic (cell counts n_pg,
+    marginals n_p / n_g, N) is an exact BIGINT from partial-agg groupBys;
+    the per-cell MI terms (n_pg/N) * ln(n_pg*N / (n_p*n_g)) and per-
+    cluster entropy terms -(n_p/N) * ln(n_p/N) are doubles folded in
+    key-sorted order (sort_array + aggregate -- the same engine-
+    independent IEEE trajectory bcubed_quality pins), and outputs round
+    to 6 dp (absorbing any ulp of libm ln skew). The fold lists are
+    bounded by the number of CELLS / CLUSTERS, never records.
+
+    Conventions at the degenerate edges: homogeneity / completeness are
+    1.0 when the respective reference entropy is 0 (single-cluster gold /
+    pred -- nothing to get wrong), and v_measure is 0.0 when h + c = 0.
+
+    Output: (n_records, mi, h_pred, h_gold, homogeneity, completeness,
+    v_measure).
+    """
+    cells = labels.groupBy(
+        F.col(pred_col).alias("p"), F.col(gold_col).alias("g")
+    ).agg(F.count("*").cast("long").alias("n_pg"))
+    marg_p = cells.groupBy("p").agg(F.sum("n_pg").cast("long").alias("n_p"))
+    marg_g = cells.groupBy("g").agg(F.sum("n_pg").cast("long").alias("n_g"))
+    n_tot = cells.agg(F.sum("n_pg").cast("long").alias("n_records"))
+
+    # per-cell MI terms, folded in (p, g)-sorted order. Operands are cast
+    # to double BEFORE multiplying: n_pg * N overflows int64 far below
+    # 10^12 records, and both engines must evaluate the same expression
+    # shape for the 6-dp round to absorb the ln ulp.
+    mi_terms = (
+        cells.join(marg_p, "p")
+        .join(marg_g, "g")
+        .crossJoin(n_tot)
+        .select(
+            F.col("p").cast("string").alias("kp"),
+            F.col("g").cast("string").alias("kg"),
+            (
+                (F.col("n_pg").cast("double") / F.col("n_records").cast("double"))
+                * F.log(
+                    (F.col("n_pg").cast("double") * F.col("n_records").cast("double"))
+                    / (F.col("n_p").cast("double") * F.col("n_g").cast("double"))
+                )
+            ).alias("term"),
+        )
+    )
+    mi = mi_terms.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(kp, kg, term))), "
+            "0.0D, (acc, x) -> acc + x.term)"
+        ).alias("mi")
+    )
+
+    def entropy(marg: DataFrame, key: str, n_col: str, out: str) -> DataFrame:
+        terms = marg.crossJoin(n_tot).select(
+            F.col(key).cast("string").alias("k"),
+            (
+                -(F.col(n_col).cast("double") / F.col("n_records").cast("double"))
+                * F.log(
+                    F.col(n_col).cast("double") / F.col("n_records").cast("double")
+                )
+            ).alias("term"),
+        )
+        return terms.agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(k, term))), "
+                "0.0D, (acc, x) -> acc + x.term)"
+            ).alias(out)
+        )
+
+    h_p = entropy(marg_p, "p", "n_p", "h_pred")
+    h_g = entropy(marg_g, "g", "n_g", "h_gold")
+
+    hom = F.when(F.col("h_gold") > 0.0, F.col("mi") / F.col("h_gold")).otherwise(
+        F.lit(1.0)
+    )
+    com = F.when(F.col("h_pred") > 0.0, F.col("mi") / F.col("h_pred")).otherwise(
+        F.lit(1.0)
+    )
+    v = F.when(
+        (F.col("homogeneity") + F.col("completeness")) > 0.0,
+        2.0
+        * F.col("homogeneity")
+        * F.col("completeness")
+        / (F.col("homogeneity") + F.col("completeness")),
+    ).otherwise(F.lit(0.0))
+    return (
+        n_tot.crossJoin(mi)
+        .crossJoin(h_p)
+        .crossJoin(h_g)
+        .select(
+            "n_records",
+            F.round("mi", 6).alias("mi"),
+            F.round("h_pred", 6).alias("h_pred"),
+            F.round("h_gold", 6).alias("h_gold"),
+            F.round(hom, 6).alias("homogeneity"),
+            F.round(com, 6).alias("completeness"),
+        )
+        .withColumn("v_measure", F.round(v, 6))
+    )
+
+
 def cluster_cohesion(
     labels: DataFrame,
     edges: DataFrame,

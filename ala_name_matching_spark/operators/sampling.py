@@ -80,6 +80,61 @@ def stratified_sample(
     return df.filter(bucket < cut)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "aes-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    Efraimidis-Spirtes exponential-keys scheme (A-ES, Inf. Proc. Letters
+    2006) with the RNG replaced by the salted-md5 uniform this module
+    already uses for splits -- so the drawn sample is a pure function of
+    (salt, id, weight): reproducible across runs, engines, partitionings,
+    and cluster sizes.
+
+    Each record gets u_i in (0,1) from a 52-bit salted md5 prefix
+    ((h + 0.5) / 2^52 -- exactly representable, never 0 or 1) and the
+    sort key  es_key = ln(u_i) / w_i  (monotone in the paper's u^(1/w),
+    numerically tamer); the k records with the LARGEST keys are the
+    sample, which Efraimidis-Spirtes prove realizes exact
+    probability-proportional-to-size sampling without replacement. This
+    is the weighted generalization of deterministic_split: quality- or
+    length-weighted corpus subsampling where a bernoulli split cannot hit
+    an exact budget k.
+
+    Determinism contract: keys are rounded to 9 dp BEFORE ranking
+    (absorbing libm ln ulp skew) with the id as tie-break, so both
+    engines rank identically. Rows with weight <= 0 are excluded up
+    front (A-ES gives them zero mass; ln(u)/w would flip sign).
+
+    SCALE: one narrow projection computes keys map-side; the top-k runs
+    on blocking.global_rank -- range-partition + per-partition local
+    windows + a bounded offset table -- never a single-partition global
+    window. Output: input columns + es_key + es_rank (0-based), the k
+    lowest ranks.
+    """
+    from ala_name_matching_spark.operators.blocking import global_rank
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16**13))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    base = (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .withColumn("_negkey", -F.col("es_key"))
+    )
+    ranked = global_rank(base, ["_negkey", id_col], rank_col="es_rank")
+    return ranked.where(F.col("es_rank") < k).drop("_negkey")
+
+
 def pack_sequences(
     docs: DataFrame,
     token_budget: int = 2048,

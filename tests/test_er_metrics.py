@@ -134,3 +134,63 @@ def test_block_size_histogram_buckets_and_pair_mass(spark):
     assert out[1]["n_blocks"] == 2 and out[1]["n_pairs"] == 3 + 1
     assert out[0]["n_blocks"] == 1 and out[0]["n_pairs"] == 0
     assert out[1]["n_records"] == 5
+
+
+def _labels_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pred_cluster", "gold_cluster"])
+    )
+
+
+def test_nmi_perfect_clustering(spark):
+    """pred == gold (up to renaming) -> h = c = v = 1, mi = h_gold."""
+    from ala_name_matching_spark.operators.er_metrics import nmi_scorecard
+
+    rows = [("p1", "g1")] * 3 + [("p2", "g2")] * 5
+    r = nmi_scorecard(_labels_df(spark, rows)).collect()[0]
+    assert r["n_records"] == 8
+    assert r["homogeneity"] == 1.0
+    assert r["completeness"] == 1.0
+    assert r["v_measure"] == 1.0
+    assert r["mi"] == r["h_gold"] == r["h_pred"]
+
+
+def test_nmi_hand_computed(spark):
+    """gold {a,a,b,b}, pred splits one gold cluster: check against the
+    closed-form entropies (python floats, same 6-dp round)."""
+    import math
+
+    from ala_name_matching_spark.operators.er_metrics import nmi_scorecard
+
+    # pred: p1={g1,g1}, p2={g2}, p3={g2}
+    rows = [("p1", "g1"), ("p1", "g1"), ("p2", "g2"), ("p3", "g2")]
+    r = nmi_scorecard(_labels_df(spark, rows)).collect()[0]
+    n = 4.0
+    h_pred = -(2 / n) * math.log(2 / n) - 2 * (1 / n) * math.log(1 / n)
+    h_gold = -2 * (2 / n) * math.log(2 / n)
+    # cells: (p1,g1,2), (p2,g2,1), (p3,g2,1)
+    mi = (2 / n) * math.log((2 * n) / (2 * 2)) + 2 * (1 / n) * math.log(
+        (1 * n) / (1 * 2)
+    )
+    assert r["h_pred"] == round(h_pred, 6)
+    assert r["h_gold"] == round(h_gold, 6)
+    assert r["mi"] == round(mi, 6)
+    # splitting only: homogeneity stays 1, completeness drops
+    assert r["homogeneity"] == 1.0
+    assert 0.0 < r["completeness"] < 1.0
+    h = r["homogeneity"]
+    c = r["completeness"]
+    assert r["v_measure"] == round(2 * h * c / (h + c), 6)
+
+
+def test_nmi_single_cluster_edges(spark):
+    """One gold cluster (h_gold = 0): homogeneity defined as 1.0; the
+    all-singletons pred has completeness mi/h_pred = 0."""
+    from ala_name_matching_spark.operators.er_metrics import nmi_scorecard
+
+    rows = [("p1", "g"), ("p2", "g"), ("p3", "g")]
+    r = nmi_scorecard(_labels_df(spark, rows)).collect()[0]
+    assert r["mi"] == 0.0
+    assert r["h_gold"] == 0.0
+    assert r["homogeneity"] == 1.0
+    assert r["completeness"] == 0.0

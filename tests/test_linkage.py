@@ -142,3 +142,29 @@ def test_rbm_ties_break_to_smallest_partner(spark):
     # a1 ties 11/12 -> picks 11; b11 ties a1/a2 -> picks a1 -> (1,11) kept;
     # (1,12): a1's best is 11 -> dropped even though b12 prefers a1.
     assert out == {(1, 11): 0.5}
+
+
+def test_tf_adjusted_weights_hand_example(spark):
+    """values a,a,a,b: u_a=.75, u_b=.25, u_field=10/16; rare value gets a
+    positive adjustment, common negative; adjusted = log2(m/u_v)."""
+    import math
+
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.linkage import tf_adjusted_weights
+
+    df = spark.createDataFrame(pd.DataFrame({"v": ["a", "a", "a", "b", None]}))
+    rows = {r["value"]: r for r in tf_adjusted_weights(df, "v").collect()}
+    assert set(rows) == {"a", "b"}  # null excluded
+    a, b = rows["a"], rows["b"]
+    assert (a["n_v"], b["n_v"]) == (3, 1)
+    assert a["u_value"] == 0.75 and b["u_value"] == 0.25
+    assert a["u_field"] == b["u_field"] == round(10 / 16, 6)
+    assert a["tf_adjustment"] == round(math.log2((10 / 16) / 0.75), 6) < 0
+    assert b["tf_adjustment"] == round(math.log2((10 / 16) / 0.25), 6) > 0
+    assert a["adjusted_weight"] == round(math.log2(0.9 / 0.75), 6)
+    assert b["adjusted_weight"] == round(math.log2(0.9 / 0.25), 6)
+    # identity: adjusted = field-level weight + tf_adjustment (up to 1 ulp
+    # of the 6-dp rounds)
+    base = math.log2(0.9 / (10 / 16))
+    assert abs(a["adjusted_weight"] - (base + a["tf_adjustment"])) < 2e-6

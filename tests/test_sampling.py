@@ -122,3 +122,46 @@ def test_chunk_documents_coverage_and_overlap(spark):
         .collect()
     )
     assert len(short) == 1 and short[0]["n_tokens"] == 3
+
+
+def test_weighted_sample_exact_k_and_determinism(spark):
+    """A-ES draws exactly k rows, reproducibly, ranks 0..k-1."""
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(500), "w": [1.0 + (i % 7) for i in range(500)]})
+    )
+    a = weighted_sample(df, "id", "w", k=50)
+    got = sorted((r["id"], r["es_rank"]) for r in a.collect())
+    again = sorted(
+        (r["id"], r["es_rank"])
+        for r in weighted_sample(df, "id", "w", k=50).collect()
+    )
+    assert got == again
+    assert len(got) == 50
+    assert sorted(r for _, r in got) == list(range(50))
+
+
+def test_weighted_sample_weight_dominance_and_zero_exclusion(spark):
+    """A huge weight pins its key near 0 (the max) -> always drawn; rows
+    with weight <= 0 are never drawn; changing salt redraws."""
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.sampling import weighted_sample
+
+    pdf = pd.DataFrame({"id": range(200), "w": [1.0] * 200})
+    pdf.loc[7, "w"] = 1e12     # ln(u)/1e12 ~ 0 -> top rank
+    pdf.loc[13, "w"] = 0.0     # excluded
+    pdf.loc[14, "w"] = -3.0    # excluded
+    df = spark.createDataFrame(pdf)
+    ids = {r["id"] for r in weighted_sample(df, "id", "w", k=20).collect()}
+    assert 7 in ids
+    assert 13 not in ids and 14 not in ids
+    other = {
+        r["id"]
+        for r in weighted_sample(df, "id", "w", k=20, salt="aes-v2").collect()
+    }
+    assert 7 in other  # dominance survives any salt
+    assert ids != other  # but the uniform draw changes
