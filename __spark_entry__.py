@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 127 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 128 queries are
                   value-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key, an
                   unrolled-CTE replay of the SemDeDup k-means loop, a
@@ -161,6 +161,36 @@ def _q_pair_scores_lev(spark, sf_dir):
         "doc_id_l",
         "doc_id_r",
         F.levenshtein("text_l", "text_r").alias("lev_dist"),
+    )
+
+
+def _q_pair_scores_jw(spark, sf_dir):
+    # within-block pairwise Jaro-Winkler -- the A1 scorer's string kernel
+    # (north-star-named), batch-vectorized in functions/jw_vectorized.
+    # Value-checked against DuckDB's INDEPENDENT jaro_winkler_similarity:
+    # both floor the transposition count (strcmp95 integer halving) and
+    # boost at jaro > 0.7 with the 4-char prefix, so raw doubles agree
+    # bit-for-bit on 64-char-capped inputs (30k-pair randomized stress);
+    # the 6-dp round is belt-and-braces.
+    from ala_name_matching_spark.functions.similarity import jaro_winkler_udf
+
+    d = _docs(spark, sf_dir).select(
+        _block_key_col().alias("bk"), "doc_id", "text"
+    )
+    l = d.select(
+        F.col("bk"), F.col("doc_id").alias("doc_id_l"), F.col("text").alias("text_l")
+    )
+    r = d.select(
+        F.col("bk"), F.col("doc_id").alias("doc_id_r"), F.col("text").alias("text_r")
+    )
+    return _spread(
+        l.join(r, "bk").filter(F.col("doc_id_l") < F.col("doc_id_r"))
+    ).select(
+        "doc_id_l",
+        "doc_id_r",
+        F.round(jaro_winkler_udf(F.col("text_l"), F.col("text_r")), 6).alias(
+            "jw_sim"
+        ),
     )
 
 
@@ -2495,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canon_groups": _q_canon_groups,
         "block_pair_counts": _q_block_pair_counts,
         "pair_scores_lev": _q_pair_scores_lev,
+        "pair_scores_jw": _q_pair_scores_jw,
         "token_jaccard_pairs": _q_token_jaccard_pairs,
         "minhash_unigram_sig": _q_minhash_unigram_sig,
         "fingerprint": _q_fingerprint,
@@ -2880,6 +2911,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
                    levenshtein(l.text, r.text) AS lev_dist
             FROM d l JOIN d r ON l.bk = r.bk AND l.doc_id < r.doc_id""",
+        # JW: DuckDB's independent jaro_winkler_similarity -- exact
+        # agreement with the vectorized kernel (strcmp95 transposition
+        # flooring, 0.7 boost threshold, 4-char prefix, 64-char cap)
+        "pair_scores_jw": f"""
+            WITH d AS (SELECT {_BK} AS bk, doc_id, text FROM documents)
+            SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+                   round(CASE WHEN l.text = r.text THEN 1.0
+                         ELSE jaro_winkler_similarity(l.text[1:64],
+                                                      r.text[1:64]) END,
+                         6) AS jw_sim
+            FROM d l JOIN d r ON l.bk = r.bk AND l.doc_id < r.doc_id
+        """,
         "token_jaccard_pairs": f"""
             WITH d AS (
               SELECT {_BK} AS bk, doc_id,

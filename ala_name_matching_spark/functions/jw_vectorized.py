@@ -113,7 +113,12 @@ def jw_batch(a: pd.Series, b: pd.Series, prefix_scale: float = 0.1) -> np.ndarra
         g1 = np.take_along_axis(s1, order1, axis=1)
         g2 = np.take_along_axis(s2, order2, axis=1)
         kth = pos[None, :] < m[:, None]
-        trans = ((g1 != g2) & kth).sum(axis=1) / 2.0
+        # strcmp95 semantics: mismatch count halved by INTEGER division
+        # (matches the scalar kernel and DuckDB's jaro_winkler_similarity
+        # -- see similarity.jaro)
+        trans = np.floor_divide(((g1 != g2) & kth).sum(axis=1), 2).astype(
+            np.float64
+        )
 
         with np.errstate(divide="ignore", invalid="ignore"):
             jaro = (m / l1 + m / l2 + (m - trans) / np.maximum(m, 1)) / 3.0

@@ -81,7 +81,12 @@ def jaro(s1: str, s2: str) -> float:
             if s1[i] != s2[j]:
                 transpositions += 1
             j += 1
-    t = transpositions / 2
+    # Winkler's strcmp95 halves the mismatch count with INTEGER division
+    # (the count can be odd); DuckDB's jaro_winkler_similarity does the
+    # same, so flooring here makes the kernel agree bit-for-bit with the
+    # independent DuckDB implementation (verified on 30k randomized pairs)
+    # -- which is what lets JW-bearing oracles be value-checked.
+    t = transpositions // 2
     m = matches
     return (m / len1 + m / len2 + (m - t) / m) / 3.0
 

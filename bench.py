@@ -105,6 +105,7 @@ def main():
     qs = entry_mod.queries()
     for name in [
         "pair_scores_lev",
+        "pair_scores_jw",
         "minhash_lsh_neardups",
         "simhash_neardups",
         "cosine_topk",

@@ -143,3 +143,54 @@ def test_author_soft_gate_a4(spark):
     out = apply_pair_scores(spark.createDataFrame(pdf), has_tokens=False)
     got = {r["record_id_l"]: r["homonym_conflict"] for r in out.collect()}
     assert got == {"a1": False, "b1": True, "c1": True, "d1": False}
+
+
+def test_jw_agrees_with_duckdb_exactly():
+    """The vectorized kernel and DuckDB's independent
+    jaro_winkler_similarity implement the same strcmp95 semantics
+    (integer-floored transpositions, 0.7 boost threshold, 4-char prefix):
+    raw doubles agree exactly on a randomized corpus. This is the
+    agreement pair_scores_jw's and er_clusters' oracles stand on."""
+    import random
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from ala_name_matching_spark.functions.jw_vectorized import jw_batch
+
+    rng = random.Random(11)
+    alpha = "abcdef ghij"
+    pairs = [
+        ("martha", "marhta"),
+        ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"),
+        ("duane", "dwayne"),
+        ("", "x"),
+        ("abc", "abc"),
+        ("a" * 80 + "b", "a" * 80 + "c"),
+    ]
+    for _ in range(5000):
+        pairs.append(
+            (
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14))),
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14))),
+            )
+        )
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    mine = jw_batch(a, b)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"a": a, "b": b}))
+    duck = (
+        con.sql(
+            "SELECT CASE WHEN a = b THEN 1.0 ELSE "
+            "jaro_winkler_similarity(a[1:64], b[1:64]) END FROM t"
+        )
+        .df()
+        .iloc[:, 0]
+        .to_numpy()
+    )
+    assert np.array_equal(mine, duck), (
+        f"{(mine != duck).sum()} of {len(pairs)} disagree"
+    )
