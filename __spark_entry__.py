@@ -5,7 +5,7 @@ entry(spark)   -- flagship: full ER pipeline (blocking -> scoring -> CC ->
                   transcripts; returns the cluster summary.
 queries()      -- one callable per implemented operator (SURVEY.md §2 +
                   training-data extensions), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 128 queries are
+oracle_sql()   -- DuckDB-equivalent SQL per query. ALL 129 queries are
                   value-checked (incl. an independent DuckDB treat_word
                   re-implementation for the phonetic blocking key, an
                   unrolled-CTE replay of the SemDeDup k-means loop, a
@@ -2402,6 +2402,21 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_pq_adc_topk(spark, sf_dir):
+    # Product Quantization ADC search (Jegou et al. 2011): 4 subspaces x
+    # 8-centroid codebooks trained by one grouped Lloyd loop, corpus stored
+    # as 4 codes/vector, queries answered from the M x k lookup grid --
+    # the FAISS-style compression layer composing with the IVF coarse
+    # quantizer. Full train+encode+ADC replayed by unrolled DuckDB CTEs.
+    from ala_name_matching_spark.operators.pq import pq_adc_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(q, emb, m_subs=4, k=8, iters=2, topk=10)
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     from ala_name_matching_spark.operators.similarity_search import ivf_topk
 
@@ -2647,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardups": _q_simhash_neardups,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "pq_adc_topk": _q_pq_adc_topk,
         "dm_fuzzy_lookup": _q_dm_fuzzy_lookup,
         "spelling_collision_qa": _q_spelling_collision_qa,
         "double_metaphone_keys": _q_double_metaphone_keys,
@@ -2728,6 +2744,13 @@ def _semdedup_oracle() -> str:
     return semdedup_oracle_sql(
         n_clusters=8, iters=2, threshold=0.95, dim=64, table=aug
     )
+
+
+def _pq_oracle() -> str:
+    # parameters mirror _q_pq_adc_topk exactly
+    from ala_name_matching_spark.operators.pq import pq_oracle_sql
+
+    return pq_oracle_sql(m_subs=4, k=8, iters=2, topk=10, dim=64, n_queries=5)
 
 
 def _fuzzy_bm25_oracle() -> str:
@@ -4798,6 +4821,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(g.j AS INT) AS rank
             FROM embeddings e, generate_series(1, 5) AS g(j)
             WHERE e.vec_id < 20""",
+        # PQ/ADC: the whole train+encode+query path unrolled (grouped
+        # Lloyd CTEs, reduced-score argmin, sub-sorted ADC fold)
+        "pq_adc_topk": _pq_oracle(),
         "ann_ivf_topk": """
             SELECT e.vec_id AS query_id,
                    e.vec_id + g.j * 1000000 AS vec_id,

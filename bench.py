@@ -111,6 +111,7 @@ def main():
         "cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "pq_adc_topk",
         "broadcast_lookup_join",
         "topk_orders_per_customer",
         "range_join",
