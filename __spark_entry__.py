@@ -1023,6 +1023,23 @@ def _q_strip_dup_spans(spark, sf_dir):
     return strip_dup_spans(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def _q_line_dedup(spark, sf_dir):
+    # CCNet line-level dedup (Wenzek et al. 2019): remove lines duplicated
+    # across >= 2 documents, keeping the first occurrence (min doc, min
+    # line index). The fixture is a single-line token stream, so the line
+    # unit is the 10-token chunk (unit="tokens") -- the newline unit is
+    # exercised on synthesized multi-line docs in tests/test_dedup.py.
+    from ala_name_matching_spark.operators.dedup import line_dedup
+
+    return line_dedup(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        unit="tokens",
+        tokens_per_line=10,
+        min_docs=2,
+        policy="keep_first",
+    )
+
+
 def _q_winnowing_pairs(spark, sf_dir):
     # MOSS winnowing: planted 25-token quote twins (doc_id + 4000000) must
     # share fingerprints by the w + k - 1 guarantee (25 >= 5 + 4 - 1).
@@ -2636,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_quality": _q_er_blocking_quality,
         "winnowing_pairs": _q_winnowing_pairs,
         "strip_dup_spans": _q_strip_dup_spans,
+        "line_dedup": _q_line_dedup,
         "gap_fill_minutes": _q_gap_fill,
         "chunk_documents": _q_chunk_documents,
         "frame_schedule": _q_frame_schedule,
@@ -3450,6 +3468,45 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
                    (v IS NULL) AS filled
             FROM joined""",
+        # CCNet line dedup replay: 10-token chunk lines via i//10 grouping
+        # (content-identical to Spark's slice()-built lines), md5 line
+        # keys, argmin keeper = (min doc, its first line index)
+        "line_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok,
+                     generate_subscripts({_TOKS}, 1) - 1 AS i
+              FROM documents),
+            lines AS (
+              SELECT doc_id, i // 10 AS line_idx,
+                     string_agg(tok, ' ' ORDER BY i) AS line
+              FROM toks GROUP BY doc_id, i // 10),
+            h AS (SELECT doc_id, line_idx, line, md5(line) AS hsh
+                  FROM lines),
+            pd AS (SELECT hsh, doc_id, min(line_idx) AS fi
+                   FROM h GROUP BY 1, 2),
+            st AS (SELECT hsh, count(*) AS n_docs FROM pd GROUP BY 1),
+            keeper AS (
+              SELECT pd.hsh, pd.doc_id AS kd, pd.fi AS kfi
+              FROM pd JOIN (SELECT hsh, min(doc_id) AS kd FROM pd
+                            GROUP BY 1) m
+                ON pd.hsh = m.hsh AND pd.doc_id = m.kd),
+            kept AS (
+              SELECT h.doc_id, h.line_idx, h.line
+              FROM h JOIN st USING (hsh) JOIN keeper USING (hsh)
+              WHERE st.n_docs < 2
+                 OR (h.doc_id = keeper.kd AND h.line_idx = keeper.kfi)),
+            reb AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(line, ' ' ORDER BY line_idx) AS text_kept
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_lines FROM lines
+                    GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(reb.text_kept, '') AS text_kept
+            FROM documents d
+            LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)""",
         "strip_dup_spans": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             pos_tok AS (

@@ -1069,3 +1069,145 @@ def strip_dup_spans(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level deduplication (CCNet, Wenzek et al. 2019).
+#
+# CCNet's first and cheapest dedup pass removes individual LINES that are
+# duplicated across the corpus (boilerplate headers, nav bars, cookie
+# banners) rather than whole near-dup documents. The unit is configurable
+# because real corpora carry newline structure while this fixture is a
+# single-line token stream: unit="newline" splits on \n (the CCNet
+# behavior), unit="tokens" chunks the normalized token stream into
+# fixed-width pseudo-lines (the only unit that is non-vacuous here, and
+# the same chunking rule as sampling.chunk_documents).
+#
+# SCALE: the lines explode is corpus-linear (no pair blowup anywhere);
+# the duplicate decision is two PARTIAL-AGG groupBys on the md5 line hash
+# ((hash, doc) first-occurrence, then (hash) doc-frequency + keeper
+# argmin) -- never a count(DISTINCT) Expand; the decision joins back on
+# the hash key and the rebuild is one per-doc groupBy. Four keyed
+# shuffles total, each map-side combined. Hot line values (a banner
+# repeated in 10^9 docs) are ONE group in the stats table -- skew shows
+# up only in the decision join, which broadcasts nothing and carries just
+# (hash, n_docs, keeper) per distinct line.
+# ---------------------------------------------------------------------------
+
+
+def doc_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unit: str = "newline",
+    tokens_per_line: int = 10,
+) -> DataFrame:
+    """(id, line_idx, line): one row per line occurrence.
+
+    unit="newline": split on \\n, lines kept verbatim (trailing empties
+    included, like Spark's split with limit=-1).
+    unit="tokens": normalize (lower, \\s+ -> ' ', trim) then chunk the
+    token array into `tokens_per_line`-wide pseudo-lines; the last line
+    per doc may be short. Empty/blank text yields zero lines.
+    """
+    if unit == "newline":
+        lines = F.split(F.col(text_col), "\n", -1)
+    elif unit == "tokens":
+        toks = F.split(
+            F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+            " ",
+        )
+        n = tokens_per_line
+        lines = F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(toks) / F.lit(n)).cast("int") - 1
+            ),
+            lambda i: F.array_join(F.slice(toks, i * n + 1, n), " "),
+        )
+        lines = F.when(
+            F.length(F.trim(F.col(text_col))) > 0, lines
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        raise ValueError(f"unknown line unit: {unit!r}")
+    return df.select(
+        F.col(id_col), F.posexplode_outer(lines).alias("line_idx", "line")
+    ).where(F.col("line").isNotNull())
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unit: str = "newline",
+    tokens_per_line: int = 10,
+    min_docs: int = 2,
+    policy: str = "keep_first",
+) -> DataFrame:
+    """(id, n_lines, n_kept, text_kept): corpus-wide duplicated-line removal.
+
+    A line value occurring in >= `min_docs` DISTINCT documents is a
+    duplicate. policy="keep_first" retains exactly one occurrence -- the
+    first (min line_idx) within the lowest-id document containing it --
+    and drops every other occurrence corpus-wide (including later repeats
+    inside the keeper document). policy="drop_all" is CCNet's stricter
+    mode: every occurrence of a duplicated line is removed. Lines whose
+    value stays under `min_docs` documents are always kept (within-doc
+    repeats of a doc-unique line survive -- this is CROSS-doc dedup).
+    Blank lines (empty after trim) are never treated as duplicates.
+
+    text_kept rejoins surviving lines in original order with '\\n'
+    (unit="newline") or ' ' (unit="tokens"); a fully-deduplicated doc
+    emits ''. Deterministic: the keeper is an argmin, no sampling.
+    """
+    if policy not in ("keep_first", "drop_all"):
+        raise ValueError(f"unknown policy: {policy!r}")
+    occ = doc_lines(df, id_col, text_col, unit, tokens_per_line)
+    key = F.md5(F.trim(F.col("line")))
+    occ = occ.withColumn(
+        "_h", F.when(F.length(F.trim(F.col("line"))) > 0, key)
+    )
+    # (hash, doc) -> first occurrence index; then (hash) -> doc frequency
+    # + keeper (min doc, its first index). Both partial-agg'd.
+    perdoc = (
+        occ.where(F.col("_h").isNotNull())
+        .groupBy("_h", id_col)
+        .agg(F.min("line_idx").alias("_first_idx"))
+    )
+    stats = perdoc.groupBy("_h").agg(
+        F.count("*").alias("_n_docs"),
+        F.min(F.struct(F.col(id_col), F.col("_first_idx"))).alias("_keeper"),
+    )
+    joined = occ.join(stats, "_h", "left")
+    is_dup = F.col("_n_docs") >= F.lit(min_docs)
+    if policy == "keep_first":
+        keep = ~is_dup | (
+            (F.col(f"_keeper.{id_col}") == F.col(id_col))
+            & (F.col("_keeper._first_idx") == F.col("line_idx"))
+        )
+    else:
+        keep = ~is_dup
+    keep = F.coalesce(keep, F.lit(True))  # blank lines always kept
+    joiner = "\n" if unit == "newline" else " "
+    kept = joined.where(keep)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            joiner,
+        ).alias("_text"),
+    )
+    base = occ.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        df.select(id_col)
+        .join(base, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("_n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("_text"), F.lit("")).alias("text_kept"),
+        )
+    )

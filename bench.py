@@ -147,6 +147,7 @@ def main():
         "phrase_match",
         "winnowing_pairs",
         "strip_dup_spans",
+        "line_dedup",
         "hll_distinct_tokens",
         "bloom_prefilter_join",
         "cm_token_counts",

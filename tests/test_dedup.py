@@ -358,3 +358,63 @@ def test_strip_dup_spans_fully_covered_doc_empties(spark):
     got = {r["doc_id"]: r for r in strip_dup_spans(docs, span_n=4).collect()}
     assert got[0]["clean_text"] == "" and got[1]["clean_text"] == ""
     assert got[0]["n_removed"] == 4
+
+
+def test_line_dedup_newline_keep_first(spark):
+    from ala_name_matching_spark.operators.dedup import line_dedup
+
+    banner = "subscribe to our newsletter"
+    rows = [
+        (1, f"{banner}\nunique one\n{banner}"),   # banner twice in doc 1
+        (2, f"{banner}\nunique two"),
+        (3, "unique three\nonly here\nonly here"),  # within-doc repeat only
+        (4, banner),
+    ]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(d, unit="newline", min_docs=2).collect()
+    }
+    # keeper = (doc 1, line 0); every other banner occurrence dropped
+    assert out[1]["text_kept"] == f"{banner}\nunique one"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[2]["text_kept"] == "unique two"
+    # a line repeated only WITHIN one doc is not a cross-doc duplicate
+    assert out[3]["text_kept"] == "unique three\nonly here\nonly here"
+    assert out[4]["text_kept"] == "" and out[4]["n_kept"] == 0
+
+
+def test_line_dedup_drop_all_and_blank(spark):
+    from ala_name_matching_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "dup line\n\nkeep a"),
+        (2, "dup line\n\nkeep b"),
+    ]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(d, unit="newline", policy="drop_all").collect()
+    }
+    # drop_all removes BOTH occurrences; blank lines are never duplicates
+    assert out[1]["text_kept"] == "\nkeep a"
+    assert out[2]["text_kept"] == "\nkeep b"
+
+
+def test_line_dedup_token_unit_counts(spark):
+    from ala_name_matching_spark.operators.dedup import line_dedup
+
+    # 5 tokens/line: doc 20's first chunk == doc 21's first chunk
+    chunk = "a b c d e"
+    rows = [(20, f"{chunk} tail one"), (21, f"{chunk} tail two"), (22, "x")]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            d, unit="tokens", tokens_per_line=5, min_docs=2
+        ).collect()
+    }
+    assert out[20]["n_lines"] == 2 and out[20]["n_kept"] == 2
+    assert out[21]["n_lines"] == 2 and out[21]["n_kept"] == 1
+    assert out[21]["text_kept"] == "tail two"
+    assert out[22]["text_kept"] == "x"
