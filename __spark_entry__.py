@@ -2343,6 +2343,31 @@ def _q_neardup_doc_clusters(spark, sf_dir):
     return neardup_clusters(_docs(spark, sf_dir), shingle_n=3, threshold=0.5)
 
 
+def _q_cluster_triangles(spark, sf_dir):
+    # Chain-vs-clique cluster QA: per near-dup cluster, triangle count and
+    # transitivity (3T/wedges) over the exact Jaccard edge set. 0.0 flags
+    # closure chains held together by bridging edges (the over-merge shape
+    # cluster_repair re-clusters); 1.0 is a clique. Degree-ordered triangle
+    # orientation on the Spark side (hub-safe); the id-ordered SQL replay
+    # is a valid oracle because the count is orientation-invariant.
+    from ala_name_matching_spark.operators.dedup import (
+        jaccard_edges,
+        neardup_clusters,
+    )
+    from ala_name_matching_spark.operators.er_metrics import cluster_triangles
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    edges = jaccard_edges(docs, shingle_n=3, threshold=0.5)
+    labels = neardup_clusters(docs, shingle_n=3, threshold=0.5, edges=edges)
+    return cluster_triangles(
+        labels,
+        edges,
+        id_col="doc_id",
+        cluster_col="cluster_rep",
+        edge_cols=("doc_id_l", "doc_id_r"),
+    )
+
+
 def _q_cross_doc_dup_ngrams(spark, sf_dir):
     # Corpus-level duplicated-text accounting (exact-substring dedup signal,
     # Lee et al. 2022): per doc, distinct word-4-grams shared with >= 2 docs
@@ -2672,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_keys": _q_phonetic_keys,
         # oracle-checked CC lane: recursive-CTE closure oracle
         "neardup_doc_clusters": _q_neardup_doc_clusters,
+        "cluster_triangles": _q_cluster_triangles,
         "cross_doc_dup_ngrams": _q_cross_doc_dup_ngrams,
         "dedup_keep_best": _q_dedup_keep_best,
         "mixture_weights": _q_mixture_weights,
@@ -5137,6 +5163,71 @@ def oracle_sql() -> dict[str, str]:
               SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.id
             )
             SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id""",
+        # triangle/transitivity replay: same edge rule + recursive-CTE
+        # closure as neardup_doc_clusters, then the classic id-ordered
+        # 3-way self-join (orientation-invariant, so it matches the Spark
+        # side's degree-ordered count); wedge sum cast out of HUGEINT
+        "cluster_triangles": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                     )) AS sh
+              FROM t
+            ), e AS (
+              SELECT a.doc_id AS l, b.doc_id AS r
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::double
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ), sym AS (
+              SELECT l AS a, r AS b FROM e UNION ALL SELECT r AS a, l AS b FROM e
+            ), reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM documents
+              UNION
+              SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.id
+            ), lab AS (
+              SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id
+            ), ec AS (
+              SELECT lab.cluster_rep AS c, e.l AS a, e.r AS b
+              FROM e JOIN lab ON lab.doc_id = e.l
+            ), deg AS (
+              SELECT c, n, count(*) AS d
+              FROM (SELECT c, a AS n FROM ec
+                    UNION ALL SELECT c, b AS n FROM ec)
+              GROUP BY 1, 2
+            ), w AS (
+              SELECT c, CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+              FROM deg GROUP BY c
+            ), ne AS (
+              SELECT c, count(*) AS n_edges FROM ec GROUP BY c
+            ), tri AS (
+              SELECT e1.c, count(*) AS n_triangles
+              FROM ec e1
+              JOIN ec e2 ON e1.c = e2.c AND e1.a = e2.a AND e1.b < e2.b
+              JOIN ec e3 ON e3.c = e1.c AND e3.a = e1.b AND e3.b = e2.b
+              GROUP BY e1.c
+            ), sz AS (
+              SELECT cluster_rep AS c, count(*) AS n_members
+              FROM lab GROUP BY 1 HAVING count(*) >= 2
+            )
+            SELECT sz.c AS cluster_rep,
+                   CAST(n_members AS BIGINT) AS n_members,
+                   CAST(coalesce(ne.n_edges, 0) AS BIGINT) AS n_edges,
+                   CAST(coalesce(w.n_wedges, 0) AS BIGINT) AS n_wedges,
+                   CAST(coalesce(tri.n_triangles, 0) AS BIGINT)
+                     AS n_triangles,
+                   round(CASE WHEN coalesce(w.n_wedges, 0) > 0
+                         THEN 3.0 * coalesce(tri.n_triangles, 0)
+                              / w.n_wedges
+                         ELSE 0.0 END, 6) AS transitivity
+            FROM sz
+            LEFT JOIN ne ON ne.c = sz.c
+            LEFT JOIN w ON w.c = sz.c
+            LEFT JOIN tri ON tri.c = sz.c""",
         "cross_doc_dup_ngrams": f"""
             WITH t AS (
               SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks

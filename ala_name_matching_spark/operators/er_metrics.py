@@ -445,6 +445,123 @@ def cluster_cohesion(
     )
 
 
+def cluster_triangles(
+    labels: DataFrame,
+    edges: DataFrame,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+    edge_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Per-cluster triangle count + transitivity: the chain-vs-clique QA
+    signal cluster_cohesion's edge density cannot see.
+
+    Density treats a 4-path and a 4-cycle alike (3 edges, 4 nodes);
+    transitivity = 3*triangles / wedges separates them (0.0 for any
+    tree/cycle-free chain, 1.0 for a clique). Low-transitivity clusters
+    are closure chains held together by single bridging edges -- the
+    over-merge shape the repair lane (cluster_repair) re-clusters.
+
+    Distributed shape: edges are routed to clusters with two id-keyed
+    joins (as in cluster_cohesion); triangles are counted on the
+    DEGREE-ORDERED orientation (each undirected edge directed from the
+    endpoint with lexicographically smaller (degree, id)) -- the standard
+    trick that bounds every node's out-degree by O(sqrt(m)), so the
+    wedge-generating self-join on src cannot blow up on hub records the
+    way a naive id-ordered join does (a star of degree d generates d^2/2
+    id-ordered wedges but ZERO degree-ordered ones from the hub). The
+    count is orientation-invariant, which is what makes the simple
+    id-ordered SQL replay a valid oracle. Wedges = sum over nodes of
+    C(deg, 2) -- one groupBy on the degree table, never materialized
+    as paths.
+
+    Output: (cluster_id, n_members, n_edges, n_wedges, n_triangles,
+    transitivity) for clusters with >= 2 members; transitivity is 0.0
+    where no wedge exists.
+    """
+    la = labels.select(
+        F.col(id_col).alias("_ida"), F.col(cluster_col).alias("_ca")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("_idb"), F.col(cluster_col).alias("_cb")
+    )
+    e = (
+        _canon_pairs(edges, *edge_cols)
+        .select(F.col("a").alias("_ida"), F.col("b").alias("_idb"))
+        .join(la, "_ida")
+        .join(lb, "_idb")
+        .where(F.col("_ca") == F.col("_cb"))
+        .select(
+            F.col("_ca").alias("_c"),
+            F.col("_ida").alias("_a"),
+            F.col("_idb").alias("_b"),
+        )
+    )
+    deg = (
+        e.select("_c", F.col("_a").alias("_n"))
+        .unionAll(e.select("_c", F.col("_b").alias("_n")))
+        .groupBy("_c", "_n")
+        .agg(F.count("*").cast("long").alias("_deg"))
+    )
+    per_cluster = deg.groupBy("_c").agg(
+        F.sum(F.expr("_deg * (_deg - 1L) div 2")).cast("long").alias("n_wedges"),
+        F.count("*").cast("long").alias("_n_with_edges"),
+    )
+    n_edges = e.groupBy("_c").agg(F.count("*").cast("long").alias("n_edges"))
+    # degree-ordered orientation: src = smaller (deg, id) endpoint; carry
+    # the destination's order key so the wedge join can avoid double-count
+    da = deg.select(
+        F.col("_c"), F.col("_n").alias("_a"), F.col("_deg").alias("_dega")
+    )
+    db = deg.select(
+        F.col("_c"), F.col("_n").alias("_b"), F.col("_deg").alias("_degb")
+    )
+    ed = e.join(da, ["_c", "_a"]).join(db, ["_c", "_b"])
+    ka = F.struct(F.col("_dega").alias("d"), F.col("_a").alias("n"))
+    kb = F.struct(F.col("_degb").alias("d"), F.col("_b").alias("n"))
+    o = ed.select(
+        "_c",
+        F.when(ka < kb, F.col("_a")).otherwise(F.col("_b")).alias("_src"),
+        F.when(ka < kb, F.col("_b")).otherwise(F.col("_a")).alias("_dst"),
+        F.when(ka < kb, kb).otherwise(ka).alias("_dstkey"),
+    )
+    o1 = o.select("_c", "_src", F.col("_dst").alias("_x"), F.col("_dstkey").alias("_kx"))
+    o2 = o.select("_c", "_src", F.col("_dst").alias("_y"), F.col("_dstkey").alias("_ky"))
+    wedge = o1.join(o2, ["_c", "_src"]).where(F.col("_kx") < F.col("_ky"))
+    closing = o.select(
+        "_c", F.col("_src").alias("_x"), F.col("_dst").alias("_y")
+    )
+    tri = (
+        wedge.join(closing, ["_c", "_x", "_y"], "left_semi")
+        .groupBy("_c")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    sizes = (
+        labels.groupBy(F.col(cluster_col).alias("_c"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+    )
+    # coalesce BEFORE the ratio: a cluster with wedges but no triangle
+    # row must score 0.0, not null
+    nt = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    nw = F.coalesce(F.col("n_wedges"), F.lit(0)).cast("long")
+    trans = F.when(
+        nw > 0, F.lit(3.0) * nt.cast("double") / nw.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        sizes.join(per_cluster.drop("_n_with_edges"), "_c", "left")
+        .join(n_edges, "_c", "left")
+        .join(tri, "_c", "left")
+        .select(
+            F.col("_c").alias(cluster_col),
+            "n_members",
+            F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+            nw.alias("n_wedges"),
+            nt.alias("n_triangles"),
+            F.round(trans, 6).alias("transitivity"),
+        )
+    )
+
+
 def threshold_sweep(
     scored_pairs: DataFrame,
     gold: DataFrame,

@@ -148,6 +148,7 @@ def main():
         "winnowing_pairs",
         "strip_dup_spans",
         "line_dedup",
+        "cluster_triangles",
         "hll_distinct_tokens",
         "bloom_prefilter_join",
         "cm_token_counts",

@@ -194,3 +194,54 @@ def test_nmi_single_cluster_edges(spark):
     assert r["h_gold"] == 0.0
     assert r["homogeneity"] == 1.0
     assert r["completeness"] == 0.0
+
+
+def test_cluster_triangles_chain_vs_clique(spark):
+    from ala_name_matching_spark.operators.er_metrics import cluster_triangles
+
+    # cluster 1 = 4-clique (6 edges, 4 triangles, transitivity 1.0);
+    # cluster 10 = 4-chain (3 edges, 0 triangles, transitivity 0.0);
+    # cluster 20 = triangle + pendant (wedges 3+1+1 = 5, 1 triangle)
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, 1) for i in (1, 2, 3, 4)]
+            + [(i, 10) for i in (10, 11, 12, 13)]
+            + [(i, 20) for i in (20, 21, 22, 23)]
+            + [(99, 99)],
+            columns=["record_id", "cluster_id"],
+        )
+    )
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    tri_pendant = [(20, 21), (21, 22), (20, 22), (22, 23)]
+    edges = spark.createDataFrame(
+        pd.DataFrame(clique + chain + tri_pendant, columns=["id_a", "id_b"])
+    )
+    out = {r["cluster_id"]: r for r in cluster_triangles(labels, edges).collect()}
+    assert 99 not in out  # singleton clusters excluded
+    c = out[1]
+    assert (c["n_edges"], c["n_wedges"], c["n_triangles"]) == (6, 12, 4)
+    assert c["transitivity"] == 1.0
+    c = out[10]
+    assert (c["n_edges"], c["n_wedges"], c["n_triangles"]) == (3, 2, 0)
+    assert c["transitivity"] == 0.0
+    c = out[20]
+    assert (c["n_edges"], c["n_wedges"], c["n_triangles"]) == (4, 5, 1)
+    assert c["transitivity"] == 0.6
+
+
+def test_cluster_triangles_hub_star_and_reversed_edges(spark):
+    from ala_name_matching_spark.operators.er_metrics import cluster_triangles
+
+    # star hub 0 with 5 leaves: 0 triangles, C(5,2)=10 wedges; reversed
+    # duplicate edges must not double-count
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, 0) for i in range(6)], columns=["record_id", "cluster_id"]
+        )
+    )
+    star = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    edges = spark.createDataFrame(pd.DataFrame(star, columns=["id_a", "id_b"]))
+    row = cluster_triangles(labels, edges).collect()[0]
+    assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (5, 10, 0)
+    assert row["transitivity"] == 0.0
