@@ -1137,6 +1137,56 @@ def _q_hll_distinct_tokens(spark, sf_dir):
     return est.join(exact, "lang").select("lang", "hll_estimate", "n_exact")
 
 
+def _q_kmv_overlap(spark, sf_dir):
+    # Theta-sketch set algebra: per-language-pair vocabulary union /
+    # intersection / Jaccard ESTIMATES from k=64-row KMV sketches, next to
+    # the exact values. Like the HLL lane, the deterministic md5-prefix
+    # hash makes the estimates themselves oracle-checkable -- and unlike
+    # HLL, KMV supports intersection (rho * U), the cross-slice overlap
+    # question a mixture-planning run asks of every slice pair at 100 TB
+    # without shuffling any vocabulary twice.
+    from ala_name_matching_spark.operators.sketches import (
+        kmv_pair_overlap,
+        kmv_sketch_table,
+    )
+    from ala_name_matching_spark.operators.text_analysis import _tokens
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    sk = kmv_sketch_table(toks, "tok", ["lang"], k=64)
+    ov = kmv_pair_overlap(sk, "lang", k=64)
+    d = toks.where(F.col("tok").isNotNull()).select("lang", "tok").distinct()
+    n = d.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    xi = (
+        d.alias("a")
+        .join(d.alias("b"), "tok")
+        .where(F.col("a.lang") < F.col("b.lang"))
+        .groupBy(
+            F.col("a.lang").alias("g_a"), F.col("b.lang").alias("g_b")
+        )
+        .agg(F.count("*").cast("long").alias("exact_inter"))
+    )
+    return (
+        ov.join(n.select(F.col("lang").alias("g_a"), F.col("n").alias("_na")), "g_a")
+        .join(n.select(F.col("lang").alias("g_b"), F.col("n").alias("_nb")), "g_b")
+        .join(xi, ["g_a", "g_b"], "left")
+        .select(
+            "g_a",
+            "g_b",
+            "est_union",
+            "est_inter",
+            "est_jaccard",
+            (F.col("_na") + F.col("_nb")
+             - F.coalesce(F.col("exact_inter"), F.lit(0))
+             ).cast("long").alias("exact_union"),
+            F.coalesce(F.col("exact_inter"), F.lit(0)).cast("long").alias(
+                "exact_inter"
+            ),
+        )
+    )
+
+
 def _q_bloom_prefilter_join(spark, sf_dir):
     # Bloom-prefiltered join accounting: orders (fact) against the selective
     # high-balance BUILDING customers (dim). The m-bit filter is built with
@@ -2639,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": _q_event_pivot,
         "skew_salted_join": _q_skew_salted_join,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
+        "kmv_overlap": _q_kmv_overlap,
         "bloom_prefilter_join": _q_bloom_prefilter_join,
         "quantile_profile_chars": _q_quantile_profile_chars,
         "setsim_join_pairs": _q_setsim_join,
@@ -4523,6 +4574,70 @@ def oracle_sql() -> dict[str, str]:
         # Count-Min grid replay: same md5('cm{{j}}|'||item) cell addressing
         # as the Spark kernel, so every counter -- and therefore every
         # min-over-rows estimate -- is bit-identical across engines
+        # KMV/theta replay: same 60-bit md5-prefix hashes, same bottom-64
+        # windows, so union/intersection/jaccard ESTIMATES (one float
+        # division on identical integer operands) match bit-for-bit
+        "kmv_overlap": f"""
+            WITH toks AS (SELECT lang, unnest({_TOKS}) AS tok
+                          FROM documents),
+            d AS (SELECT DISTINCT lang, tok FROM toks
+                  WHERE tok IS NOT NULL),
+            hs AS (SELECT DISTINCT lang,
+                     CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+                   FROM d),
+            sk AS (SELECT lang, h FROM (
+                     SELECT lang, h,
+                            row_number() OVER (PARTITION BY lang
+                                               ORDER BY h) AS rn
+                     FROM hs) WHERE rn <= 64),
+            pairs AS (
+              SELECT a.lang AS g_a, b.lang AS g_b
+              FROM (SELECT DISTINCT lang FROM sk) a
+              JOIN (SELECT DISTINCT lang FROM sk) b ON a.lang < b.lang),
+            m AS (
+              SELECT g_a, g_b, h, count(*) > 1 AS in_both
+              FROM (SELECT p.g_a, p.g_b, s.h FROM pairs p
+                    JOIN sk s ON s.lang = p.g_a
+                    UNION ALL
+                    SELECT p.g_a, p.g_b, s.h FROM pairs p
+                    JOIN sk s ON s.lang = p.g_b)
+              GROUP BY 1, 2, 3),
+            kept AS (SELECT * FROM (
+                       SELECT g_a, g_b, h, in_both,
+                              row_number() OVER (PARTITION BY g_a, g_b
+                                                 ORDER BY h) AS rn
+                       FROM m) WHERE rn <= 64),
+            agg AS (
+              SELECT g_a, g_b, count(*) AS n, max(h) AS hk,
+                     CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nboth
+              FROM kept GROUP BY 1, 2),
+            est AS (
+              SELECT g_a, g_b,
+                     CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                          ELSE {63 * float(1 << 60)!r}
+                               / CAST(hk AS DOUBLE) END AS eu,
+                     CAST(nboth AS DOUBLE) / CAST(n AS DOUBLE) AS rho
+              FROM agg),
+            na AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
+            xi AS (
+              SELECT a.lang AS g_a, b.lang AS g_b,
+                     count(*) AS exact_inter
+              FROM d a JOIN d b
+                ON a.tok = b.tok AND a.lang < b.lang
+              GROUP BY 1, 2)
+            SELECT e.g_a, e.g_b,
+                   round(eu, 6) AS est_union,
+                   round(rho * eu, 6) AS est_inter,
+                   round(rho, 6) AS est_jaccard,
+                   CAST(pa.n + pb.n - coalesce(xi.exact_inter, 0)
+                        AS BIGINT) AS exact_union,
+                   CAST(coalesce(xi.exact_inter, 0) AS BIGINT)
+                     AS exact_inter
+            FROM est e
+            JOIN na pa ON pa.lang = e.g_a
+            JOIN na pb ON pb.lang = e.g_b
+            LEFT JOIN xi ON xi.g_a = e.g_a AND xi.g_b = e.g_b""",
         "cm_token_counts": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok
                           FROM documents),

@@ -401,3 +401,157 @@ def hdr_quantiles(
         .agg(F.min("bucket_lo").alias("est"))
         .select(*g, "q", F.col("est").cast("long").alias("est"), "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (Bar-Yossef et al. 2002; Dasgupta et al., "Theta
+# sketches", 2016): k minimum hash values per group, with UNION /
+# INTERSECTION / Jaccard estimates across groups -- the set-operation
+# algebra HLL registers cannot do (HLL unions trivially but has no
+# intersection beyond lossy inclusion-exclusion).
+#
+# The 100 TB problem: "how much does slice A's vocabulary overlap slice
+# B's?" for every pair of slices, without shuffling either vocabulary
+# twice. The KMV sketch is k rows per group; any cross-slice set algebra
+# then runs on k-row tables. Deterministic like the HLL/CM lanes: 60-bit
+# md5-prefix hashes, so every kept hash -- and therefore every estimate,
+# which is one float division on identical integer operands -- replays
+# bit-for-bit in DuckDB.
+#
+# Estimators (h uniform on [0, 2^60)):
+#   distinct(A)  = (k-1) * 2^60 / h_k            (exact n when n < k)
+#   union(A,B)   = same estimator on the k smallest of merged hashes
+#   jaccard(A,B) = |{h in union-k seen in BOTH sketches}| / k_eff
+#   inter(A,B)   = jaccard * union  (the standard theta-sketch rho * U)
+# Membership below the union threshold is fully known because the union's
+# kth value never exceeds either side's own threshold.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch_table(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """(group..., h): the k smallest distinct 60-bit hashes of `col` per
+    group -- the mergeable KMV sketch.
+
+    Build shape: one distinct on (group, hash) (partial-agg'd -- the
+    only pass over the data), then a per-group bottom-k window over
+    DISTINCT hashes only. Sketches from two slices merge by union +
+    re-bottom-k (kmv_merge, tested), so partial sketches per partition
+    or per day roll up without touching the raw data again.
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols or [])
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(*g, h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*g).orderBy("h")
+    return (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Union KMV sketches over the same grouping: union + re-bottom-k."""
+    from pyspark.sql import Window
+
+    it = iter(sketches)
+    out = next(it)
+    for t in it:
+        out = out.unionByName(t)
+    g = [c for c in out.columns if c != "h"]
+    w = Window.partitionBy(*g).orderBy("h")
+    return (
+        out.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+_KMV_RANGE = float(1 << 60)
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str] | None = None, k: int = 64
+) -> DataFrame:
+    """(group..., kmv_estimate): distinct-count estimate per group.
+
+    (k-1) * 2^60 / h_k when the sketch is full; the EXACT count when the
+    group holds fewer than k distinct values (the sketch IS the set)."""
+    g = list(group_cols or [])
+    agg = sketch.groupBy(*g).agg(
+        F.count("*").alias("_n"), F.max("h").alias("_hk")
+    )
+    est = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise(
+        F.lit((k - 1) * _KMV_RANGE) / F.col("_hk").cast("double")
+    )
+    return agg.select(*g, F.round(est, 6).alias("kmv_estimate"))
+
+
+def kmv_pair_overlap(
+    sketch: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """(g_a, g_b, est_union, est_inter, est_jaccard): theta-sketch set
+    algebra for every unordered pair of groups, from the k-row sketches
+    alone (the raw data is never touched).
+
+    For each pair: merge the two sketches, keep the k smallest distinct
+    hashes (k_eff = union size when smaller), take the largest kept hash
+    as the threshold; rho = fraction of kept hashes present in BOTH
+    sketches. est_union = KMV estimate on the merged sketch, est_jaccard
+    = rho, est_inter = rho * est_union. Exact when both groups fit in k.
+    """
+    from pyspark.sql import Window
+
+    a = sketch.select(
+        F.col(group_col).alias("g_a"), F.col("h").alias("h")
+    )
+    b = sketch.select(
+        F.col(group_col).alias("g_b"), F.col("h").alias("h")
+    )
+    pairs = (
+        a.select("g_a").distinct()
+        .join(b.select("g_b").distinct())
+        .where(F.col("g_a") < F.col("g_b"))
+    )
+    # every sketch hash of either side, tagged; in_both via one groupBy
+    merged = (
+        pairs.join(a, "g_a").select("g_a", "g_b", "h")
+        .unionByName(pairs.join(b, "g_b").select("g_a", "g_b", "h"))
+        .groupBy("g_a", "g_b", "h")
+        .agg((F.count("*") > 1).alias("_in_both"))
+    )
+    w = Window.partitionBy("g_a", "g_b").orderBy("h")
+    kept = merged.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    agg = kept.groupBy("g_a", "g_b").agg(
+        F.count("*").alias("_n"),
+        F.max("h").alias("_hk"),
+        F.sum(F.col("_in_both").cast("long")).cast("long").alias("_both"),
+    )
+    est_union = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise(F.lit((k - 1) * _KMV_RANGE) / F.col("_hk").cast("double"))
+    rho = F.col("_both").cast("double") / F.col("_n").cast("double")
+    return agg.select(
+        "g_a",
+        "g_b",
+        F.round(est_union, 6).alias("est_union"),
+        F.round(rho * est_union, 6).alias("est_inter"),
+        F.round(rho, 6).alias("est_jaccard"),
+    )

@@ -150,6 +150,7 @@ def main():
         "line_dedup",
         "cluster_triangles",
         "hll_distinct_tokens",
+        "kmv_overlap",
         "bloom_prefilter_join",
         "cm_token_counts",
         "snm_pairs",

@@ -194,3 +194,91 @@ def test_cm_unseen_item_estimates_can_be_zero(spark):
     probes = spark.createDataFrame(pd.DataFrame({"tok": ["zzz-unseen"]}))
     got = cm_estimate(grid, probes, "tok", d=3, w=65536).collect()
     assert got[0]["cm_estimate"] == 0
+
+
+def test_kmv_mergeability_and_multiplicity(spark):
+    """KMV sketches from two disjoint halves merged by union+re-bottom-k
+    must equal the whole-data sketch exactly; duplicates must not move it."""
+    import pyspark.sql.functions as F
+
+    from ala_name_matching_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch_table,
+    )
+
+    whole = spark.range(3000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("v")
+    )
+    a = whole.where(F.col("v").substr(2, 10).cast("long") % 2 == 0)
+    b = whole.where(F.col("v").substr(2, 10).cast("long") % 2 == 1)
+    merged = {
+        r["h"]
+        for r in kmv_merge(
+            kmv_sketch_table(a, "v", k=64),
+            kmv_sketch_table(b, "v", k=64),
+            k=64,
+        ).collect()
+    }
+    direct = {r["h"] for r in kmv_sketch_table(whole, "v", k=64).collect()}
+    assert merged == direct and len(direct) == 64
+    dup = whole.union(whole)
+    assert {
+        r["h"] for r in kmv_sketch_table(dup, "v", k=64).collect()
+    } == direct
+
+
+def test_kmv_estimate_accuracy_and_exact_small(spark):
+    """Full sketch: relative error within ~3/sqrt(k). Small group (< k
+    distinct): the estimate IS the exact count."""
+    import pyspark.sql.functions as F
+
+    from ala_name_matching_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch_table,
+    )
+
+    big = spark.range(20000).select(
+        F.lit("big").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    small = spark.range(40).select(
+        F.lit("small").alias("g"),
+        F.concat(F.lit("y"), F.col("id")).alias("v"),
+    )
+    sk = kmv_sketch_table(big.union(small), "v", ["g"], k=256)
+    est = {
+        r["g"]: r["kmv_estimate"]
+        for r in kmv_estimate(sk, ["g"], k=256).collect()
+    }
+    assert est["small"] == 40.0
+    assert abs(est["big"] - 20000) / 20000 < 3.0 / (256 ** 0.5)
+
+
+def test_kmv_pair_overlap_identical_and_disjoint(spark):
+    """Two identical vocabularies: jaccard estimate exactly 1.0 (every
+    union hash is in both). Disjoint vocabularies: overlap near 0."""
+    import pyspark.sql.functions as F
+
+    from ala_name_matching_spark.operators.sketches import (
+        kmv_pair_overlap,
+        kmv_sketch_table,
+    )
+
+    base = spark.range(5000).select(
+        F.concat(F.lit("t"), F.col("id")).alias("v")
+    )
+    twin = (
+        base.select(F.lit("a").alias("g"), "v")
+        .union(base.select(F.lit("b").alias("g"), "v"))
+    )
+    disj = spark.range(5000).select(
+        F.lit("c").alias("g"), F.concat(F.lit("z"), F.col("id")).alias("v")
+    )
+    sk = kmv_sketch_table(twin.union(disj), "v", ["g"], k=64)
+    out = {
+        (r["g_a"], r["g_b"]): r
+        for r in kmv_pair_overlap(sk, "g", k=64).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["est_jaccard"] == 1.0
+    assert ab["est_inter"] == ab["est_union"]
+    assert out[("a", "c")]["est_jaccard"] < 0.05
