@@ -1137,6 +1137,22 @@ def _q_hll_distinct_tokens(spark, sf_dir):
     return est.join(exact, "lang").select("lang", "hll_estimate", "n_exact")
 
 
+def _q_cosine_join_pairs(spark, sf_dir):
+    # Exact all-pairs TF-IDF cosine join (Bayardo 2007 family) at 0.85:
+    # the weighted-overlap similarity the Jaccard set-join cannot express
+    # (a rare shared term outweighs many common ones). Float sums are
+    # integer-quantized (round(x*SCALE) -> BIGINT) so the keep/drop
+    # decision and the score replay across engines despite IEEE
+    # aggregation-order freedom -- see operators/cosine_join.py.
+    from ala_name_matching_spark.operators.cosine_join import (
+        tfidf_cosine_join,
+    )
+
+    return tfidf_cosine_join(
+        _docs(spark, sf_dir).select("doc_id", "text"), threshold=0.85
+    )
+
+
 def _q_kmv_overlap(spark, sf_dir):
     # Theta-sketch set algebra: per-language-pair vocabulary union /
     # intersection / Jaccard ESTIMATES from k=64-row KMV sketches, next to
@@ -2690,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": _q_skew_salted_join,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "kmv_overlap": _q_kmv_overlap,
+        "cosine_join_pairs": _q_cosine_join_pairs,
         "bloom_prefilter_join": _q_bloom_prefilter_join,
         "quantile_profile_chars": _q_quantile_profile_chars,
         "setsim_join_pairs": _q_setsim_join,
@@ -4574,6 +4591,42 @@ def oracle_sql() -> dict[str, str]:
         # Count-Min grid replay: same md5('cm{{j}}|'||item) cell addressing
         # as the Spark kernel, so every counter -- and therefore every
         # min-over-rows estimate -- is bit-identical across engines
+        # TF-IDF cosine replay: identical smooth-idf weights; norm and dot
+        # accumulate integer-quantized terms (round(x*1e9 / x*1e12) as
+        # BIGINT -- order-free addition), threshold compares quantized
+        # integers, so the pair set matches across engines
+        "cosine_join_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE length(term) > 0 GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            w AS (
+              SELECT tf.doc_id, tf.term,
+                     CAST(tf.tf AS DOUBLE)
+                     * (ln(CAST(n.n + 1 AS DOUBLE)
+                           / CAST(dft.df + 1 AS DOUBLE)) + 1.0) AS w
+              FROM tf JOIN dft USING (term) CROSS JOIN n),
+            nrm AS (
+              SELECT doc_id,
+                     CAST(sum(CAST(round(w * w * 1000000000) AS BIGINT))
+                          AS BIGINT) AS nq
+              FROM w GROUP BY 1),
+            u AS (
+              SELECT w.doc_id, w.term,
+                     w.w / sqrt(CAST(nq AS DOUBLE) / 1000000000.0) AS wh
+              FROM w JOIN nrm USING (doc_id)),
+            d AS (
+              SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                     CAST(sum(CAST(round(a.wh * b.wh * 1000000000000)
+                                   AS BIGINT)) AS BIGINT) AS dq
+              FROM u a JOIN u b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_l, id_r,
+                   round(CAST(dq AS DOUBLE) / 1000000000000.0, 6) AS cosine
+            FROM d WHERE dq >= 850000000000""",
         # KMV/theta replay: same 60-bit md5-prefix hashes, same bottom-64
         # windows, so union/intersection/jaccard ESTIMATES (one float
         # division on identical integer operands) match bit-for-bit

@@ -151,6 +151,7 @@ def main():
         "cluster_triangles",
         "hll_distinct_tokens",
         "kmv_overlap",
+        "cosine_join_pairs",
         "bloom_prefilter_join",
         "cm_token_counts",
         "snm_pairs",
