@@ -1172,7 +1172,15 @@ def _q_kmv_overlap(spark, sf_dir):
     )
     sk = kmv_sketch_table(toks, "tok", ["lang"], k=64)
     ov = kmv_pair_overlap(sk, "lang", k=64)
-    d = toks.where(F.col("tok").isNotNull()).select("lang", "tok").distinct()
+    # exact lane (exists only to exhibit estimator quality next to the
+    # estimates): the distinct vocabulary feeds both the per-lang counts
+    # and the intersection join -- materialize it once
+    d = (
+        toks.where(F.col("tok").isNotNull())
+        .select("lang", "tok")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = d.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
     xi = (
         d.alias("a")
@@ -2423,7 +2431,11 @@ def _q_cluster_triangles(spark, sf_dir):
     from ala_name_matching_spark.operators.er_metrics import cluster_triangles
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    edges = jaccard_edges(docs, shingle_n=3, threshold=0.5)
+    # the shingle self-join runs once: both the CC labeling and the
+    # triangle routing consume the materialized skinny edge table
+    edges = jaccard_edges(docs, shingle_n=3, threshold=0.5).localCheckpoint(
+        eager=True
+    )
     labels = neardup_clusters(docs, shingle_n=3, threshold=0.5, edges=edges)
     return cluster_triangles(
         labels,

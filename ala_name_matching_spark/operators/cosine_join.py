@@ -128,41 +128,51 @@ def tfidf_cosine_join(
     rounded, the keep decision is made on the quantized integer dot so
     both engines agree at the boundary.
     """
-    wts = tfidf_weights(docs, id_col, text_col)
-    if max_df is not None:
-        hot = (
-            wts.groupBy("term")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") > max_df)
-            .select("term")
+    # the weighted-postings projection feeds BOTH sides of the self-join
+    # (plus the optional hot-term filter) -- persist it, or the lazy DAG
+    # runs the whole tf-idf chain once per branch (bm25_topk's
+    # analyze-once discipline); the thresholded result is eagerly
+    # checkpointed so the corpus-sized cache is released before returning
+    base = tfidf_weights(docs, id_col, text_col)
+    base.persist()
+    try:
+        wts = base
+        if max_df is not None:
+            hot = (
+                base.groupBy("term")
+                .agg(F.count("*").alias("_df"))
+                .where(F.col("_df") > max_df)
+                .select("term")
+            )
+            wts = base.join(hot, "term", "left_anti")
+        a = wts.select(
+            F.col("term"), F.col(id_col).alias("_l"), F.col("w").alias("_wl")
         )
-        wts = wts.join(hot, "term", "left_anti")
-    a = wts.select(
-        F.col("term"), F.col(id_col).alias("_l"), F.col("w").alias("_wl")
-    )
-    b = wts.select(
-        F.col("term"), F.col(id_col).alias("_r"), F.col("w").alias("_wr")
-    )
-    t_q = int(round(threshold * DOT_SCALE))
-    dots = (
-        a.join(b, "term")
-        .where(F.col("_l") < F.col("_r"))
-        .groupBy("_l", "_r")
-        .agg(
-            F.sum(
-                F.round(F.col("_wl") * F.col("_wr") * F.lit(DOT_SCALE))
-                .cast("long")
-            ).alias("_dq")
+        b = wts.select(
+            F.col("term"), F.col(id_col).alias("_r"), F.col("w").alias("_wr")
         )
-        .where(F.col("_dq") >= F.lit(t_q))
-    )
-    return dots.select(
-        F.col("_l").alias("id_l"),
-        F.col("_r").alias("id_r"),
-        F.round(
-            F.col("_dq").cast("double") / F.lit(float(DOT_SCALE)), 6
-        ).alias("cosine"),
-    )
+        t_q = int(round(threshold * DOT_SCALE))
+        dots = (
+            a.join(b, "term")
+            .where(F.col("_l") < F.col("_r"))
+            .groupBy("_l", "_r")
+            .agg(
+                F.sum(
+                    F.round(F.col("_wl") * F.col("_wr") * F.lit(DOT_SCALE))
+                    .cast("long")
+                ).alias("_dq")
+            )
+            .where(F.col("_dq") >= F.lit(t_q))
+        )
+        return dots.select(
+            F.col("_l").alias("id_l"),
+            F.col("_r").alias("id_r"),
+            F.round(
+                F.col("_dq").cast("double") / F.lit(float(DOT_SCALE)), 6
+            ).alias("cosine"),
+        ).localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
 
 
 def dropped_term_accounting(

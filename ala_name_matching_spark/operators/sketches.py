@@ -517,6 +517,10 @@ def kmv_pair_overlap(
     """
     from pyspark.sql import Window
 
+    # the sketch is <= k rows per group but its LINEAGE is the corpus-wide
+    # distinct + window -- it feeds four branches below, so materialize it
+    # once (eager checkpoint of a tiny table) instead of re-deriving
+    sketch = sketch.localCheckpoint(eager=True)
     a = sketch.select(
         F.col(group_col).alias("g_a"), F.col("h").alias("h")
     )
