@@ -1144,12 +1144,18 @@ def _q_cosine_join_pairs(spark, sf_dir):
     # integer-quantized (round(x*SCALE) -> BIGINT) so the keep/drop
     # decision and the score replay across engines despite IEEE
     # aggregation-order freedom -- see operators/cosine_join.py.
+    # Deterministic quarter of the corpus (gap_fill precedent): the
+    # synthetic fixture's ~200-word vocabulary makes EVERY doc pair share
+    # terms, so exact all-pairs degenerates to sum(df^2) ~ N^2 candidate
+    # rows regardless of algorithm -- a fixture pathology, not an
+    # operator property (Zipfian corpora prune via idf + max_df).
     from ala_name_matching_spark.operators.cosine_join import (
         tfidf_cosine_join,
     )
 
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 4 == 0)
     return tfidf_cosine_join(
-        _docs(spark, sf_dir).select("doc_id", "text"), threshold=0.85
+        docs.select("doc_id", "text"), threshold=0.85
     )
 
 
@@ -4608,12 +4614,14 @@ def oracle_sql() -> dict[str, str]:
         # BIGINT -- order-free addition), threshold compares quantized
         # integers, so the pair set matches across engines
         "cosine_join_pairs": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            WITH sub AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id % 4 = 0),
+            toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM sub),
             tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
                    WHERE length(term) > 0 GROUP BY 1, 2),
             dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM sub),
             w AS (
               SELECT tf.doc_id, tf.term,
                      CAST(tf.tf AS DOUBLE)
