@@ -1159,6 +1159,19 @@ def _q_cosine_join_pairs(spark, sf_dir):
     )
 
 
+def _q_perplexity_buckets(spark, sf_dir):
+    # CCNet head/middle/tail (Wenzek 2019): per-language quality tertiles
+    # under the corpus's own unigram LM. Ranking keys on the 6-dp ROUNDED
+    # score + doc_id tie-break and buckets are integer arithmetic, so the
+    # boundaries replay cross-engine. Completes the CCNet pipeline story:
+    # line_dedup -> lang_id -> perplexity bucketing.
+    from ala_name_matching_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    return perplexity_buckets(_docs(spark, sf_dir), n_buckets=3)
+
+
 def _q_kmv_overlap(spark, sf_dir):
     # Theta-sketch set algebra: per-language-pair vocabulary union /
     # intersection / Jaccard ESTIMATES from k=64-row KMV sketches, next to
@@ -2725,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "kmv_overlap": _q_kmv_overlap,
         "cosine_join_pairs": _q_cosine_join_pairs,
+        "perplexity_buckets": _q_perplexity_buckets,
         "bloom_prefilter_join": _q_bloom_prefilter_join,
         "quantile_profile_chars": _q_quantile_profile_chars,
         "setsim_join_pairs": _q_setsim_join,
@@ -3171,6 +3185,35 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(vocab.cnt * 1.0 / n.total)), 6) AS mean_logprob
             FROM toks JOIN vocab USING (tok) CROSS JOIN n
             GROUP BY toks.doc_id""",
+        # CCNet bucket replay: the unigram_logprob chain, then a
+        # per-language rank on the 6-dp ROUNDED score (+ doc_id
+        # tie-break) and integer-arithmetic tertile boundaries
+        "perplexity_buckets": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            vocab AS (
+              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            n AS (SELECT sum(cnt) AS total FROM vocab),
+            scored AS (
+              SELECT toks.doc_id,
+                     round(avg(ln(vocab.cnt * 1.0 / n.total)), 6)
+                       AS mean_logprob
+              FROM toks JOIN vocab USING (tok) CROSS JOIN n
+              GROUP BY toks.doc_id),
+            ranked AS (
+              SELECT s.doc_id, d.lang, s.mean_logprob,
+                     row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY s.mean_logprob DESC, s.doc_id ASC) AS rk,
+                     count(*) OVER (PARTITION BY d.lang) AS nn
+              FROM scored s JOIN documents d USING (doc_id))
+            SELECT doc_id, lang, mean_logprob,
+                   CAST(((rk - 1) * 3) // nn + 1 AS BIGINT) AS bucket,
+                   CASE ((rk - 1) * 3) // nn + 1
+                     WHEN 1 THEN 'head'
+                     WHEN 3 THEN 'tail'
+                     ELSE 'middle' END AS bucket_label
+            FROM ranked""",
         "length_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,
                    round(avg(n_chars), 4) AS mean_chars,

@@ -572,3 +572,62 @@ def bigram_logprob(
             "mean_bigram_logprob",
         )
     )
+
+
+def perplexity_buckets(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+):
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2019).
+
+    CCNet splits each language's corpus into perplexity tertiles under a
+    reference LM and trains preferentially on the low-perplexity "head".
+    Here the LM is the corpus's own unigram model (unigram_logprob --
+    higher mean log-prob = more probable = better), and buckets are
+    per-language rank tertiles: bucket 1 = head, n_buckets = tail.
+
+    Determinism contract: ranking uses the 6-dp ROUNDED score (the value
+    the oracle already matches bit-for-bit) with doc_id as tie-break, and
+    the bucket index is pure integer arithmetic
+    ((rank-1)*n_buckets // n + 1), so both engines draw identical
+    boundaries -- no reliance on engine ntile() conventions.
+
+    SCALE: rides unigram_logprob's two-scan shape plus one per-language
+    window (rank + count) -- the window partitions by language, so the
+    sort is per-language, not global.
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(docs, id_col, text_col).join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col)),
+        "doc_id",
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("mean_logprob").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy(lang_col)
+    ranked = scored.select(
+        "doc_id",
+        lang_col,
+        "mean_logprob",
+        F.row_number().over(w).alias("_rk"),
+        F.count("*").over(wn).alias("_n"),
+    )
+    bucket = (
+        F.expr(f"((_rk - 1) * CAST({n_buckets} AS BIGINT)) div _n") + 1
+    )
+    label = (
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return ranked.select(
+        "doc_id",
+        lang_col,
+        "mean_logprob",
+        bucket.cast("long").alias("bucket"),
+        label.alias("bucket_label"),
+    )

@@ -152,6 +152,7 @@ def main():
         "hll_distinct_tokens",
         "kmv_overlap",
         "cosine_join_pairs",
+        "perplexity_buckets",
         "bloom_prefilter_join",
         "cm_token_counts",
         "snm_pairs",

@@ -260,3 +260,35 @@ def test_bigram_logprob_reference_and_edge_cases(spark):
         ) / len(ps)
         assert got[i][0] == len(ps)
         assert abs(got[i][1] - round(mean, 6)) < 2e-6, i
+
+
+def test_perplexity_buckets_tertiles(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    # 9 docs, one language: common-word docs are probable (head), the
+    # rare-word doc is improbable (tail)
+    rows = [(i, "the the common words here", "en") for i in range(6)]
+    rows += [(6, "the common words again now", "en")]
+    rows += [(7, "mixed the rare words too", "en")]
+    rows += [(8, "zzz qqq xxx yyy www", "en")]
+    d = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    out = perplexity_buckets(d, n_buckets=3).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # 9 docs -> exact tertiles of 3
+    assert {b: len(v) for b, v in by_bucket.items()} == {1: 3, 2: 3, 3: 3}
+    assert all(r["bucket_label"] == "head" for r in by_bucket[1])
+    assert all(r["bucket_label"] == "tail" for r in by_bucket[3])
+    # the rare-word doc lands in the tail, and every head score >= every
+    # tail score
+    assert any(r["doc_id"] == 8 for r in by_bucket[3])
+    lo_head = min(r["mean_logprob"] for r in by_bucket[1])
+    hi_tail = max(r["mean_logprob"] for r in by_bucket[3])
+    assert lo_head >= hi_tail
