@@ -2465,6 +2465,32 @@ def _q_cluster_triangles(spark, sf_dir):
     )
 
 
+def _q_edge_support_bridges(spark, sf_dir):
+    # Edge-grained repair signal (k-truss support): per in-cluster edge,
+    # the number of triangles through it; support-0 edges are the
+    # uncorroborated bridges whose removal splits chain-merged clusters
+    # (one deterministic 2-truss step). Same edge set / clusters as
+    # cluster_triangles.
+    from ala_name_matching_spark.operators.dedup import (
+        jaccard_edges,
+        neardup_clusters,
+    )
+    from ala_name_matching_spark.operators.er_metrics import edge_support
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    edges = jaccard_edges(docs, shingle_n=3, threshold=0.5).localCheckpoint(
+        eager=True
+    )
+    labels = neardup_clusters(docs, shingle_n=3, threshold=0.5, edges=edges)
+    return edge_support(
+        labels,
+        edges,
+        id_col="doc_id",
+        cluster_col="cluster_rep",
+        edge_cols=("doc_id_l", "doc_id_r"),
+    )
+
+
 def _q_cross_doc_dup_ngrams(spark, sf_dir):
     # Corpus-level duplicated-text accounting (exact-substring dedup signal,
     # Lee et al. 2022): per doc, distinct word-4-grams shared with >= 2 docs
@@ -2798,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked CC lane: recursive-CTE closure oracle
         "neardup_doc_clusters": _q_neardup_doc_clusters,
         "cluster_triangles": _q_cluster_triangles,
+        "edge_support_bridges": _q_edge_support_bridges,
         "cross_doc_dup_ngrams": _q_cross_doc_dup_ngrams,
         "dedup_keep_best": _q_dedup_keep_best,
         "mixture_weights": _q_mixture_weights,
@@ -5459,6 +5486,45 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ne ON ne.c = sz.c
             LEFT JOIN w ON w.c = sz.c
             LEFT JOIN tri ON tri.c = sz.c""",
+        # edge-support replay: same edge rule + closure as
+        # cluster_triangles; support = common neighbors via two sym joins
+        "edge_support_bridges": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                     )) AS sh
+              FROM t
+            ), e AS (
+              SELECT a.doc_id AS l, b.doc_id AS r
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::double
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ), sym AS (
+              SELECT l AS a, r AS b FROM e UNION ALL SELECT r AS a, l AS b FROM e
+            ), reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM documents
+              UNION
+              SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.id
+            ), lab AS (
+              SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id
+            ), supp AS (
+              SELECT e.l, e.r, count(*) AS s
+              FROM e
+              JOIN sym s1 ON s1.a = e.l
+              JOIN sym s2 ON s2.a = e.r AND s2.b = s1.b
+              WHERE s1.b <> e.r
+              GROUP BY 1, 2)
+            SELECT lab.cluster_rep, e.l AS id_a, e.r AS id_b,
+                   CAST(coalesce(supp.s, 0) AS BIGINT) AS support,
+                   coalesce(supp.s, 0) = 0 AS is_bridge
+            FROM e
+            JOIN lab ON lab.doc_id = e.l
+            LEFT JOIN supp ON supp.l = e.l AND supp.r = e.r""",
         "cross_doc_dup_ngrams": f"""
             WITH t AS (
               SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks

@@ -149,6 +149,7 @@ def main():
         "strip_dup_spans",
         "line_dedup",
         "cluster_triangles",
+        "edge_support_bridges",
         "hll_distinct_tokens",
         "kmv_overlap",
         "cosine_join_pairs",

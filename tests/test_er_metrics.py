@@ -245,3 +245,48 @@ def test_cluster_triangles_hub_star_and_reversed_edges(spark):
     row = cluster_triangles(labels, edges).collect()[0]
     assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (5, 10, 0)
     assert row["transitivity"] == 0.0
+
+
+def test_edge_support_bridge_and_triangle(spark):
+    from ala_name_matching_spark.operators.er_metrics import edge_support
+
+    # triangle (1,2,3) + pendant edge (3,4): triangle edges support 1,
+    # the pendant is a bridge
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, 1) for i in (1, 2, 3, 4)], columns=["record_id", "cluster_id"]
+        )
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], columns=["id_a", "id_b"]
+        )
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r for r in edge_support(labels, edges).collect()
+    }
+    assert out[(1, 2)]["support"] == 1 and not out[(1, 2)]["is_bridge"]
+    assert out[(2, 3)]["support"] == 1 and out[(1, 3)]["support"] == 1
+    assert out[(3, 4)]["support"] == 0 and out[(3, 4)]["is_bridge"]
+
+
+def test_edge_support_k4_minus_edge(spark):
+    from ala_name_matching_spark.operators.er_metrics import edge_support
+
+    # K4 minus edge (1,4): shared edge (2,3) has support 2, others 1
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, 1) for i in (1, 2, 3, 4)], columns=["record_id", "cluster_id"]
+        )
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)],
+            columns=["id_a", "id_b"],
+        )
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["support"]
+        for r in edge_support(labels, edges).collect()
+    }
+    assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 2, (2, 4): 1, (3, 4): 1}
