@@ -1731,6 +1731,69 @@ def _q_fs_match_weights(spark, sf_dir):
     )
 
 
+def _q_fs_multilevel_weights(spark, sf_dir):
+    # Multi-level (Splink-style) Fellegi-Sunter: the same pair universe as
+    # fs_match_weights but each comparison grades into 3 levels
+    # (exact-ish / close / other) instead of one bit, and EM fits
+    # per-level m/u DISTRIBUTIONS on the <= 27-row pattern histogram.
+    # Graded levels separate "one typo apart" from "different text" --
+    # the distinction the binary gamma blurs. Same bounded-sufficient-
+    # statistic scale shape; oracle = unrolled-CTE EM replay.
+    from ala_name_matching_spark.operators.linkage import (
+        fellegi_sunter_multilevel_weights,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        _block_key_col().alias("bk"),
+        "doc_id",
+        "text",
+        "n_chars",
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
+    )
+    sides = {}
+    for side in ("l", "r"):
+        sides[side] = d.select(
+            F.col("bk"),
+            F.col("doc_id").alias(f"doc_id_{side}"),
+            F.col("text").alias(f"text_{side}"),
+            F.col("n_chars").alias(f"n_chars_{side}"),
+            F.col("toks").alias(f"toks_{side}"),
+        )
+    l, r = sides["l"], sides["r"]
+    blocked = _spread(
+        l.join(r, "bk").filter(F.col("doc_id_l") < F.col("doc_id_r"))
+    )
+    shifted = _spread(
+        l.drop("bk").join(
+            r.drop("bk"), F.col("doc_id_l") + F.lit(257) == F.col("doc_id_r")
+        )
+    )
+    inter = F.size(F.array_intersect("toks_l", "toks_r"))
+    union = F.size(F.array_union("toks_l", "toks_r"))
+    lev = F.levenshtein("text_l", "text_r", 30)
+    dlen = F.abs(F.col("n_chars_l") - F.col("n_chars_r"))
+    mlen = F.greatest("n_chars_l", "n_chars_r")
+    gamma = [
+        F.when(inter * 2 >= union, F.lit(2))
+        .when(inter * 4 >= union, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("g_jacc"),
+        F.when((lev >= 0) & (lev <= 10), F.lit(2))
+        .when(lev >= 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("g_lev"),
+        F.when(dlen * 10 <= mlen, F.lit(2))
+        .when(dlen * 10 <= mlen * 3, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("g_len"),
+    ]
+    pairs = blocked.select(*gamma).unionByName(shifted.select(*gamma))
+    return fellegi_sunter_multilevel_weights(
+        pairs, ["g_jacc", "g_lev", "g_len"], levels=[3, 3, 3],
+        iters=_FS_ITERS,
+    )
+
+
 def _multikey_assignments(spark, sf_dir):
     """(record_id, block_id) under THREE blocking keys (word-pair,
     concat-alpha prefix, first-token prefix) -- shared by the
@@ -2156,6 +2219,103 @@ def _fs_oracle_sql(bk_macro: str, iters: int) -> str:
             f"""it{t} AS (
           SELECT sum(c * (nm / (nm + nu)) ORDER BY pid) / ntot.n AS p,
                  {msums}, {usums}
+          FROM w{t}, ntot GROUP BY ntot.n)"""
+        )
+    last = f"it{iters}"
+    return f"""
+            WITH {", ".join(ctes)},
+            fin AS (
+              SELECT pat.pid, pat.g_jacc, pat.g_lev, pat.g_len, pat.c,
+                     (1.0 * {prod("m", last)}) AS pm,
+                     (1.0 * {prod("u", last)}) AS pu,
+                     {last}.p AS p
+              FROM pat, {last})
+            SELECT CAST(pid AS INTEGER) AS pattern_id,
+                   CAST(g_jacc AS INTEGER) AS g_jacc,
+                   CAST(g_lev AS INTEGER) AS g_lev,
+                   CAST(g_len AS INTEGER) AS g_len,
+                   CAST(c AS BIGINT) AS n_pairs,
+                   round(log2(pm / pu), 6) AS match_weight,
+                   round((p * pm) / (p * pm + (1.0 - p) * pu), 6) AS posterior
+            FROM fin"""
+
+
+def _fs_ml_oracle_sql(bk_macro: str, iters: int) -> str:
+    """Unrolled-CTE DuckDB replay of the MULTI-LEVEL Fellegi-Sunter EM
+    (fs_em_multilevel): 3 fields x 3 levels, pinned geometric init
+    m[l] = 2^l/7 / u[l] = 2^(2-l)/7, per-(field, level) M-step sums in
+    ascending pattern_id order. Same float-identity argument as
+    _fs_oracle_sql (python skips terms the SQL adds as 0.0)."""
+    feats = ["g_jacc", "g_lev", "g_len"]
+    nl = 3
+
+    def prod(prefix, it):
+        return " * ".join(
+            f"(CASE {g} WHEN 0 THEN {it}.{prefix}{i + 1}_0 "
+            f"WHEN 1 THEN {it}.{prefix}{i + 1}_1 "
+            f"ELSE {it}.{prefix}{i + 1}_2 END)"
+            for i, g in enumerate(feats)
+        )
+
+    gamma = """
+          SELECT CASE WHEN len(list_intersect(l.toks, r.toks)) * 2
+                           >= len(list_distinct(list_concat(l.toks, r.toks)))
+                      THEN 2
+                      WHEN len(list_intersect(l.toks, r.toks)) * 4
+                           >= len(list_distinct(list_concat(l.toks, r.toks)))
+                      THEN 1 ELSE 0 END AS g_jacc,
+                 CASE WHEN levenshtein(l.text, r.text) <= 10 THEN 2
+                      WHEN levenshtein(l.text, r.text) <= 30 THEN 1
+                      ELSE 0 END AS g_lev,
+                 CASE WHEN abs(l.n_chars - r.n_chars) * 10
+                           <= greatest(l.n_chars, r.n_chars) THEN 2
+                      WHEN abs(l.n_chars - r.n_chars) * 10
+                           <= greatest(l.n_chars, r.n_chars) * 3 THEN 1
+                      ELSE 0 END AS g_len"""
+    init_cols = ", ".join(
+        f"({1 << lv}.0 / 7.0) AS m{i + 1}_{lv}, "
+        f"({1 << (nl - 1 - lv)}.0 / 7.0) AS u{i + 1}_{lv}"
+        for i in range(len(feats))
+        for lv in range(nl)
+    )
+    ctes = [
+        f"""d AS (SELECT {bk_macro} AS bk, doc_id, text, n_chars,
+                       list_distinct(string_split(lower(text), ' ')) AS toks
+                  FROM documents),
+        pairs AS (
+          {gamma}
+          FROM d l JOIN d r ON l.bk = r.bk AND l.doc_id < r.doc_id
+          UNION ALL
+          {gamma}
+          FROM d l JOIN d r ON l.doc_id + 257 = r.doc_id),
+        pat AS (
+          SELECT g_jacc, g_lev, g_len,
+                 g_jacc + 3*g_lev + 9*g_len AS pid, count(*) AS c
+          FROM pairs GROUP BY 1, 2, 3),
+        ntot AS (SELECT sum(c ORDER BY pid) AS n FROM pat),
+        it0 AS (SELECT 0.5 AS p, {init_cols})"""
+    ]
+    sw = "sum(c * (nm / (nm + nu)) ORDER BY pid)"
+    for t in range(1, iters + 1):
+        prev = f"it{t - 1}"
+        ctes.append(
+            f"""w{t} AS (
+          SELECT pat.*,
+                 ({prev}.p * {prod("m", prev)}) AS nm,
+                 ((1.0 - {prev}.p) * {prod("u", prev)}) AS nu
+          FROM pat, {prev})"""
+        )
+        mlsums = ", ".join(
+            f"sum(CASE WHEN {g} = {lv} THEN c * (nm / (nm + nu)) "
+            f"ELSE 0.0 END ORDER BY pid) / {sw} AS m{i + 1}_{lv}, "
+            f"sum(CASE WHEN {g} = {lv} THEN c * (1.0 - nm / (nm + nu)) "
+            f"ELSE 0.0 END ORDER BY pid) / (ntot.n - {sw}) AS u{i + 1}_{lv}"
+            for i, g in enumerate(feats)
+            for lv in range(nl)
+        )
+        ctes.append(
+            f"""it{t} AS (
+          SELECT {sw} / ntot.n AS p, {mlsums}
           FROM w{t}, ntot GROUP BY ntot.n)"""
         )
     last = f"it{iters}"
@@ -2781,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_tokenize": _q_bpe_tokenize,
         "fs_match_weights": _q_fs_match_weights,
+        "fs_multilevel_weights": _q_fs_multilevel_weights,
         "tf_adjusted_weights": _q_tf_adjusted_weights,
         "snm_pairs": _q_snm_pairs,
         "monge_elkan_pairs": _q_monge_elkan_pairs,
@@ -3790,6 +3951,7 @@ def oracle_sql() -> dict[str, str]:
         # unrolled-CTE replay of the Fellegi-Sunter EM fit (same init,
         # factor order, and pid-ordered M-step sums as fs_em)
         "fs_match_weights": _fs_oracle_sql(_BK, _FS_ITERS),
+        "fs_multilevel_weights": _fs_ml_oracle_sql(_BK, _FS_ITERS),
         # TF adjustment: exact BIGINT frequency statistics (n_v, N, sum
         # n_v^2); only the final log2s are libm, absorbed by the 6-dp
         # round (Spark computes log(2, x) = ln x / ln 2)

@@ -228,6 +228,143 @@ def tf_adjusted_weights(
     )
 
 
+def fs_em_multilevel(
+    patterns: list[tuple[int, list[int], int]],
+    levels: list[int],
+    iters: int,
+    m_init: list[list[float]] | None = None,
+    u_init: list[list[float]] | None = None,
+) -> tuple[float, list[list[float]], list[list[float]]]:
+    """EM over a MULTI-LEVEL agreement-pattern histogram (the Splink
+    generalization of fs_em): field i takes categorical levels
+    0..levels[i]-1 (e.g. exact / close / other) instead of binary
+    agree/disagree, and m_i / u_i become per-level distributions
+    P(gamma_i = l | M) / P(gamma_i = l | U).
+
+    Graded agreement is what separates "same name, one typo" from
+    "different name" -- the single bit of fs_em must call both 0 or both
+    1, so its weights blur the two; per-level weights recover the
+    distinction (Winkler's approximate-string extension of FS).
+
+    patterns: (pattern_id, [g1..gk], count) ascending by pattern_id --
+    the summation order is part of the determinism contract (python
+    skips terms the SQL replay adds as 0.0; x + 0.0 is an exact float
+    identity, same argument as fs_em). Default init is the pinned
+    monotone geometric ladder m_i[l] = 2^l / (2^L - 1) (matches favor
+    high levels), u_i[l] = 2^(L-1-l) / (2^L - 1); with L=2 and
+    m_init=[[0.1, 0.9]], u_init=[[0.9, 0.1]] the model and trajectory
+    reduce exactly to fs_em (tested).
+    """
+    k = len(levels)
+    if m_init is None:
+        m_init = [
+            [float(1 << l) / float((1 << L) - 1) for l in range(L)]
+            for L in levels
+        ]
+    if u_init is None:
+        u_init = [
+            [float(1 << (L - 1 - l)) / float((1 << L) - 1) for l in range(L)]
+            for L in levels
+        ]
+    p = EM_INIT["p"]
+    m = [list(row) for row in m_init]
+    u = [list(row) for row in u_init]
+    n_total = 0.0
+    for _, _, c in patterns:
+        n_total = n_total + float(c)
+    for _ in range(iters):
+        ws = []
+        for _, g, _c in patterns:
+            nm = p
+            nu = 1.0 - p
+            for i in range(k):
+                nm = nm * m[i][g[i]]
+                nu = nu * u[i][g[i]]
+            ws.append(nm / (nm + nu))
+        sw = 0.0
+        for (_, _, c), w in zip(patterns, ws):
+            sw = sw + float(c) * w
+        p = sw / n_total
+        for i in range(k):
+            for l in range(levels[i]):
+                sm = 0.0
+                su = 0.0
+                for (_, g, c), w in zip(patterns, ws):
+                    if g[i] == l:
+                        sm = sm + float(c) * w
+                        su = su + float(c) * (1.0 - w)
+                m[i][l] = sm / sw
+                u[i][l] = su / (n_total - sw)
+    return p, m, u
+
+
+def fellegi_sunter_multilevel_weights(
+    pairs: DataFrame,
+    feature_cols: list[str],
+    levels: list[int],
+    iters: int = 4,
+) -> DataFrame:
+    """Per-pattern multi-level Fellegi-Sunter summary.
+
+    feature_cols are integer level columns (0..levels[i]-1) on `pairs`.
+    Output: (pattern_id, g1..gk, n_pairs, match_weight, posterior) with
+    pattern_id = sum_i g_i * prod_{j<i} levels[j] (mixed-radix).
+    Distributed cost identical to fellegi_sunter_weights: one
+    partial-agg groupBy to the <= prod(levels)-row histogram; EM runs on
+    that bounded summary driver-side.
+    """
+    k = len(feature_cols)
+    radix = [1] * k
+    for i in range(1, k):
+        radix[i] = radix[i - 1] * levels[i - 1]
+    pid = None
+    for i, c in enumerate(feature_cols):
+        term = F.col(c).cast("int") * F.lit(radix[i])
+        pid = term if pid is None else pid + term
+    hist = (
+        pairs.groupBy(
+            *[F.col(c).cast("int").alias(c) for c in feature_cols]
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("pattern_id", pid)
+    )
+    rows = sorted(
+        (
+            (r["pattern_id"], [r[c] for c in feature_cols], r["n_pairs"])
+            for r in hist.collect()
+        ),
+        key=lambda t: t[0],
+    )
+    schema = (
+        "pattern_id int, "
+        + ", ".join(f"{c} int" for c in feature_cols)
+        + ", n_pairs long, match_weight double, posterior double"
+    )
+    spark = pairs.sparkSession
+    if not rows:
+        return spark.createDataFrame([], schema)
+    p, m, u = fs_em_multilevel(rows, levels, iters)
+    out = []
+    for pid_v, g, c in rows:
+        pm = 1.0
+        pu = 1.0
+        for i in range(k):
+            pm = pm * m[i][g[i]]
+            pu = pu * u[i][g[i]]
+        nm = p * pm
+        nu = (1.0 - p) * pu
+        out.append(
+            (
+                pid_v,
+                *[int(x) for x in g],
+                int(c),
+                round(math.log2(pm / pu), 6),
+                round(nm / (nm + nu), 6),
+            )
+        )
+    return spark.createDataFrame(out, schema)
+
+
 def reciprocal_best_match(
     pairs: DataFrame,
     left_col: str = "id_a",

@@ -158,6 +158,7 @@ def main():
         "cm_token_counts",
         "snm_pairs",
         "fs_match_weights",
+        "fs_multilevel_weights",
         "conv_neardup_pairs",
         "conv_prefix_rescrape",
         "monge_elkan_pairs",

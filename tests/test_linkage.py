@@ -168,3 +168,75 @@ def test_tf_adjusted_weights_hand_example(spark):
     # of the 6-dp rounds)
     base = math.log2(0.9 / (10 / 16))
     assert abs(a["adjusted_weight"] - (base + a["tf_adjustment"])) < 2e-6
+
+
+def test_multilevel_reduces_to_binary_fs_em():
+    from ala_name_matching_spark.operators.linkage import (
+        fs_em,
+        fs_em_multilevel,
+    )
+
+    # binary histogram over 2 fields; with L=2 and the binary init,
+    # the multilevel model IS fs_em (level-1 prob = m, level-0 = 1-m)
+    patterns = [
+        (0, [0, 0], 400),
+        (1, [1, 0], 50),
+        (2, [0, 1], 30),
+        (3, [1, 1], 120),
+    ]
+    p_b, m_b, u_b = fs_em(patterns, 2, 4)
+    p_m, m_m, u_m = fs_em_multilevel(
+        patterns,
+        [2, 2],
+        4,
+        m_init=[[0.1, 0.9], [0.1, 0.9]],
+        u_init=[[0.9, 0.1], [0.9, 0.1]],
+    )
+    assert p_m == pytest.approx(p_b, abs=1e-12)
+    for i in range(2):
+        assert m_m[i][1] == pytest.approx(m_b[i], abs=1e-12)
+        assert m_m[i][0] == pytest.approx(1.0 - m_b[i], abs=1e-10)
+        assert u_m[i][1] == pytest.approx(u_b[i], abs=1e-12)
+
+
+def test_multilevel_em_separates_graded_populations():
+    from ala_name_matching_spark.operators.linkage import fs_em_multilevel
+
+    # two correlated graded fields (one field alone is unidentifiable):
+    # matches agree high on BOTH (with a "close" level-1 tail), unmatches
+    # sit at 0 -- the fitted m puts its mass high, u low
+    patterns = [
+        (0, [0, 0], 900),
+        (4, [1, 1], 80),
+        (8, [2, 2], 120),
+        (2, [2, 0], 10),
+        (6, [0, 2], 10),
+    ]
+    p, m, u = fs_em_multilevel(patterns, [3, 3], 8)
+    for i in range(2):
+        assert m[i][2] > 0.5 and m[i][2] > m[i][0]
+        assert u[i][0] > 0.8
+    assert 0.05 < p < 0.35
+
+
+def test_multilevel_weights_frame(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.linkage import (
+        fellegi_sunter_multilevel_weights,
+    )
+
+    rows = [(2, 2), (2, 2), (2, 1), (0, 0), (0, 0), (0, 0), (1, 0)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g_a", "g_b"])
+    )
+    out = fellegi_sunter_multilevel_weights(
+        pairs, ["g_a", "g_b"], levels=[3, 3], iters=3
+    ).collect()
+    by_pid = {r["pattern_id"]: r for r in out}
+    # mixed-radix encoding: (g_a, g_b) -> g_a + 3*g_b
+    assert set(by_pid) == {0, 1, 2 + 3 * 1, 2 + 3 * 2}
+    assert sum(r["n_pairs"] for r in out) == 7
+    # all-agree-high outweighs all-disagree
+    assert by_pid[8]["match_weight"] > by_pid[0]["match_weight"]
+    assert by_pid[8]["posterior"] > by_pid[0]["posterior"]
