@@ -1159,6 +1159,22 @@ def _q_cosine_join_pairs(spark, sf_dir):
     )
 
 
+def _q_drift_psi_bins(spark, sf_dir):
+    # Slice-drift monitoring: per-bin PSI + Jensen-Shannon terms of the
+    # n_chars distribution, English slice vs the rest. Integer-arithmetic
+    # equal-width bins over the combined range, additive smoothing, zero
+    # bins materialized via a spine -- every term replays cross-engine.
+    # Totals are a bounded driver fold (drift_totals), per the FS/
+    # Misra-Gries bounded-summary discipline.
+    from ala_name_matching_spark.operators.profiling import (
+        distribution_drift,
+    )
+
+    return distribution_drift(
+        _docs(spark, sf_dir), "n_chars", "lang", "en", n_bins=10
+    )
+
+
 def _q_perplexity_buckets(spark, sf_dir):
     # CCNet head/middle/tail (Wenzek 2019): per-language quality tertiles
     # under the corpus's own unigram LM. Ranking keys on the 6-dp ROUNDED
@@ -2925,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": _q_kmv_overlap,
         "cosine_join_pairs": _q_cosine_join_pairs,
         "perplexity_buckets": _q_perplexity_buckets,
+        "drift_psi_bins": _q_drift_psi_bins,
         "bloom_prefilter_join": _q_bloom_prefilter_join,
         "quantile_profile_chars": _q_quantile_profile_chars,
         "setsim_join_pairs": _q_setsim_join,
@@ -3373,6 +3390,40 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(vocab.cnt * 1.0 / n.total)), 6) AS mean_logprob
             FROM toks JOIN vocab USING (tok) CROSS JOIN n
             GROUP BY toks.doc_id""",
+        # drift replay: identical integer binning, smoothing and per-bin
+        # log terms; totals are intentionally NOT in the frame (driver
+        # fold) so no cross-bin float sum order matters
+        "drift_psi_bins": """
+            WITH vals AS (
+              SELECT CAST(n_chars AS BIGINT) AS v, lang = 'en' AS is_ref
+              FROM documents WHERE n_chars IS NOT NULL),
+            mm AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+            binned AS (
+              SELECT ((v - lo) * 10) // (hi - lo + 1) AS bin,
+                     count(*) FILTER (is_ref) AS n_ref,
+                     count(*) FILTER (NOT is_ref) AS n_cur
+              FROM vals, mm GROUP BY 1),
+            spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+            hist AS (
+              SELECT s.bin,
+                     CAST(coalesce(b.n_ref, 0) AS BIGINT) AS n_ref,
+                     CAST(coalesce(b.n_cur, 0) AS BIGINT) AS n_cur
+              FROM spine s LEFT JOIN binned b ON b.bin = s.bin),
+            tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                           CAST(sum(n_cur) AS BIGINT) AS tc FROM hist),
+            p AS (
+              SELECT bin, n_ref, n_cur,
+                     (CAST(n_ref AS DOUBLE) + 0.5)
+                       / (CAST(tr AS DOUBLE) + 5.0) AS pr,
+                     (CAST(n_cur AS DOUBLE) + 0.5)
+                       / (CAST(tc AS DOUBLE) + 5.0) AS pc
+              FROM hist, tot)
+            SELECT bin, n_ref, n_cur,
+                   round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+                   round((pc - pr) * ln(pc / pr), 6) AS psi_term,
+                   round(0.5 * (pr * ln(pr / ((pr + pc) / 2.0))
+                         + pc * ln(pc / ((pr + pc) / 2.0))), 6) AS jsd_term
+            FROM p""",
         # CCNet bucket replay: the unigram_logprob chain, then a
         # per-language rank on the 6-dp ROUNDED score (+ doc_id
         # tie-break) and integer-arithmetic tertile boundaries

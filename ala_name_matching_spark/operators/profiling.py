@@ -142,3 +142,130 @@ def quantile_profile(
         F.col("pair.q").alias("q"),
         F.round(F.col("pair.vals"), 6).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: PSI + Jensen-Shannon between two slices.
+#
+# The monitoring question a 100 TB ingest pipeline asks every batch:
+# "has the incoming slice's distribution moved from the reference?" --
+# the standard answers are the Population Stability Index (banking
+# scorecard monitoring; > 0.25 = major shift) and the Jensen-Shannon
+# divergence (symmetric, bounded by ln 2). Both reduce to per-bin terms
+# over a FIXED binning, so the distributed cost is one groupBy to a
+# 2 x n_bins histogram regardless of corpus size.
+#
+# Determinism contract: bins are INTEGER arithmetic over the combined
+# [min, max] ((v - min) * n_bins div (range + 1) -- exact in both
+# engines); probabilities use additive smoothing so empty bins stay
+# finite; each output row carries only ITS OWN bin's terms (no
+# cross-bin float sum inside the frame -- totals are a 2*n_bins-row
+# driver fold, drift_totals, per the bounded-summary discipline).
+# ---------------------------------------------------------------------------
+
+
+def distribution_drift(
+    df: DataFrame,
+    value_col: str,
+    split_col: str,
+    ref_value,
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(bin, n_ref, n_cur, p_ref, p_cur, psi_term, jsd_term): per-bin
+    drift terms of `value_col` (integer-valued) between the reference
+    slice (split_col == ref_value) and everything else.
+
+    PSI = sum(psi_term); JSD = sum(jsd_term) (use drift_totals). Bins
+    cover the COMBINED min..max in n_bins equal-width integer buckets;
+    every bin appears (zero-count bins included via a range spine), so
+    smoothing keeps all logs finite.
+    """
+    vals = df.select(
+        F.col(value_col).cast("long").alias("_v"),
+        (F.col(split_col) == F.lit(ref_value)).alias("_is_ref"),
+    ).where(F.col("_v").isNotNull())
+    mm = vals.agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    binned = (
+        vals.join(F.broadcast(mm))
+        .select(
+            F.expr(
+                f"((_v - _lo) * CAST({n_bins} AS BIGINT))"
+                " div (_hi - _lo + 1)"
+            ).alias("bin"),
+            "_is_ref",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("_is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(~F.col("_is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    spine = df.sparkSession.range(n_bins).select(
+        F.col("id").alias("bin")
+    )
+    hist = (
+        spine.join(binned, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("n_ref").cast("long").alias("_tr"),
+        F.sum("n_cur").cast("long").alias("_tc"),
+    )
+    s = float(smoothing)
+    p_ref = (F.col("n_ref").cast("double") + F.lit(s)) / (
+        F.col("_tr").cast("double") + F.lit(s * n_bins)
+    )
+    p_cur = (F.col("n_cur").cast("double") + F.lit(s)) / (
+        F.col("_tc").cast("double") + F.lit(s * n_bins)
+    )
+    out = hist.join(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("_pr"),
+        p_cur.alias("_pc"),
+    )
+    m = (F.col("_pr") + F.col("_pc")) / F.lit(2.0)
+    return out.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(F.col("_pr"), 6).alias("p_ref"),
+        F.round(F.col("_pc"), 6).alias("p_cur"),
+        F.round(
+            (F.col("_pc") - F.col("_pr"))
+            * F.log(F.col("_pc") / F.col("_pr")),
+            6,
+        ).alias("psi_term"),
+        F.round(
+            F.lit(0.5)
+            * (
+                F.col("_pr") * F.log(F.col("_pr") / m)
+                + F.col("_pc") * F.log(F.col("_pc") / m)
+            ),
+            6,
+        ).alias("jsd_term"),
+    )
+
+
+def drift_totals(bins) -> dict:
+    """Fold a distribution_drift frame (2*n_bins bounded rows) into
+    {psi, jsd} driver-side, summing in ascending-bin order."""
+    rows = sorted(bins.collect(), key=lambda r: r["bin"])
+    psi = 0.0
+    jsd = 0.0
+    for r in rows:
+        psi = psi + r["psi_term"]
+        jsd = jsd + r["jsd_term"]
+    return {"psi": round(psi, 6), "jsd": round(jsd, 6)}

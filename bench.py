@@ -154,6 +154,7 @@ def main():
         "kmv_overlap",
         "cosine_join_pairs",
         "perplexity_buckets",
+        "drift_psi_bins",
         "bloom_prefilter_join",
         "cm_token_counts",
         "snm_pairs",

@@ -75,3 +75,42 @@ def test_quantile_profile_exact_interpolation(spark):
         for q in (0.25, 0.5, 0.9):
             want = float(np.percentile(vals, q * 100, method="linear"))
             assert abs(got[(g, q)] - round(want, 6)) < 1e-9, (g, q)
+
+
+def test_drift_zero_for_identical_slices(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.profiling import (
+        distribution_drift,
+        drift_totals,
+    )
+
+    # ref and cur slices identically distributed -> PSI == JSD == 0
+    rows = [(v, s) for v in range(100, 200, 10) for s in ("a", "b")]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["val", "side"]))
+    bins = distribution_drift(d, "val", "side", "a", n_bins=5)
+    t = drift_totals(bins)
+    assert t["psi"] == 0.0 and t["jsd"] == 0.0
+
+
+def test_drift_detects_shift(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.profiling import (
+        distribution_drift,
+        drift_totals,
+    )
+
+    # cur shifted hard to the top of the range: PSI over the 0.25
+    # "major shift" bar, JSD positive and <= ln 2
+    rows = [(v, "ref") for v in range(0, 100)] + [
+        (v, "cur") for v in range(80, 180)
+    ]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["val", "side"]))
+    bins = distribution_drift(d, "val", "side", "ref", n_bins=10)
+    rows_out = bins.collect()
+    assert len(rows_out) == 10
+    assert sum(r["n_ref"] for r in rows_out) == 100
+    t = drift_totals(bins)
+    assert t["psi"] > 0.25
+    assert 0.0 < t["jsd"] <= 0.6932
