@@ -2758,6 +2758,22 @@ def _q_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(q, emb, m_subs=4, k=8, iters=2, topk=10)
 
 
+def _q_sq_rerank_topk(spark, sf_dir):
+    # Scalar quantization (FAISS SQ8) + exact rerank: per-dimension 8-bit
+    # linear codes from corpus min/max (the dim-row bounded 'model'),
+    # approximate scan against reconstructions, top-30 re-scored with
+    # true vectors. The simplest compression lane of the ANN family --
+    # no codebooks -- and fully value-checked because quantize /
+    # dequantize / distance all replay symbolically in DuckDB.
+    from ala_name_matching_spark.operators.sq import sq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq_topk(q, emb, dim=64, rerank=30, topk=10)
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     from ala_name_matching_spark.operators.similarity_search import ivf_topk
 
@@ -3012,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "pq_adc_topk": _q_pq_adc_topk,
+        "sq_rerank_topk": _q_sq_rerank_topk,
         "dm_fuzzy_lookup": _q_dm_fuzzy_lookup,
         "spelling_collision_qa": _q_spelling_collision_qa,
         "double_metaphone_keys": _q_double_metaphone_keys,
@@ -5378,6 +5395,62 @@ def oracle_sql() -> dict[str, str]:
         # PQ/ADC: the whole train+encode+query path unrolled (grouped
         # Lloyd CTEs, reduced-score argmin, sub-sorted ADC fold)
         "pq_adc_topk": _pq_oracle(),
+        # SQ8 replay: identical quantize/dequantize operand order, dists
+        # via list_dot_product (the established unrolled-dot agreement)
+        "sq_rerank_topk": """
+            WITH x AS (
+              SELECT vec_id, j.j - 1 AS j,
+                     CAST(embedding[j.j] AS DOUBLE) AS x
+              FROM embeddings,
+                   unnest(generate_series(1, 64)) AS j(j)),
+            st AS (SELECT j, min(x) AS lo, max(x) AS hi FROM x GROUP BY j),
+            enc AS (
+              SELECT vec_id, x.j, st.lo, st.hi,
+                     CASE WHEN st.hi > st.lo
+                          THEN CAST(least(greatest(
+                                 round((x.x - st.lo) * 255.0
+                                       / (st.hi - st.lo)), 0.0), 255.0)
+                               AS INT)
+                          ELSE 0 END AS c
+              FROM x JOIN st USING (j)),
+            rec AS (
+              SELECT vec_id,
+                     list(lo + c * ((hi - lo) / 255.0) ORDER BY j) AS rv
+              FROM enc GROUP BY vec_id),
+            qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+            q AS (SELECT e.vec_id AS query_id,
+                         CAST(e.embedding AS DOUBLE[]) AS qv
+                  FROM embeddings e JOIN qids USING (vec_id)),
+            approx AS (
+              SELECT q.query_id, r.vec_id,
+                     round(list_dot_product(q.qv, q.qv)
+                           - 2 * list_dot_product(q.qv, r.rv)
+                           + list_dot_product(r.rv, r.rv), 6) AS adist
+              FROM rec r CROSS JOIN q),
+            cands AS (
+              SELECT * FROM (
+                SELECT query_id, vec_id, adist,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY adist, vec_id) AS r1
+                FROM approx) WHERE r1 <= 30),
+            tv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv
+                   FROM embeddings),
+            exact AS (
+              SELECT c.query_id, c.vec_id, c.adist,
+                     round(list_dot_product(q.qv, q.qv)
+                           - 2 * list_dot_product(q.qv, t.tv)
+                           + list_dot_product(t.tv, t.tv), 6) AS dist
+              FROM cands c
+              JOIN tv t ON t.vec_id = c.vec_id
+              JOIN q ON q.query_id = c.query_id)
+            SELECT query_id, vec_id, adist, dist,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist, vec_id) AS rank
+              FROM exact) WHERE rank <= 10""",
         "ann_ivf_topk": """
             SELECT e.vec_id AS query_id,
                    e.vec_id + g.j * 1000000 AS vec_id,

@@ -155,6 +155,7 @@ def main():
         "cosine_join_pairs",
         "perplexity_buckets",
         "drift_psi_bins",
+        "sq_rerank_topk",
         "bloom_prefilter_join",
         "cm_token_counts",
         "snm_pairs",
