@@ -1007,6 +1007,27 @@ def _q_chunk_documents(spark, sf_dir):
     )
 
 
+def _q_funnel_stages(spark, sf_dir):
+    # Ordered first-touch funnel view -> click -> purchase: one
+    # conditional-min groupBy per stage joined on the user key (no event
+    # self-join, no raw-stream window). Strictly-increasing timestamps
+    # advance the funnel; same-instant ties do not (pinned rule).
+    from ala_name_matching_spark.operators.temporal import funnel_stages
+
+    return funnel_stages(
+        _read(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def _q_cohort_retention(spark, sf_dir):
+    # Weekly cohort-retention triangle: cohort = ISO week of first event,
+    # n_users active at each week offset. Two partial-agg groupBys + one
+    # first-seen join.
+    from ala_name_matching_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(_read(spark, sf_dir, "events"), max_weeks=12)
+
+
 def _q_gap_fill(spark, sf_dir):
     # hypertable gap-fill: per-user minute grid with forward-filled values
     from ala_name_matching_spark.operators.temporal import gap_fill
@@ -3000,6 +3021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_spans": _q_strip_dup_spans,
         "line_dedup": _q_line_dedup,
         "gap_fill_minutes": _q_gap_fill,
+        "funnel_stages": _q_funnel_stages,
+        "cohort_retention": _q_cohort_retention,
         "chunk_documents": _q_chunk_documents,
         "frame_schedule": _q_frame_schedule,
         "table_checksum": _q_table_checksum,
@@ -3861,6 +3884,52 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s.s:s.s+31], ' ') AS chunk_text,
                    len(t[s.s:s.s+31]) AS n_tokens
             FROM st, unnest(generate_series(1, last_start, 24)) AS s(s)""",
+        # first-touch funnel replay: conditional-min per stage, strict >
+        "funnel_stages": """
+            WITH ev AS (
+              SELECT user_id AS u, ts, event_type AS ty FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')),
+            s0 AS (
+              SELECT u, min(CASE WHEN ty = 'view' THEN ts END) AS t0
+              FROM ev GROUP BY u
+              HAVING min(CASE WHEN ty = 'view' THEN ts END) IS NOT NULL),
+            s1 AS (
+              SELECT ev.u, min(ev.ts) AS t1
+              FROM ev JOIN s0 USING (u)
+              WHERE ev.ty = 'click' AND ev.ts > s0.t0 GROUP BY ev.u),
+            s2 AS (
+              SELECT ev.u, min(ev.ts) AS t2
+              FROM ev JOIN s1 USING (u)
+              WHERE ev.ty = 'purchase' AND ev.ts > s1.t1 GROUP BY ev.u),
+            c AS (
+              SELECT 0 AS stage_idx, 'view' AS stage,
+                     (SELECT count(*) FROM s0) AS n_users
+              UNION ALL
+              SELECT 1, 'click', (SELECT count(*) FROM s1)
+              UNION ALL
+              SELECT 2, 'purchase', (SELECT count(*) FROM s2))
+            SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+                   CAST(n_users AS BIGINT) AS n_users,
+                   round(CAST(n_users AS DOUBLE)
+                         / (SELECT count(*) FROM s0), 6) AS conversion
+            FROM c""",
+        # cohort triangle replay: ISO-week truncation (Monday start in
+        # both engines), day-diff // 7 offsets
+        "cohort_retention": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+              FROM events),
+            first AS (SELECT u, min(w) AS cw FROM act GROUP BY u),
+            j AS (
+              SELECT first.cw,
+                     date_diff('day', first.cw, act.w) // 7 AS week_offset
+              FROM act JOIN first USING (u))
+            SELECT cw AS cohort_week,
+                   CAST(week_offset AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM j WHERE week_offset <= 12
+            GROUP BY 1, 2""",
         "gap_fill_minutes": """
             WITH b AS (
               SELECT user_id AS k, date_trunc('minute', ts) AS bt,

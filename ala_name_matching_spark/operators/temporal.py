@@ -237,3 +237,94 @@ def gap_fill(
         F.last("v", ignorenulls=True).over(w).alias("value"),
         F.col("v").isNull().alias("filled"),
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(stage_idx, stage, n_users, conversion): the ordered-funnel report.
+
+    A user reaches stage i when they performed stages[0..i] in strict
+    timestamp order (each event strictly after the previous stage's
+    FIRST qualifying event -- the standard first-touch funnel; same-
+    instant events do not advance the funnel, a pinned deterministic
+    rule). conversion = n_users(stage) / n_users(stage 0), 6-dp.
+
+    Distributed shape: one conditional-min groupBy per stage, each
+    joined back on the user key -- len(stages) keyed partial-agg
+    shuffles, no self-join on events, no window over the raw stream.
+    The per-user intermediate is one row per user per pass.
+    """
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+    ).where(F.col(type_col).isin(stages))
+    cur = ev.groupBy("_u").agg(
+        F.min(F.when(F.col("_ty") == stages[0], F.col("_ts"))).alias("_t0")
+    ).where(F.col("_t0").isNotNull())
+    reached = [cur]
+    for i, st in enumerate(stages[1:], start=1):
+        nxt = (
+            ev.where(F.col("_ty") == st)
+            .join(reached[-1], "_u")
+            .where(F.col("_ts") > F.col(f"_t{i - 1}"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias(f"_t{i}"))
+        )
+        reached.append(nxt)
+    counts = None
+    for i, df in enumerate(reached):
+        c = df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(stages[i]).alias("stage"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    base = reached[0].agg(F.count("*").cast("long").alias("_n0"))
+    return counts.join(F.broadcast(base)).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("_n0").cast("double"), 6
+        ).alias("conversion"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int | None = None,
+) -> DataFrame:
+    """(cohort_week, week_offset, n_users): weekly retention triangle.
+
+    cohort_week = ISO week (date_trunc) of the user's FIRST event;
+    week_offset k counts users of that cohort active in cohort_week + k
+    (offset 0 is the cohort size by construction). The canonical
+    product-analytics rollup, here as two partial-agg groupBys + one
+    broadcastable first-seen join -- no windows over the raw stream.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    act = (
+        events.select(F.col(user_col).alias("_u"), wk.alias("_w"))
+        .distinct()
+    )
+    first = act.groupBy("_u").agg(F.min("_w").alias("_cw"))
+    joined = act.join(first, "_u").select(
+        "_cw",
+        (F.datediff(F.col("_w"), F.col("_cw")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    if max_weeks is not None:
+        joined = joined.where(F.col("week_offset") <= max_weeks)
+    return (
+        joined.groupBy(F.col("_cw").alias("cohort_week"), "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

@@ -156,6 +156,8 @@ def main():
         "perplexity_buckets",
         "drift_psi_bins",
         "sq_rerank_topk",
+        "funnel_stages",
+        "cohort_retention",
         "bloom_prefilter_join",
         "cm_token_counts",
         "snm_pairs",

@@ -120,3 +120,59 @@ def test_gap_fill_forward_fills_missing_buckets(spark):
     assert got[(1, 3)] == (40.0, False)
     assert got[(2, 0)] == (7.0, False)
     assert len(got) == 5  # grid never extends past a key's own bounds
+
+
+def test_funnel_ordering_and_ties(spark):
+    import datetime as dt
+
+    import pandas as pd
+    import pytest
+
+    from ala_name_matching_spark.operators.temporal import funnel_stages
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # user 2: click BEFORE view -> stalls at view
+        (2, t(5), "click"), (2, t(6), "view"),
+        # user 3: same-instant click does not advance (strict >)
+        (3, t(0), "view"), (3, t(0), "click"),
+        # user 4: never views -> not in funnel at all
+        (4, t(0), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    )
+    out = {r["stage"]: r for r in
+           funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 1
+    assert out["purchase"]["n_users"] == 1
+    assert out["click"]["conversion"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.temporal import cohort_retention
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    wk = dt.timedelta(days=7)
+    rows = [
+        (1, mon), (1, mon + wk), (1, mon + 2 * wk),
+        (2, mon), (2, mon + 2 * wk),
+        (3, mon + wk),
+    ]
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts"]))
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert out[(mon, 0)] == 2
+    assert out[(mon, 1)] == 1
+    assert out[(mon, 2)] == 2
+    assert out[(mon + wk, 0)] == 1
+    assert len(out) == 4
