@@ -1007,6 +1007,24 @@ def _q_chunk_documents(spark, sf_dir):
     )
 
 
+def _q_event_transitions(spark, sf_dir):
+    # First-order Markov transition matrix of the event stream: lead()
+    # over (user, ts, event_id) -- deterministic same-timestamp order --
+    # then a |types|^2-bounded count + row-normalized probabilities.
+    from ala_name_matching_spark.operators.temporal import event_transitions
+
+    return event_transitions(_read(spark, sf_dir, "events"))
+
+
+def _q_rfm_segments(spark, sf_dir):
+    # RFM segmentation over purchases: recency/frequency/monetary
+    # quintiles with the perplexity_buckets determinism contract (rank on
+    # rounded metric + user_id tie-break, integer bucket boundaries).
+    from ala_name_matching_spark.operators.temporal import rfm_segments
+
+    return rfm_segments(_read(spark, sf_dir, "events"))
+
+
 def _q_funnel_stages(spark, sf_dir):
     # Ordered first-touch funnel view -> click -> purchase: one
     # conditional-min groupBy per stage joined on the user key (no event
@@ -3023,6 +3041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_minutes": _q_gap_fill,
         "funnel_stages": _q_funnel_stages,
         "cohort_retention": _q_cohort_retention,
+        "event_transitions": _q_event_transitions,
+        "rfm_segments": _q_rfm_segments,
         "chunk_documents": _q_chunk_documents,
         "frame_schedule": _q_frame_schedule,
         "table_checksum": _q_table_checksum,
@@ -3884,6 +3904,55 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s.s:s.s+31], ' ') AS chunk_text,
                    len(t[s.s:s.s+31]) AS n_tokens
             FROM st, unnest(generate_series(1, last_start, 24)) AS s(s)""",
+        "event_transitions": """
+            WITH p AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS to_type
+              FROM events),
+            c AS (SELECT from_type, to_type, count(*) AS n
+                  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t
+                  FROM c GROUP BY 1)
+            SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n,
+                   round(CAST(n AS DOUBLE) / t, 6) AS prob
+            FROM c JOIN t USING (from_type)""",
+        # RFM replay: identical rank keys (rounded monetary) and integer
+        # quintile boundaries
+        "rfm_segments": """
+            WITH p AS (SELECT * FROM events
+                       WHERE event_type = 'purchase'),
+            mx AS (SELECT max(ts) AS mx FROM p),
+            pu AS (SELECT user_id, max(ts) AS last,
+                          count(*) AS frequency,
+                          round(sum(value), 6) AS monetary
+                   FROM p GROUP BY 1),
+            base AS (
+              SELECT user_id,
+                     date_diff('day', CAST(last AS DATE),
+                               CAST(mx AS DATE)) AS recency_days,
+                     frequency, monetary
+              FROM pu, mx),
+            rk AS (
+              SELECT *,
+                     row_number() OVER (ORDER BY recency_days ASC, user_id)
+                       AS r_rk,
+                     row_number() OVER (ORDER BY frequency DESC, user_id)
+                       AS f_rk,
+                     row_number() OVER (ORDER BY monetary DESC, user_id)
+                       AS m_rk,
+                     count(*) OVER () AS n
+              FROM base)
+            SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+                   CAST(frequency AS BIGINT) AS frequency, monetary,
+                   CAST((r_rk - 1) * 5 // n + 1 AS INTEGER) AS r_q,
+                   CAST((f_rk - 1) * 5 // n + 1 AS INTEGER) AS f_q,
+                   CAST((m_rk - 1) * 5 // n + 1 AS INTEGER) AS m_q,
+                   CAST(((r_rk - 1) * 5 // n + 1) * 100
+                        + ((f_rk - 1) * 5 // n + 1) * 10
+                        + ((m_rk - 1) * 5 // n + 1) AS INTEGER) AS rfm_code
+            FROM rk""",
         # first-touch funnel replay: conditional-min per stage, strict >
         "funnel_stages": """
             WITH ev AS (

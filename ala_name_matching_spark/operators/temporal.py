@@ -328,3 +328,128 @@ def cohort_retention(
         joined.groupBy(F.col("_cw").alias("cohort_week"), "week_offset")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(from_type, to_type, n, prob): the first-order Markov transition
+    matrix of the event stream (product-analytics "path flow").
+
+    Successor pairs come from one lead() over (user, ts, event_id) --
+    the id tie-break makes same-timestamp order deterministic; the last
+    event of each user has no successor and is dropped. prob is the
+    row-normalized count (one division per cell). One window + one
+    partial-agg groupBy; the matrix is |types|^2-bounded.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("_t")
+    )
+    return pairs.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("_t").cast("double"), 6)
+        .alias("prob"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+    n_quantiles: int = 5,
+) -> DataFrame:
+    """(user_id, recency_days, frequency, monetary, r_q, f_q, m_q,
+    rfm_code): classic RFM segmentation over purchase events.
+
+    recency = whole days from the user's last purchase to the corpus max
+    timestamp (smaller = better -> quintile 1); frequency = purchase
+    count; monetary = 6-dp-rounded value sum. Quantile assignment uses
+    the same determinism contract as perplexity_buckets: rank on the
+    (rounded) metric with user_id tie-break, integer-arithmetic bucket
+    boundaries -- no engine ntile() conventions. rfm_code =
+    100*r + 10*f + m.
+
+    One filtered groupBy per user + three per-metric windows over the
+    USER-grain table (never the raw stream). The windows are global
+    (single-partition sort of the user-grain rows) -- at 10^9+ users
+    swap each for blocking.global_rank, the two-pass distributed rank
+    the dsir lane uses; at any smaller grain the single sort is cheaper
+    than the extra pass.
+    """
+    p = events.where(F.col(type_col) == purchase_type)
+    mx = p.agg(F.max(ts_col).alias("_mx"))
+    per_user = (
+        p.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.max(ts_col).alias("_last"),
+            F.count("*").cast("long").alias("frequency"),
+            F.round(F.sum(value_col), 6).alias("monetary"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("_mx"), F.to_date("_last"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wn = Window.partitionBy()
+
+    def quant(order_cols, name):
+        w = Window.orderBy(*order_cols)
+        return (
+            F.expr(
+                f"(({name}_rk - 1) * CAST({n_quantiles} AS BIGINT)) div _n"
+            )
+            + 1
+        )
+
+    ranked = per_user.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id")))
+        .alias("r_rk"),
+        F.row_number()
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+        .alias("f_rk"),
+        F.row_number()
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
+        .alias("m_rk"),
+        F.count("*").over(wn).alias("_n"),
+    )
+    r_q = quant([], "r")
+    f_q = quant([], "f")
+    m_q = quant([], "m")
+    return ranked.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_q.cast("int").alias("r_q"),
+        f_q.cast("int").alias("f_q"),
+        m_q.cast("int").alias("m_q"),
+        (r_q * 100 + f_q * 10 + m_q).cast("int").alias("rfm_code"),
+    )

@@ -158,6 +158,8 @@ def main():
         "sq_rerank_topk",
         "funnel_stages",
         "cohort_retention",
+        "event_transitions",
+        "rfm_segments",
         "bloom_prefilter_join",
         "cm_token_counts",
         "snm_pairs",

@@ -176,3 +176,71 @@ def test_cohort_retention_triangle(spark):
     assert out[(mon, 2)] == 2
     assert out[(mon + wk, 0)] == 1
     assert len(out) == 4
+
+
+def test_event_transitions_counts_and_probs(spark):
+    import datetime as dt
+
+    import pandas as pd
+    import pytest
+
+    from ala_name_matching_spark.operators.temporal import event_transitions
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, 1, t(0), "a"), (2, 1, t(1), "b"), (3, 1, t(2), "a"),
+        (4, 2, t(0), "a"), (5, 2, t(1), "a"),
+        # same timestamp: event_id order decides (6 then 7)
+        (6, 3, t(0), "a"), (7, 3, t(0), "c"),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in event_transitions(ev).collect()
+    }
+    assert out[("a", "b")]["n"] == 1
+    assert out[("b", "a")]["n"] == 1
+    assert out[("a", "a")]["n"] == 1
+    assert out[("a", "c")]["n"] == 1
+    # from 'a': 3 outgoing transitions
+    assert out[("a", "b")]["prob"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_rfm_segments_quintiles(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.temporal import rfm_segments
+
+    rows = []
+    # 10 users: user i purchases i times, last purchase i days before max,
+    # each purchase worth 10*i
+    for u in range(1, 11):
+        for j in range(u):
+            rows.append(
+                (
+                    u * 100 + j,
+                    u,
+                    dt.datetime(2024, 1, 31) - dt.timedelta(days=u - 1),
+                    "purchase",
+                    float(10 * u),
+                )
+            )
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+        )
+    )
+    out = {r["user_id"]: r for r in rfm_segments(ev).collect()}
+    # user 10: most frequent + highest monetary but most stale
+    assert out[10]["f_q"] == 1 and out[10]["m_q"] == 1 and out[10]["r_q"] == 5
+    # user 1: freshest, least frequent, lowest spend
+    assert out[1]["r_q"] == 1 and out[1]["f_q"] == 5 and out[1]["m_q"] == 5
+    assert out[1]["rfm_code"] == 155
+    # 10 users over 5 quintiles -> 2 per quintile on each axis
+    from collections import Counter
+
+    assert Counter(r["r_q"] for r in out.values()) == {q: 2 for q in range(1, 6)}
