@@ -2706,6 +2706,137 @@ def _q_edge_support_bridges(spark, sf_dir):
     )
 
 
+def _q_split_leakage(spark, sf_dir):
+    # Train/holdout contamination check -- the audit every training run
+    # needs before trusting its eval: near-dup pairs (exact Jaccard >=
+    # 0.5, the proven edge lane) that CROSS the deterministic split, i.e.
+    # holdout docs whose near-twin leaked into train. Composes two
+    # oracle-proven operators; output is the leaked pair list.
+    from ala_name_matching_spark.operators.dedup import jaccard_edges
+    from ala_name_matching_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    edges = jaccard_edges(docs, shingle_n=3, threshold=0.5)
+    sp = deterministic_split(docs, "doc_id").select("doc_id", "split")
+    return (
+        edges.join(
+            sp.select(
+                F.col("doc_id").alias("doc_id_l"),
+                F.col("split").alias("split_l"),
+            ),
+            "doc_id_l",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_id_r"),
+                F.col("split").alias("split_r"),
+            ),
+            "doc_id_r",
+        )
+        .where(F.col("split_l") != F.col("split_r"))
+        .select("doc_id_l", "doc_id_r", "jaccard", "split_l", "split_r")
+    )
+
+
+def _q_kcore_membership(spark, sf_dir):
+    # 2-core peeling over the near-dup graph: the third cluster-QA leg
+    # (triangles -> chain clusters, edge_support -> bridge edges, k-core
+    # -> which records survive once weak tails peel away). Pinned 8
+    # synchronous rounds; the operator early-stops at the fixpoint, the
+    # oracle unrolls all 8 (post-fixpoint rounds are no-ops).
+    from ala_name_matching_spark.operators.dedup import (
+        jaccard_edges,
+        neardup_clusters,
+    )
+    from ala_name_matching_spark.operators.er_metrics import k_core
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    edges = jaccard_edges(docs, shingle_n=3, threshold=0.5).localCheckpoint(
+        eager=True
+    )
+    labels = neardup_clusters(docs, shingle_n=3, threshold=0.5, edges=edges)
+    return k_core(
+        labels,
+        edges,
+        k=2,
+        rounds=8,
+        id_col="doc_id",
+        cluster_col="cluster_rep",
+        edge_cols=("doc_id_l", "doc_id_r"),
+    )
+
+
+def _kcore_oracle_sql(rounds: int = 8, k: int = 2) -> str:
+    """Unrolled DuckDB replay of k_core's synchronous peeling: per round,
+    degrees over surviving NODES (left join, coalesce 0), simultaneous
+    deletion of everything below k."""
+    head = f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' ')
+                 )) AS sh
+          FROM t
+        ), eg AS (
+          SELECT a.doc_id AS l, b.doc_id AS r
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh))::double
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        ), symg AS (
+          SELECT l AS a, r AS b FROM eg UNION ALL SELECT r AS a, l AS b FROM eg
+        ), reach AS (
+          SELECT doc_id AS id, doc_id AS r FROM documents
+          UNION
+          SELECT symg.b, reach.r FROM reach JOIN symg ON symg.a = reach.id
+        ), lab AS (
+          SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id
+        ), e0 AS MATERIALIZED (
+          SELECT lab.cluster_rep AS c, eg.l AS a, eg.r AS b
+          FROM eg JOIN lab ON lab.doc_id = eg.l
+        ), nodes0 AS MATERIALIZED (
+          SELECT DISTINCT c, n FROM (
+            SELECT c, a AS n FROM e0 UNION ALL SELECT c, b AS n FROM e0))"""
+    parts = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""d{r} AS MATERIALIZED (
+          SELECT nd.c, nd.n, coalesce(dd.d, 0) AS d
+          FROM nodes{p} nd LEFT JOIN (
+            SELECT c, n, count(*) AS d FROM (
+              SELECT c, a AS n FROM e{p}
+              UNION ALL SELECT c, b AS n FROM e{p}) GROUP BY 1, 2) dd
+            ON dd.c = nd.c AND dd.n = nd.n)""")
+        parts.append(f"""drop{r} AS MATERIALIZED (
+          SELECT c, n, {r} AS rr FROM d{r} WHERE d < {k})""")
+        parts.append(f"""nodes{r} AS MATERIALIZED (
+          SELECT nd.c, nd.n FROM nodes{p} nd
+          WHERE NOT EXISTS (SELECT 1 FROM drop{r} x
+                            WHERE x.c = nd.c AND x.n = nd.n))""")
+        parts.append(f"""e{r} AS MATERIALIZED (
+          SELECT e.c, e.a, e.b FROM e{p} e
+          WHERE NOT EXISTS (SELECT 1 FROM drop{r} x
+                            WHERE x.c = e.c AND x.n = e.a)
+            AND NOT EXISTS (SELECT 1 FROM drop{r} x
+                            WHERE x.c = e.c AND x.n = e.b))""")
+    rem = " UNION ALL ".join(
+        f"SELECT c, n, rr FROM drop{r}" for r in range(1, rounds + 1)
+    )
+    return f"""{head},
+        {", ".join(parts)},
+        removed AS ({rem})
+        SELECT nodes0.c AS cluster_rep, nodes0.n AS doc_id,
+               removed.rr IS NULL AS in_core,
+               CAST(removed.rr AS INTEGER) AS round_removed
+        FROM nodes0 LEFT JOIN removed
+          ON removed.c = nodes0.c AND removed.n = nodes0.n"""
+
+
 def _q_cross_doc_dup_ngrams(spark, sf_dir):
     # Corpus-level duplicated-text accounting (exact-substring dedup signal,
     # Lee et al. 2022): per doc, distinct word-4-grams shared with >= 2 docs
@@ -3062,6 +3193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_doc_clusters": _q_neardup_doc_clusters,
         "cluster_triangles": _q_cluster_triangles,
         "edge_support_bridges": _q_edge_support_bridges,
+        "kcore_membership": _q_kcore_membership,
+        "split_leakage": _q_split_leakage,
         "cross_doc_dup_ngrams": _q_cross_doc_dup_ngrams,
         "dedup_keep_best": _q_dedup_keep_best,
         "mixture_weights": _q_mixture_weights,
@@ -5910,6 +6043,37 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ne ON ne.c = sz.c
             LEFT JOIN w ON w.c = sz.c
             LEFT JOIN tri ON tri.c = sz.c""",
+        "kcore_membership": _kcore_oracle_sql(rounds=8, k=2),
+        # leakage replay: the proven jaccard-edge rule x the proven
+        # md5-bucket split rule, cross-split pairs only
+        "split_leakage": f"""
+            WITH t AS (
+              SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                     )) AS sh
+              FROM t
+            ), e AS (
+              SELECT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r,
+                     len(list_intersect(a.sh, b.sh))::double
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+            ), sp AS (
+              SELECT doc_id,
+                     CASE WHEN substr(md5('split-v1' || doc_id), 1, 4)
+                               < '1999'
+                          THEN 'holdout' ELSE 'train' END AS split
+              FROM documents)
+            SELECT e.doc_id_l, e.doc_id_r, e.jaccard,
+                   sl.split AS split_l, sr.split AS split_r
+            FROM e
+            JOIN sp sl ON sl.doc_id = e.doc_id_l
+            JOIN sp sr ON sr.doc_id = e.doc_id_r
+            WHERE e.jaccard >= 0.5 AND sl.split <> sr.split""",
         # edge-support replay: same edge rule + closure as
         # cluster_triangles; support = common neighbors via two sym joins
         "edge_support_bridges": f"""

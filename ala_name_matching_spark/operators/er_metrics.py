@@ -688,6 +688,123 @@ def edge_support(
         labels.unpersist()
 
 
+def k_core(
+    labels: DataFrame,
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 10,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+    edge_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """(cluster_id, record_id, in_core, round_removed): k-core peeling --
+    the third leg of the cluster-QA trio (triangles say WHICH clusters
+    are chains, edge_support says WHICH EDGES bridge them, the k-core
+    says WHICH RECORDS survive once every weakly-attached tail is peeled
+    away). The 2-core is exactly the set of records that remain after
+    repeatedly deleting degree-<2 nodes: pendant chains dissolve, every
+    cycle-supported region survives.
+
+    Peeling is the standard synchronous iteration: each round computes
+    degrees over the surviving subgraph (one partial-agg groupBy) and
+    deletes every node below k simultaneously. Rounds are PINNED
+    (`rounds`, default 10) so the DuckDB oracle can unroll the identical
+    iterations; extra rounds after the fixpoint are no-ops, so the
+    operator may stop early (it does, via a bounded per-round count
+    check) without changing the result -- same fixed-trajectory contract
+    as the EM lanes. round_removed is 1-based; survivors carry NULL and
+    in_core = true. Worst-case rounds to full fixpoint is the longest
+    pendant chain (~diameter/1); size `rounds` accordingly or read the
+    `converged` docstring note: a non-converged run under-peels, never
+    over-peels.
+
+    Distributed shape per round: one groupBy + two semi/anti joins on
+    the skinny edge table -- no windows, no collect of the graph.
+    """
+    labels.persist()
+    la = labels.select(
+        F.col(id_col).alias("_ida"), F.col(cluster_col).alias("_ca")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("_idb"), F.col(cluster_col).alias("_cb")
+    )
+    try:
+        e = (
+            _canon_pairs(edges, *edge_cols)
+            .select(F.col("a").alias("_ida"), F.col("b").alias("_idb"))
+            .join(la, "_ida")
+            .join(lb, "_idb")
+            .where(F.col("_ca") == F.col("_cb"))
+            .select(
+                F.col("_ca").alias("_c"),
+                F.col("_ida").alias("_a"),
+                F.col("_idb").alias("_b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            e.select("_c", F.col("_a").alias("_n"))
+            .unionAll(e.select("_c", F.col("_b").alias("_n")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # degrees are computed over ALL surviving nodes (left join,
+        # coalesce 0), not just edge endpoints -- a node whose every
+        # neighbor peels in one round has degree 0 next round and must
+        # still be caught
+        removed = nodes.select("_c", "_n").limit(0).withColumn(
+            "round_removed", F.lit(None).cast("int")
+        )
+        cur_nodes = nodes
+        cur_e = e
+        for r in range(1, rounds + 1):
+            edge_deg = (
+                cur_e.select("_c", F.col("_a").alias("_n"))
+                .unionAll(cur_e.select("_c", F.col("_b").alias("_n")))
+                .groupBy("_c", "_n")
+                .agg(F.count("*").alias("_d"))
+            )
+            deg = cur_nodes.join(edge_deg, ["_c", "_n"], "left").select(
+                "_c", "_n", F.coalesce(F.col("_d"), F.lit(0)).alias("_d")
+            )
+            drop = (
+                deg.where(F.col("_d") < k)
+                .select("_c", "_n", F.lit(r).cast("int").alias("round_removed"))
+                .localCheckpoint(eager=True)
+            )
+            if drop.isEmpty():
+                break
+            removed = removed.unionByName(drop)
+            cur_nodes = cur_nodes.join(
+                drop.select("_c", "_n"), ["_c", "_n"], "left_anti"
+            ).localCheckpoint(eager=True)
+            cur_e = (
+                cur_e.join(
+                    drop.select("_c", F.col("_n").alias("_a")),
+                    ["_c", "_a"],
+                    "left_anti",
+                )
+                .join(
+                    drop.select("_c", F.col("_n").alias("_b")),
+                    ["_c", "_b"],
+                    "left_anti",
+                )
+                .localCheckpoint(eager=True)
+            )
+        return (
+            nodes.join(removed, ["_c", "_n"], "left")
+            .select(
+                F.col("_c").alias(cluster_col),
+                F.col("_n").alias(id_col),
+                F.col("round_removed").isNull().alias("in_core"),
+                "round_removed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        labels.unpersist()
+
+
 def threshold_sweep(
     scored_pairs: DataFrame,
     gold: DataFrame,

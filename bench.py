@@ -150,6 +150,8 @@ def main():
         "line_dedup",
         "cluster_triangles",
         "edge_support_bridges",
+        "kcore_membership",
+        "split_leakage",
         "hll_distinct_tokens",
         "kmv_overlap",
         "cosine_join_pairs",

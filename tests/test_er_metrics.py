@@ -290,3 +290,52 @@ def test_edge_support_k4_minus_edge(spark):
         for r in edge_support(labels, edges).collect()
     }
     assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 2, (2, 4): 1, (3, 4): 1}
+
+
+def test_k_core_peels_chain_keeps_cycle(spark):
+    from ala_name_matching_spark.operators.er_metrics import k_core
+
+    # cluster 1: triangle (1,2,3) with pendant chain 3-4-5
+    # cluster 10: pure 4-chain -> fully peeled
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, 1) for i in (1, 2, 3, 4, 5)]
+            + [(i, 10) for i in (10, 11, 12, 13)],
+            columns=["record_id", "cluster_id"],
+        )
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5),
+             (10, 11), (11, 12), (12, 13)],
+            columns=["id_a", "id_b"],
+        )
+    )
+    out = {r["record_id"]: r for r in k_core(labels, edges, k=2).collect()}
+    assert all(out[i]["in_core"] for i in (1, 2, 3))
+    assert out[5]["round_removed"] == 1  # pendant tip first
+    assert out[4]["round_removed"] == 2  # then the next link
+    assert not out[4]["in_core"]
+    # the chain cluster dissolves entirely, outside-in
+    assert out[10]["round_removed"] == 1 and out[13]["round_removed"] == 1
+    assert out[11]["round_removed"] == 2 and out[12]["round_removed"] == 2
+    assert not any(out[i]["in_core"] for i in (10, 11, 12, 13))
+
+
+def test_k_core_zero_degree_orphan_caught(spark):
+    from ala_name_matching_spark.operators.er_metrics import k_core
+
+    # hub 0 with three pendant leaves: leaves peel round 1, hub drops to
+    # degree 0 and must be caught round 2
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, 0) for i in range(4)], columns=["record_id", "cluster_id"]
+        )
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (0, 2), (0, 3)], columns=["id_a", "id_b"])
+    )
+    out = {r["record_id"]: r for r in k_core(labels, edges, k=2).collect()}
+    assert out[1]["round_removed"] == 1
+    assert out[0]["round_removed"] == 2
+    assert not out[0]["in_core"]
