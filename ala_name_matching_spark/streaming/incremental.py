@@ -412,3 +412,110 @@ def streaming_semdedup_match(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_drift_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    out_path: str,
+    checkpoint_path: str,
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+):
+    """Per-micro-batch distribution-drift monitoring: each batch's
+    `value_col` histogram is scored against a STATIC reference slice with
+    the PSI / Jensen-Shannon bin terms of profiling.distribution_drift,
+    and the per-bin drift rows land under the batch's epoch partition
+    (idempotent sink, same contract as the other streaming lanes).
+
+    The reference histogram's binning range is pinned by the reference
+    min/max (collected once at wiring time, broadcast as literals), so
+    every batch scores against the SAME bins -- the production shape for
+    "alert when tonight's ingest drifts off last month's corpus". Batch
+    rows outside the reference range clamp into the edge bins rather
+    than silently vanishing.
+    """
+    stats = reference.agg(
+        F.min(F.col(value_col).cast("long")).alias("lo"),
+        F.max(F.col(value_col).cast("long")).alias("hi"),
+    ).first()
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    spine_range = hi - lo + 1
+
+    def bin_col(c):
+        raw = F.expr(
+            f"(({c} - {lo}) * CAST({n_bins} AS BIGINT)) div {spine_range}"
+        )
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+    ref_hist = (
+        reference.select(F.col(value_col).cast("long").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .select(bin_col("_v").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_ref"))
+        .collect()
+    )
+    ref_counts = {r["bin"]: r["n_ref"] for r in ref_hist}
+    total_ref = sum(ref_counts.values())
+    s = float(smoothing)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cur = (
+            batch_df.select(F.col(value_col).cast("long").alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .select(bin_col("_v").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias("n_cur"))
+        )
+        spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+        ref_df = spark.createDataFrame(
+            [(b, ref_counts.get(b, 0)) for b in range(n_bins)],
+            "bin long, n_ref long",
+        )
+        hist = (
+            spine.join(cur, "bin", "left")
+            .join(ref_df, "bin")
+            .select(
+                "bin",
+                "n_ref",
+                F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias(
+                    "n_cur"
+                ),
+            )
+        )
+        tot_cur = hist.agg(F.sum("n_cur").cast("long").alias("t")).first()["t"]
+        p_ref = (F.col("n_ref").cast("double") + F.lit(s)) / (
+            F.lit(float(total_ref)) + F.lit(s * n_bins)
+        )
+        p_cur = (F.col("n_cur").cast("double") + F.lit(s)) / (
+            F.lit(float(tot_cur)) + F.lit(s * n_bins)
+        )
+        m = (p_ref + p_cur) / F.lit(2.0)
+        out = hist.select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_term"
+            ),
+            F.round(
+                F.lit(0.5)
+                * (p_ref * F.log(p_ref / m) + p_cur * F.log(p_cur / m)),
+                6,
+            ).alias("jsd_term"),
+        )
+        _write_epoch_idempotent(out, epoch_id, out_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

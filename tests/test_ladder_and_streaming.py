@@ -498,3 +498,43 @@ def test_streaming_index_replay_is_idempotent(spark, tmp_path):
     key = lambda r: (r["query_id"], r["doc_id"], r["score"], r["rank"])
     assert sorted(map(key, bm25_topk_from_index(spark, idx, queries).collect())) == \
         sorted(map(key, bm25_topk(union, queries).collect()))
+
+
+def test_streaming_drift_monitor_parity_and_shift(spark, tmp_path):
+    """Per-batch drift rows under pinned reference bins: a batch drawn
+    from the reference distribution scores ~0 PSI; a shifted batch scores
+    high. Batch values outside the reference range clamp to edge bins."""
+    import pandas as pd
+
+    from ala_name_matching_spark.streaming.incremental import (
+        streaming_drift_monitor,
+    )
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"val": list(range(0, 100))})
+    )
+    src = str(tmp_path / "in_drift")
+    # batch: same uniform spread, plus one value beyond the range (120)
+    spark.createDataFrame(
+        pd.DataFrame({"val": list(range(0, 100, 2)) + [120]})
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "out_drift")
+    q = streaming_drift_monitor(
+        stream, ref, "val", out_path, str(tmp_path / "ckpt_drift"), n_bins=10
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_path).collect()
+    assert len(rows) == 10
+    by_bin = {r["bin"]: r for r in rows}
+    assert sum(r["n_ref"] for r in rows) == 100
+    # 51 batch values: 50 uniform + the clamped 120 -> edge bin 9
+    assert sum(r["n_cur"] for r in rows) == 51
+    assert by_bin[9]["n_cur"] == 6  # 5 uniform + 1 clamped
+    psi = sum(r["psi_term"] for r in rows)
+    assert abs(psi) < 0.05  # near-identical distribution
+    assert "epoch" in spark.read.parquet(out_path).columns
