@@ -1786,18 +1786,15 @@ def _q_fs_match_weights(spark, sf_dir):
     )
 
 
-def _q_fs_multilevel_weights(spark, sf_dir):
-    # Multi-level (Splink-style) Fellegi-Sunter: the same pair universe as
-    # fs_match_weights but each comparison grades into 3 levels
-    # (exact-ish / close / other) instead of one bit, and EM fits
-    # per-level m/u DISTRIBUTIONS on the <= 27-row pattern histogram.
-    # Graded levels separate "one typo apart" from "different text" --
-    # the distinction the binary gamma blurs. Same bounded-sufficient-
-    # statistic scale shape; oracle = unrolled-CTE EM replay.
-    from ala_name_matching_spark.operators.linkage import (
-        fellegi_sunter_multilevel_weights,
-    )
-
+def _fs_ml_pairs(spark, sf_dir):
+    # Multi-level (Splink-style) Fellegi-Sunter pair universe: the same
+    # blocked + shifted-257 construction as fs_match_weights, but each
+    # comparison grades into 3 levels (exact-ish / close / other)
+    # instead of one bit. Graded levels separate "one typo apart" from
+    # "different text" -- the distinction the binary gamma blurs.
+    # Consumed by fs_multilevel_weights (per-pattern weights) and
+    # fs_level_weights (the fitted model table); both fit EM on the
+    # <= 27-row mixed-radix histogram, oracle = unrolled-CTE EM replay.
     d = _docs(spark, sf_dir).select(
         _block_key_col().alias("bk"),
         "doc_id",
@@ -1842,9 +1839,37 @@ def _q_fs_multilevel_weights(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("g_len"),
     ]
-    pairs = blocked.select(*gamma).unionByName(shifted.select(*gamma))
+    return blocked.select(*gamma).unionByName(shifted.select(*gamma))
+
+
+def _q_fs_multilevel_weights(spark, sf_dir):
+    from ala_name_matching_spark.operators.linkage import (
+        fellegi_sunter_multilevel_weights,
+    )
+
     return fellegi_sunter_multilevel_weights(
-        pairs, ["g_jacc", "g_lev", "g_len"], levels=[3, 3, 3],
+        _fs_ml_pairs(spark, sf_dir),
+        ["g_jacc", "g_lev", "g_len"],
+        levels=[3, 3, 3],
+        iters=_FS_ITERS,
+    )
+
+
+def _q_fs_level_weights(spark, sf_dir):
+    # The fitted multi-level FS MODEL itself, one row per (field, level):
+    # P(level|M), P(level|U) and the log2 Bayes-factor that level
+    # contributes -- the Splink "comparison level weights" model-QA
+    # table. Same EM fit as fs_multilevel_weights; near-zero level
+    # weights flag levels worth merging, non-monotone weights flag a
+    # mis-specified comparison.
+    from ala_name_matching_spark.operators.linkage import (
+        fellegi_sunter_level_weights,
+    )
+
+    return fellegi_sunter_level_weights(
+        _fs_ml_pairs(spark, sf_dir),
+        ["g_jacc", "g_lev", "g_len"],
+        levels=[3, 3, 3],
         iters=_FS_ITERS,
     )
 
@@ -2390,6 +2415,34 @@ def _fs_ml_oracle_sql(bk_macro: str, iters: int) -> str:
                    round(log2(pm / pu), 6) AS match_weight,
                    round((p * pm) / (p * pm + (1.0 - p) * pu), 6) AS posterior
             FROM fin"""
+
+
+def _fs_ml_levels_oracle_sql(bk_macro: str, iters: int) -> str:
+    """Model-table variant of _fs_ml_oracle_sql: instead of per-pattern
+    weights, unpivot the fitted it{iters} parameters into one row per
+    (field, level) with the log2 Bayes-factor level weight."""
+    full = _fs_ml_oracle_sql(bk_macro, iters)
+    # reuse everything up to (not including) the fin CTE
+    head = full.split(",\n            fin AS (")[0]
+    feats = ["g_jacc", "g_lev", "g_len"]
+    last = f"it{iters}"
+    rows = " UNION ALL ".join(
+        f"""SELECT '{g}' AS field, {lv} AS level,
+                   round({last}.m{i + 1}_{lv}, 6) AS m,
+                   round({last}.u{i + 1}_{lv}, 6) AS u,
+                   CASE WHEN {last}.m{i + 1}_{lv} > 0.0
+                         AND {last}.u{i + 1}_{lv} > 0.0
+                        THEN round(log2({last}.m{i + 1}_{lv}
+                                        / {last}.u{i + 1}_{lv}), 6)
+                   END AS level_weight
+            FROM {last}"""
+        for i, g in enumerate(feats)
+        for lv in range(3)
+    )
+    return f"""{head}
+            SELECT field, CAST(level AS INTEGER) AS level, m, u,
+                   level_weight
+            FROM ({rows})"""
 
 
 def _q_phrase_match(spark, sf_dir):
@@ -3145,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "fs_match_weights": _q_fs_match_weights,
         "fs_multilevel_weights": _q_fs_multilevel_weights,
+        "fs_level_weights": _q_fs_level_weights,
         "tf_adjusted_weights": _q_tf_adjusted_weights,
         "snm_pairs": _q_snm_pairs,
         "monge_elkan_pairs": _q_monge_elkan_pairs,
@@ -4291,6 +4345,7 @@ def oracle_sql() -> dict[str, str]:
         # factor order, and pid-ordered M-step sums as fs_em)
         "fs_match_weights": _fs_oracle_sql(_BK, _FS_ITERS),
         "fs_multilevel_weights": _fs_ml_oracle_sql(_BK, _FS_ITERS),
+        "fs_level_weights": _fs_ml_levels_oracle_sql(_BK, _FS_ITERS),
         # TF adjustment: exact BIGINT frequency statistics (n_v, N, sum
         # n_v^2); only the final log2s are libm, absorbed by the 6-dp
         # round (Spark computes log(2, x) = ln x / ln 2)

@@ -365,6 +365,62 @@ def fellegi_sunter_multilevel_weights(
     return spark.createDataFrame(out, schema)
 
 
+def fellegi_sunter_level_weights(
+    pairs: DataFrame,
+    feature_cols: list[str],
+    levels: list[int],
+    iters: int = 4,
+) -> DataFrame:
+    """(field, level, m, u, level_weight): the fitted MODEL itself --
+    per comparison field and agreement level, P(level|M), P(level|U) and
+    the log2 Bayes-factor contribution that level adds to a pair's match
+    weight. This is the "comparison level weights" chart interactive
+    linkage tools (Splink) show for model QA: a level whose weight is
+    near 0 contributes nothing and should be merged; inverted monotonic
+    weights reveal a mis-specified comparison. Same bounded EM fit as
+    fellegi_sunter_multilevel_weights; output is sum(levels) rows.
+    """
+    k = len(feature_cols)
+    radix = [1] * k
+    for i in range(1, k):
+        radix[i] = radix[i - 1] * levels[i - 1]
+    pid = None
+    for i, c in enumerate(feature_cols):
+        term = F.col(c).cast("int") * F.lit(radix[i])
+        pid = term if pid is None else pid + term
+    hist = (
+        pairs.groupBy(*[F.col(c).cast("int").alias(c) for c in feature_cols])
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("pattern_id", pid)
+    )
+    rows = sorted(
+        (
+            (r["pattern_id"], [r[c] for c in feature_cols], r["n_pairs"])
+            for r in hist.collect()
+        ),
+        key=lambda t: t[0],
+    )
+    spark = pairs.sparkSession
+    schema = "field string, level int, m double, u double, level_weight double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    _, m, u = fs_em_multilevel(rows, levels, iters)
+    out = []
+    for i, c in enumerate(feature_cols):
+        for l in range(levels[i]):
+            # a level with zero fitted mass on either side (never
+            # observed in that population) has no finite Bayes factor --
+            # emit NULL rather than +-inf (Splink reports these as
+            # "no observations" levels)
+            w = (
+                round(math.log2(m[i][l] / u[i][l]), 6)
+                if m[i][l] > 0.0 and u[i][l] > 0.0
+                else None
+            )
+            out.append((c, l, round(m[i][l], 6), round(u[i][l], 6), w))
+    return spark.createDataFrame(out, schema)
+
+
 def reciprocal_best_match(
     pairs: DataFrame,
     left_col: str = "id_a",

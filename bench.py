@@ -167,6 +167,7 @@ def main():
         "snm_pairs",
         "fs_match_weights",
         "fs_multilevel_weights",
+        "fs_level_weights",
         "conv_neardup_pairs",
         "conv_prefix_rescrape",
         "monge_elkan_pairs",

@@ -240,3 +240,34 @@ def test_multilevel_weights_frame(spark):
     # all-agree-high outweighs all-disagree
     assert by_pid[8]["match_weight"] > by_pid[0]["match_weight"]
     assert by_pid[8]["posterior"] > by_pid[0]["posterior"]
+
+
+def test_level_weights_model_table(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.linkage import (
+        fellegi_sunter_level_weights,
+    )
+
+    rows = (
+        [(2, 2)] * 100 + [(1, 1)] * 30 + [(0, 0)] * 800 + [(2, 0)] * 5
+    )
+    pairs = spark.createDataFrame(pd.DataFrame(rows, columns=["g_a", "g_b"]))
+    out = {
+        (r["field"], r["level"]): r
+        for r in fellegi_sunter_level_weights(
+            pairs, ["g_a", "g_b"], levels=[3, 3], iters=6
+        ).collect()
+    }
+    assert len(out) == 6
+    # high agreement levels carry positive evidence, level 0 negative
+    assert out[("g_a", 2)]["level_weight"] > 0
+    assert out[("g_a", 0)]["level_weight"] < 0
+    # m and u are per-field distributions over levels
+    for f in ("g_a", "g_b"):
+        assert sum(out[(f, l)]["m"] for l in range(3)) == pytest.approx(
+            1.0, abs=1e-4
+        )
+        assert sum(out[(f, l)]["u"] for l in range(3)) == pytest.approx(
+            1.0, abs=1e-4
+        )
