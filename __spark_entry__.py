@@ -2320,23 +2320,26 @@ def _fs_oracle_sql(bk_macro: str, iters: int) -> str:
             FROM fin"""
 
 
-def _fs_ml_oracle_sql(bk_macro: str, iters: int) -> str:
-    """Unrolled-CTE DuckDB replay of the MULTI-LEVEL Fellegi-Sunter EM
-    (fs_em_multilevel): 3 fields x 3 levels, pinned geometric init
+def _fs_ml_prod(prefix: str, it: str) -> str:
+    feats = ["g_jacc", "g_lev", "g_len"]
+    return " * ".join(
+        f"(CASE {g} WHEN 0 THEN {it}.{prefix}{i + 1}_0 "
+        f"WHEN 1 THEN {it}.{prefix}{i + 1}_1 "
+        f"ELSE {it}.{prefix}{i + 1}_2 END)"
+        for i, g in enumerate(feats)
+    )
+
+
+def _fs_ml_cte_prefix(bk_macro: str, iters: int) -> str:
+    """The shared unrolled-EM CTE chain of the MULTI-LEVEL Fellegi-Sunter
+    replay (fs_em_multilevel): 3 fields x 3 levels, pinned geometric init
     m[l] = 2^l/7 / u[l] = 2^(2-l)/7, per-(field, level) M-step sums in
     ascending pattern_id order. Same float-identity argument as
-    _fs_oracle_sql (python skips terms the SQL adds as 0.0)."""
+    _fs_oracle_sql (python skips terms the SQL adds as 0.0). Returns the
+    "WITH ..." prefix ending after it{iters}; both oracle variants attach
+    their own final select."""
     feats = ["g_jacc", "g_lev", "g_len"]
     nl = 3
-
-    def prod(prefix, it):
-        return " * ".join(
-            f"(CASE {g} WHEN 0 THEN {it}.{prefix}{i + 1}_0 "
-            f"WHEN 1 THEN {it}.{prefix}{i + 1}_1 "
-            f"ELSE {it}.{prefix}{i + 1}_2 END)"
-            for i, g in enumerate(feats)
-        )
-
     gamma = """
           SELECT CASE WHEN len(list_intersect(l.toks, r.toks)) * 2
                            >= len(list_distinct(list_concat(l.toks, r.toks)))
@@ -2381,8 +2384,8 @@ def _fs_ml_oracle_sql(bk_macro: str, iters: int) -> str:
         ctes.append(
             f"""w{t} AS (
           SELECT pat.*,
-                 ({prev}.p * {prod("m", prev)}) AS nm,
-                 ((1.0 - {prev}.p) * {prod("u", prev)}) AS nu
+                 ({prev}.p * {_fs_ml_prod("m", prev)}) AS nm,
+                 ((1.0 - {prev}.p) * {_fs_ml_prod("u", prev)}) AS nu
           FROM pat, {prev})"""
         )
         mlsums = ", ".join(
@@ -2398,13 +2401,19 @@ def _fs_ml_oracle_sql(bk_macro: str, iters: int) -> str:
           SELECT {sw} / ntot.n AS p, {mlsums}
           FROM w{t}, ntot GROUP BY ntot.n)"""
         )
-    last = f"it{iters}"
     return f"""
-            WITH {", ".join(ctes)},
+            WITH {", ".join(ctes)}"""
+
+
+def _fs_ml_oracle_sql(bk_macro: str, iters: int) -> str:
+    """Per-pattern weights variant over the shared multilevel EM CTEs."""
+    head = _fs_ml_cte_prefix(bk_macro, iters)
+    last = f"it{iters}"
+    return f"""{head},
             fin AS (
               SELECT pat.pid, pat.g_jacc, pat.g_lev, pat.g_len, pat.c,
-                     (1.0 * {prod("m", last)}) AS pm,
-                     (1.0 * {prod("u", last)}) AS pu,
+                     (1.0 * {_fs_ml_prod("m", last)}) AS pm,
+                     (1.0 * {_fs_ml_prod("u", last)}) AS pu,
                      {last}.p AS p
               FROM pat, {last})
             SELECT CAST(pid AS INTEGER) AS pattern_id,
@@ -2418,12 +2427,10 @@ def _fs_ml_oracle_sql(bk_macro: str, iters: int) -> str:
 
 
 def _fs_ml_levels_oracle_sql(bk_macro: str, iters: int) -> str:
-    """Model-table variant of _fs_ml_oracle_sql: instead of per-pattern
-    weights, unpivot the fitted it{iters} parameters into one row per
-    (field, level) with the log2 Bayes-factor level weight."""
-    full = _fs_ml_oracle_sql(bk_macro, iters)
-    # reuse everything up to (not including) the fin CTE
-    head = full.split(",\n            fin AS (")[0]
+    """Model-table variant over the same CTEs: unpivot the fitted
+    it{iters} parameters into one row per (field, level) with the log2
+    Bayes-factor level weight."""
+    head = _fs_ml_cte_prefix(bk_macro, iters)
     feats = ["g_jacc", "g_lev", "g_len"]
     last = f"it{iters}"
     rows = " UNION ALL ".join(
@@ -4113,7 +4120,8 @@ def oracle_sql() -> dict[str, str]:
             mx AS (SELECT max(ts) AS mx FROM p),
             pu AS (SELECT user_id, max(ts) AS last,
                           count(*) AS frequency,
-                          round(sum(value), 6) AS monetary
+                          CAST(sum(CAST(round(value * 1000000.0) AS BIGINT))
+                               AS DOUBLE) / 1000000.0 AS monetary
                    FROM p GROUP BY 1),
             base AS (
               SELECT user_id,

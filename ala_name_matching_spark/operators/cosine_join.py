@@ -37,11 +37,14 @@ before overflow).
 
 SCALE: vocabulary df is one partial-agg groupBy; the postings self-join
 shuffles on term, so a boilerplate term shared by 10^9 docs is the
-classic quadratic hot key -- `max_df` drops postings above the cap
-BEFORE the join with the same lost-pair accounting discipline as
-dedup.cap_lsh_buckets / set_join's max_prefix_df (dropping high-df terms
-is also the textbook relevance move: their idf, and hence their dot
-contribution, is smallest). Default None = exact.
+classic quadratic hot key -- `max_df` REDEFINES THE VECTOR SPACE by
+dropping terms above the cap BEFORE weighting and normalization (the
+textbook stopword-pruning move: those terms carry the least idf and the
+most join cost). With the cap the join is exact *in the capped space*
+-- identical documents still score 1.0 because norms exclude the capped
+terms too -- and `dropped_term_accounting` ledgers what was pruned,
+same honesty contract as dedup.cap_lsh_buckets. Default None = exact in
+the full space.
 """
 
 from __future__ import annotations
@@ -49,35 +52,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ala_name_matching_spark.operators.text_analysis import _tokens
+
 NORM_SCALE = 1_000_000_000  # 1e9: per-doc norm accumulation
 DOT_SCALE = 1_000_000_000_000  # 1e12: per-pair dot accumulation
+
+
+def _term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, term, _tf): per-doc term counts under the canonical corpus
+    tokenization (text_analysis._tokens -- the single source of truth the
+    shared _TOKS oracle macro replays)."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    ).where(F.length("term") > 0)
+    return toks.groupBy("_id", "term").agg(F.count("*").alias("_tf"))
 
 
 def tfidf_weights(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id, term, w): L2-normalized TF-IDF weights, one row per (doc, term).
 
     tf = raw in-doc count; idf = ln((N+1)/(df+1)) + 1 (strictly positive,
-    so the shared-term completeness argument holds). The norm is the
-    sqrt of an integer-quantized sum (see module determinism contract).
+    so the shared-term completeness argument holds). With `max_df`, terms
+    above the document-frequency cap are dropped BEFORE weighting and
+    normalization, so the output is a proper unit-norm vector in the
+    capped space. The norm is the sqrt of an integer-quantized sum (see
+    module determinism contract).
     """
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.split(
-                F.lower(
-                    F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
-                ),
-                " ",
-            )
-        ).alias("term"),
-    ).where(F.length("term") > 0)
-    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("_tf"))
+    tf = _term_freqs(docs, id_col, text_col)
     n_docs = docs.select(F.countDistinct(id_col).alias("_n"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    if max_df is not None:
+        df_t = df_t.where(F.col("_df") <= max_df)
     w = (
         tf.join(df_t, "term")
         .join(F.broadcast(n_docs))
@@ -121,30 +132,21 @@ def tfidf_cosine_join(
 ) -> DataFrame:
     """(id_l, id_r, cosine): every pair with TF-IDF cosine >= threshold.
 
-    Exact when max_df is None (lossless shared-term candidates); with
-    max_df set, postings of terms above the cap are excluded from
-    CANDIDATE GENERATION only -- use `dropped_term_accounting` for the
-    ledger. Pairs are emitted once with id_l < id_r; cosine is 6-dp
-    rounded, the keep decision is made on the quantized integer dot so
-    both engines agree at the boundary.
+    Exact in the full vector space when max_df is None; with max_df set,
+    exact in the CAPPED space (terms above the cap removed before
+    weighting/normalization -- see module SCALE note; ledger via
+    `dropped_term_accounting`). Pairs are emitted once with
+    id_l < id_r; cosine is 6-dp rounded, the keep decision is made on
+    the quantized integer dot so both engines agree at the boundary.
     """
     # the weighted-postings projection feeds BOTH sides of the self-join
-    # (plus the optional hot-term filter) -- persist it, or the lazy DAG
-    # runs the whole tf-idf chain once per branch (bm25_topk's
-    # analyze-once discipline); the thresholded result is eagerly
-    # checkpointed so the corpus-sized cache is released before returning
-    base = tfidf_weights(docs, id_col, text_col)
-    base.persist()
+    # -- persist it, or the lazy DAG runs the whole tf-idf chain once per
+    # branch (bm25_topk's analyze-once discipline); the thresholded
+    # result is eagerly checkpointed so the corpus-sized cache is
+    # released before returning
+    wts = tfidf_weights(docs, id_col, text_col, max_df=max_df)
+    wts.persist()
     try:
-        wts = base
-        if max_df is not None:
-            hot = (
-                base.groupBy("term")
-                .agg(F.count("*").alias("_df"))
-                .where(F.col("_df") > max_df)
-                .select("term")
-            )
-            wts = base.join(hot, "term", "left_anti")
         a = wts.select(
             F.col("term"), F.col(id_col).alias("_l"), F.col("w").alias("_wl")
         )
@@ -172,7 +174,7 @@ def tfidf_cosine_join(
             ).alias("cosine"),
         ).localCheckpoint(eager=True)
     finally:
-        base.unpersist()
+        wts.unpersist()
 
 
 def dropped_term_accounting(
@@ -183,9 +185,11 @@ def dropped_term_accounting(
 ) -> DataFrame:
     """One-row ledger of what a max_df cap discards: number of capped
     terms, their postings, and the max pairs a single capped term could
-    have contributed -- the same honesty contract as cap_lsh_buckets."""
-    wts = tfidf_weights(docs, id_col, text_col)
-    dfs = wts.groupBy("term").agg(F.count("*").alias("_df"))
+    have generated -- the same honesty contract as cap_lsh_buckets.
+    Computed from the raw term-frequency table alone (no weighting or
+    normalization work)."""
+    tf = _term_freqs(docs, id_col, text_col)
+    dfs = tf.groupBy("term").agg(F.count("*").alias("_df"))
     return dfs.where(F.col("_df") > max_df).agg(
         F.count("*").cast("long").alias("n_capped_terms"),
         F.coalesce(F.sum("_df"), F.lit(0)).cast("long").alias(

@@ -445,6 +445,37 @@ def cluster_cohesion(
     )
 
 
+def _route_intra_edges(
+    labels: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    edge_cols: tuple[str, str],
+) -> DataFrame:
+    """(_c, _a, _b): canonicalized (a < b) edges routed to their cluster,
+    same-cluster only, eagerly checkpointed (the skinny table every graph
+    QA kernel fans out from). Caller owns labels' persist lifecycle."""
+    la = labels.select(
+        F.col(id_col).alias("_ida"), F.col(cluster_col).alias("_ca")
+    )
+    lb = labels.select(
+        F.col(id_col).alias("_idb"), F.col(cluster_col).alias("_cb")
+    )
+    return (
+        _canon_pairs(edges, *edge_cols)
+        .select(F.col("a").alias("_ida"), F.col("b").alias("_idb"))
+        .join(la, "_ida")
+        .join(lb, "_idb")
+        .where(F.col("_ca") == F.col("_cb"))
+        .select(
+            F.col("_ca").alias("_c"),
+            F.col("_ida").alias("_a"),
+            F.col("_idb").alias("_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def cluster_triangles(
     labels: DataFrame,
     edges: DataFrame,
@@ -486,25 +517,7 @@ def cluster_triangles(
     # is eagerly checkpointed and the caches released before returning
     # (the bm25_topk lifecycle discipline).
     labels.persist()
-    la = labels.select(
-        F.col(id_col).alias("_ida"), F.col(cluster_col).alias("_ca")
-    )
-    lb = labels.select(
-        F.col(id_col).alias("_idb"), F.col(cluster_col).alias("_cb")
-    )
-    e = (
-        _canon_pairs(edges, *edge_cols)
-        .select(F.col("a").alias("_ida"), F.col("b").alias("_idb"))
-        .join(la, "_ida")
-        .join(lb, "_idb")
-        .where(F.col("_ca") == F.col("_cb"))
-        .select(
-            F.col("_ca").alias("_c"),
-            F.col("_ida").alias("_a"),
-            F.col("_idb").alias("_b"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    e = _route_intra_edges(labels, edges, id_col, cluster_col, edge_cols)
     deg = (
         e.select("_c", F.col("_a").alias("_n"))
         .unionAll(e.select("_c", F.col("_b").alias("_n")))
@@ -605,26 +618,8 @@ def edge_support(
     id_a < id_b, one row per in-cluster edge.
     """
     labels.persist()
-    la = labels.select(
-        F.col(id_col).alias("_ida"), F.col(cluster_col).alias("_ca")
-    )
-    lb = labels.select(
-        F.col(id_col).alias("_idb"), F.col(cluster_col).alias("_cb")
-    )
     try:
-        e = (
-            _canon_pairs(edges, *edge_cols)
-            .select(F.col("a").alias("_ida"), F.col("b").alias("_idb"))
-            .join(la, "_ida")
-            .join(lb, "_idb")
-            .where(F.col("_ca") == F.col("_cb"))
-            .select(
-                F.col("_ca").alias("_c"),
-                F.col("_ida").alias("_a"),
-                F.col("_idb").alias("_b"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        e = _route_intra_edges(labels, edges, id_col, cluster_col, edge_cols)
         sym = e.select("_c", F.col("_a").alias("_x"), F.col("_b").alias("_y")).unionAll(
             e.select("_c", F.col("_b").alias("_x"), F.col("_a").alias("_y"))
         )
@@ -722,26 +717,8 @@ def k_core(
     the skinny edge table -- no windows, no collect of the graph.
     """
     labels.persist()
-    la = labels.select(
-        F.col(id_col).alias("_ida"), F.col(cluster_col).alias("_ca")
-    )
-    lb = labels.select(
-        F.col(id_col).alias("_idb"), F.col(cluster_col).alias("_cb")
-    )
     try:
-        e = (
-            _canon_pairs(edges, *edge_cols)
-            .select(F.col("a").alias("_ida"), F.col("b").alias("_idb"))
-            .join(la, "_ida")
-            .join(lb, "_idb")
-            .where(F.col("_ca") == F.col("_cb"))
-            .select(
-                F.col("_ca").alias("_c"),
-                F.col("_ida").alias("_a"),
-                F.col("_idb").alias("_b"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        e = _route_intra_edges(labels, edges, id_col, cluster_col, edge_cols)
         nodes = (
             e.select("_c", F.col("_a").alias("_n"))
             .unionAll(e.select("_c", F.col("_b").alias("_n")))

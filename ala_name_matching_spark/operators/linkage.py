@@ -298,6 +298,36 @@ def fs_em_multilevel(
     return p, m, u
 
 
+def _multilevel_pattern_rows(
+    pairs: DataFrame, feature_cols: list[str], levels: list[int]
+) -> list[tuple[int, list[int], int]]:
+    """Mixed-radix (pattern_id, [g1..gk], count) rows, ascending by
+    pattern_id -- the bounded sufficient statistic both multilevel
+    entry points fit EM on. pid = sum_i g_i * prod_{j<i} levels[j]."""
+    k = len(feature_cols)
+    radix = [1] * k
+    for i in range(1, k):
+        radix[i] = radix[i - 1] * levels[i - 1]
+    pid = None
+    for i, c in enumerate(feature_cols):
+        term = F.col(c).cast("int") * F.lit(radix[i])
+        pid = term if pid is None else pid + term
+    hist = (
+        pairs.groupBy(
+            *[F.col(c).cast("int").alias(c) for c in feature_cols]
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("pattern_id", pid)
+    )
+    return sorted(
+        (
+            (r["pattern_id"], [r[c] for c in feature_cols], r["n_pairs"])
+            for r in hist.collect()
+        ),
+        key=lambda t: t[0],
+    )
+
+
 def fellegi_sunter_multilevel_weights(
     pairs: DataFrame,
     feature_cols: list[str],
@@ -314,27 +344,7 @@ def fellegi_sunter_multilevel_weights(
     that bounded summary driver-side.
     """
     k = len(feature_cols)
-    radix = [1] * k
-    for i in range(1, k):
-        radix[i] = radix[i - 1] * levels[i - 1]
-    pid = None
-    for i, c in enumerate(feature_cols):
-        term = F.col(c).cast("int") * F.lit(radix[i])
-        pid = term if pid is None else pid + term
-    hist = (
-        pairs.groupBy(
-            *[F.col(c).cast("int").alias(c) for c in feature_cols]
-        )
-        .agg(F.count("*").alias("n_pairs"))
-        .withColumn("pattern_id", pid)
-    )
-    rows = sorted(
-        (
-            (r["pattern_id"], [r[c] for c in feature_cols], r["n_pairs"])
-            for r in hist.collect()
-        ),
-        key=lambda t: t[0],
-    )
+    rows = _multilevel_pattern_rows(pairs, feature_cols, levels)
     schema = (
         "pattern_id int, "
         + ", ".join(f"{c} int" for c in feature_cols)
@@ -380,26 +390,7 @@ def fellegi_sunter_level_weights(
     weights reveal a mis-specified comparison. Same bounded EM fit as
     fellegi_sunter_multilevel_weights; output is sum(levels) rows.
     """
-    k = len(feature_cols)
-    radix = [1] * k
-    for i in range(1, k):
-        radix[i] = radix[i - 1] * levels[i - 1]
-    pid = None
-    for i, c in enumerate(feature_cols):
-        term = F.col(c).cast("int") * F.lit(radix[i])
-        pid = term if pid is None else pid + term
-    hist = (
-        pairs.groupBy(*[F.col(c).cast("int").alias(c) for c in feature_cols])
-        .agg(F.count("*").alias("n_pairs"))
-        .withColumn("pattern_id", pid)
-    )
-    rows = sorted(
-        (
-            (r["pattern_id"], [r[c] for c in feature_cols], r["n_pairs"])
-            for r in hist.collect()
-        ),
-        key=lambda t: t[0],
-    )
+    rows = _multilevel_pattern_rows(pairs, feature_cols, levels)
     spark = pairs.sparkSession
     schema = "field string, level int, m double, u double, level_weight double"
     if not rows:

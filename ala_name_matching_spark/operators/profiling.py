@@ -164,6 +164,20 @@ def quantile_profile(
 # ---------------------------------------------------------------------------
 
 
+def drift_term_cols(p_ref, p_cur):
+    """(psi_term, jsd_term) 6-dp column pair from two smoothed probability
+    columns -- the single definition both the batch lane
+    (distribution_drift) and the streaming lane (streaming_drift_monitor)
+    compute their per-bin terms with."""
+    m = (p_ref + p_cur) / F.lit(2.0)
+    psi = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
+    jsd = F.round(
+        F.lit(0.5) * (p_ref * F.log(p_ref / m) + p_cur * F.log(p_cur / m)),
+        6,
+    )
+    return psi, jsd
+
+
 def distribution_drift(
     df: DataFrame,
     value_col: str,
@@ -236,26 +250,15 @@ def distribution_drift(
         p_ref.alias("_pr"),
         p_cur.alias("_pc"),
     )
-    m = (F.col("_pr") + F.col("_pc")) / F.lit(2.0)
+    psi, jsd = drift_term_cols(F.col("_pr"), F.col("_pc"))
     return out.select(
         "bin",
         "n_ref",
         "n_cur",
         F.round(F.col("_pr"), 6).alias("p_ref"),
         F.round(F.col("_pc"), 6).alias("p_cur"),
-        F.round(
-            (F.col("_pc") - F.col("_pr"))
-            * F.log(F.col("_pc") / F.col("_pr")),
-            6,
-        ).alias("psi_term"),
-        F.round(
-            F.lit(0.5)
-            * (
-                F.col("_pr") * F.log(F.col("_pr") / m)
-                + F.col("_pc") * F.log(F.col("_pc") / m)
-            ),
-            6,
-        ).alias("jsd_term"),
+        psi.alias("psi_term"),
+        jsd.alias("jsd_term"),
     )
 
 

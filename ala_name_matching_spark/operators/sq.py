@@ -40,7 +40,6 @@ from ala_name_matching_spark.operators.similarity_search import (
 
 def sq_dim_stats(
     vectors: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[list[float], list[float]]:
     """Per-dimension (vmin, vmax) lists -- the entire SQ 'model'.
@@ -125,7 +124,7 @@ def sq_topk(
     """
     from pyspark.sql import Window
 
-    vmins, vmaxs = sq_dim_stats(vectors, id_col, vec_col)
+    vmins, vmaxs = sq_dim_stats(vectors, vec_col)
     recon = vectors.select(
         F.col(id_col).alias("vec_id"),
         sq_recon_col(

@@ -404,7 +404,16 @@ def rfm_segments(
         .agg(
             F.max(ts_col).alias("_last"),
             F.count("*").cast("long").alias("frequency"),
-            F.round(F.sum(value_col), 6).alias("monetary"),
+            # monetary feeds a RANK key, so it must be aggregation-order-
+            # free: accumulate integer-quantized micro-units (the
+            # cosine_join contract), divide once
+            (
+                F.sum(
+                    F.round(F.col(value_col) * F.lit(1_000_000.0))
+                    .cast("long")
+                ).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("monetary"),
         )
         .join(F.broadcast(mx))
         .select(
@@ -418,8 +427,7 @@ def rfm_segments(
     )
     wn = Window.partitionBy()
 
-    def quant(order_cols, name):
-        w = Window.orderBy(*order_cols)
+    def quant(name):
         return (
             F.expr(
                 f"(({name}_rk - 1) * CAST({n_quantiles} AS BIGINT)) div _n"
@@ -440,9 +448,9 @@ def rfm_segments(
         .alias("m_rk"),
         F.count("*").over(wn).alias("_n"),
     )
-    r_q = quant([], "r")
-    f_q = quant([], "f")
-    m_q = quant([], "m")
+    r_q = quant("r")
+    f_q = quant("f")
+    m_q = quant("m")
     return ranked.select(
         "user_id",
         "recency_days",

@@ -440,6 +440,11 @@ def streaming_drift_monitor(
         F.min(F.col(value_col).cast("long")).alias("lo"),
         F.max(F.col(value_col).cast("long")).alias("hi"),
     ).first()
+    if stats["lo"] is None:
+        raise ValueError(
+            "streaming_drift_monitor: reference slice has no non-null "
+            f"'{value_col}' values -- cannot pin a binning range"
+        )
     lo, hi = int(stats["lo"]), int(stats["hi"])
     spine_range = hi - lo + 1
 
@@ -495,21 +500,19 @@ def streaming_drift_monitor(
         p_cur = (F.col("n_cur").cast("double") + F.lit(s)) / (
             F.lit(float(tot_cur)) + F.lit(s * n_bins)
         )
-        m = (p_ref + p_cur) / F.lit(2.0)
+        from ala_name_matching_spark.operators.profiling import (
+            drift_term_cols,
+        )
+
+        psi, jsd = drift_term_cols(p_ref, p_cur)
         out = hist.select(
             "bin",
             "n_ref",
             "n_cur",
             F.round(p_ref, 6).alias("p_ref"),
             F.round(p_cur, 6).alias("p_cur"),
-            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
-                "psi_term"
-            ),
-            F.round(
-                F.lit(0.5)
-                * (p_ref * F.log(p_ref / m) + p_cur * F.log(p_cur / m)),
-                6,
-            ).alias("jsd_term"),
+            psi.alias("psi_term"),
+            jsd.alias("jsd_term"),
         )
         _write_epoch_idempotent(out, epoch_id, out_path)
 
