@@ -1176,6 +1176,59 @@ def _q_hll_distinct_tokens(spark, sf_dir):
     return est.join(exact, "lang").select("lang", "hll_estimate", "n_exact")
 
 
+def _q_kmv_containment(spark, sf_dir):
+    # Asymmetric overlap from the same theta sketches: containment(A,B) =
+    # |A n B| / |A| -- the differently-sized-slices question Jaccard
+    # blurs (a small slice inside a huge one: Jaccard ~0, containment 1).
+    # Estimates next to exact values, all from k-row tables.
+    from ala_name_matching_spark.operators.sketches import (
+        kmv_containment,
+        kmv_sketch_table,
+    )
+    from ala_name_matching_spark.operators.text_analysis import _tokens
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    sk = kmv_sketch_table(toks, "tok", ["lang"], k=64)
+    cont = kmv_containment(sk, "lang", k=64)
+    d = (
+        toks.where(F.col("tok").isNotNull())
+        .select("lang", "tok")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = d.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    xi = (
+        d.alias("a")
+        .join(d.alias("b"), "tok")
+        .where(F.col("a.lang") < F.col("b.lang"))
+        .groupBy(F.col("a.lang").alias("g_a"), F.col("b.lang").alias("g_b"))
+        .agg(F.count("*").cast("long").alias("_xi"))
+    )
+    return (
+        cont.join(n.select(F.col("lang").alias("g_a"), F.col("n").alias("_na")), "g_a")
+        .join(n.select(F.col("lang").alias("g_b"), F.col("n").alias("_nb")), "g_b")
+        .join(xi, ["g_a", "g_b"], "left")
+        .select(
+            "g_a",
+            "g_b",
+            "est_containment_a",
+            "est_containment_b",
+            F.round(
+                F.coalesce(F.col("_xi"), F.lit(0)).cast("double")
+                / F.col("_na").cast("double"),
+                6,
+            ).alias("exact_containment_a"),
+            F.round(
+                F.coalesce(F.col("_xi"), F.lit(0)).cast("double")
+                / F.col("_nb").cast("double"),
+                6,
+            ).alias("exact_containment_b"),
+        )
+    )
+
+
 def _q_cosine_join_pairs(spark, sf_dir):
     # Exact all-pairs TF-IDF cosine join (Bayardo 2007 family) at 0.85:
     # the weighted-overlap similarity the Jaccard set-join cannot express
@@ -1839,7 +1892,10 @@ def _fs_ml_pairs(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("g_len"),
     ]
-    return blocked.select(*gamma).unionByName(shifted.select(*gamma))
+    ids = [F.col("doc_id_l"), F.col("doc_id_r")]
+    return blocked.select(*ids, *gamma).unionByName(
+        shifted.select(*ids, *gamma)
+    )
 
 
 def _q_fs_multilevel_weights(spark, sf_dir):
@@ -1852,6 +1908,31 @@ def _q_fs_multilevel_weights(spark, sf_dir):
         ["g_jacc", "g_lev", "g_len"],
         levels=[3, 3, 3],
         iters=_FS_ITERS,
+    )
+
+
+def _q_uncertain_pairs(spark, sf_dir):
+    # Active-learning pair selection (the dedupe.io loop): candidate pairs
+    # whose fitted multilevel-FS posterior sits in the uncertain band
+    # (0.05, 0.95) -- exactly the pairs a human labeler should see next,
+    # because labels there move the model most. The per-pattern posterior
+    # broadcast-joins back onto the pair table on the gamma levels; no
+    # per-pair model evaluation.
+    from ala_name_matching_spark.operators.linkage import (
+        fellegi_sunter_multilevel_weights,
+    )
+
+    feats = ["g_jacc", "g_lev", "g_len"]
+    pairs = _fs_ml_pairs(spark, sf_dir)
+    w = fellegi_sunter_multilevel_weights(
+        pairs, feats, levels=[3, 3, 3], iters=_FS_ITERS
+    )
+    return (
+        pairs.join(F.broadcast(w.select(*feats, "posterior")), feats)
+        .where((F.col("posterior") > 0.05) & (F.col("posterior") < 0.95))
+        .select(
+            "doc_id_l", "doc_id_r", *feats, "posterior"
+        )
     )
 
 
@@ -2341,7 +2422,8 @@ def _fs_ml_cte_prefix(bk_macro: str, iters: int) -> str:
     feats = ["g_jacc", "g_lev", "g_len"]
     nl = 3
     gamma = """
-          SELECT CASE WHEN len(list_intersect(l.toks, r.toks)) * 2
+          SELECT l.doc_id AS doc_id_l, r.doc_id AS doc_id_r,
+                 CASE WHEN len(list_intersect(l.toks, r.toks)) * 2
                            >= len(list_distinct(list_concat(l.toks, r.toks)))
                       THEN 2
                       WHEN len(list_intersect(l.toks, r.toks)) * 4
@@ -2424,6 +2506,31 @@ def _fs_ml_oracle_sql(bk_macro: str, iters: int) -> str:
                    round(log2(pm / pu), 6) AS match_weight,
                    round((p * pm) / (p * pm + (1.0 - p) * pu), 6) AS posterior
             FROM fin"""
+
+
+def _fs_uncertain_oracle_sql(bk_macro: str, iters: int) -> str:
+    """Active-learning variant over the same CTEs: per-pattern posterior
+    (the fin construction) joined back onto the id-carrying pairs CTE,
+    filtered to the uncertain band on the ROUNDED posterior."""
+    head = _fs_ml_cte_prefix(bk_macro, iters)
+    last = f"it{iters}"
+    return f"""{head},
+            post AS (
+              SELECT pat.g_jacc, pat.g_lev, pat.g_len,
+                     round(({last}.p * (1.0 * {_fs_ml_prod("m", last)}))
+                           / (({last}.p * (1.0 * {_fs_ml_prod("m", last)}))
+                              + ((1.0 - {last}.p)
+                                 * (1.0 * {_fs_ml_prod("u", last)}))), 6)
+                       AS posterior
+              FROM pat, {last})
+            SELECT p.doc_id_l, p.doc_id_r,
+                   CAST(p.g_jacc AS INTEGER) AS g_jacc,
+                   CAST(p.g_lev AS INTEGER) AS g_lev,
+                   CAST(p.g_len AS INTEGER) AS g_len,
+                   post.posterior
+            FROM pairs p
+            JOIN post USING (g_jacc, g_lev, g_len)
+            WHERE post.posterior > 0.05 AND post.posterior < 0.95"""
 
 
 def _fs_ml_levels_oracle_sql(bk_macro: str, iters: int) -> str:
@@ -3186,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "kmv_overlap": _q_kmv_overlap,
         "cosine_join_pairs": _q_cosine_join_pairs,
+        "kmv_containment": _q_kmv_containment,
         "perplexity_buckets": _q_perplexity_buckets,
         "drift_psi_bins": _q_drift_psi_bins,
         "bloom_prefilter_join": _q_bloom_prefilter_join,
@@ -3206,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_match_weights": _q_fs_match_weights,
         "fs_multilevel_weights": _q_fs_multilevel_weights,
         "fs_level_weights": _q_fs_level_weights,
+        "uncertain_pairs": _q_uncertain_pairs,
         "tf_adjusted_weights": _q_tf_adjusted_weights,
         "snm_pairs": _q_snm_pairs,
         "monge_elkan_pairs": _q_monge_elkan_pairs,
@@ -4354,6 +4463,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_match_weights": _fs_oracle_sql(_BK, _FS_ITERS),
         "fs_multilevel_weights": _fs_ml_oracle_sql(_BK, _FS_ITERS),
         "fs_level_weights": _fs_ml_levels_oracle_sql(_BK, _FS_ITERS),
+        "uncertain_pairs": _fs_uncertain_oracle_sql(_BK, _FS_ITERS),
         # TF adjustment: exact BIGINT frequency statistics (n_v, N, sum
         # n_v^2); only the final log2s are libm, absorbed by the 6-dp
         # round (Spark computes log(2, x) = ln x / ln 2)
@@ -5243,6 +5353,82 @@ def oracle_sql() -> dict[str, str]:
         # Count-Min grid replay: same md5('cm{{j}}|'||item) cell addressing
         # as the Spark kernel, so every counter -- and therefore every
         # min-over-rows estimate -- is bit-identical across engines
+        # containment replay: the kmv_overlap chain plus per-group own
+        # estimates; divides the ROUNDED est columns exactly as the
+        # operator composition does
+        "kmv_containment": f"""
+            WITH toks AS (SELECT lang, unnest({_TOKS}) AS tok
+                          FROM documents),
+            d AS (SELECT DISTINCT lang, tok FROM toks
+                  WHERE tok IS NOT NULL),
+            hs AS (SELECT DISTINCT lang,
+                     CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+                   FROM d),
+            sk AS (SELECT lang, h FROM (
+                     SELECT lang, h,
+                            row_number() OVER (PARTITION BY lang
+                                               ORDER BY h) AS rn
+                     FROM hs) WHERE rn <= 64),
+            pairs AS (
+              SELECT a.lang AS g_a, b.lang AS g_b
+              FROM (SELECT DISTINCT lang FROM sk) a
+              JOIN (SELECT DISTINCT lang FROM sk) b ON a.lang < b.lang),
+            m AS (
+              SELECT g_a, g_b, h, count(*) > 1 AS in_both
+              FROM (SELECT p.g_a, p.g_b, s.h FROM pairs p
+                    JOIN sk s ON s.lang = p.g_a
+                    UNION ALL
+                    SELECT p.g_a, p.g_b, s.h FROM pairs p
+                    JOIN sk s ON s.lang = p.g_b)
+              GROUP BY 1, 2, 3),
+            kept AS (SELECT * FROM (
+                       SELECT g_a, g_b, h, in_both,
+                              row_number() OVER (PARTITION BY g_a, g_b
+                                                 ORDER BY h) AS rn
+                       FROM m) WHERE rn <= 64),
+            agg AS (
+              SELECT g_a, g_b, count(*) AS n, max(h) AS hk,
+                     CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nboth
+              FROM kept GROUP BY 1, 2),
+            est AS (
+              SELECT g_a, g_b,
+                     round((CAST(nboth AS DOUBLE) / CAST(n AS DOUBLE))
+                           * CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                                  ELSE {63 * float(1 << 60)!r}
+                                       / CAST(hk AS DOUBLE) END, 6)
+                       AS est_inter
+              FROM agg),
+            own AS (SELECT lang, count(*) AS n, max(h) AS hk
+                    FROM sk GROUP BY 1),
+            oe AS (
+              SELECT lang,
+                     round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                           ELSE {63 * float(1 << 60)!r}
+                                / CAST(hk AS DOUBLE) END, 6) AS e
+              FROM own),
+            na AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
+            xi AS (
+              SELECT a.lang AS g_a, b.lang AS g_b,
+                     count(*) AS xi
+              FROM d a JOIN d b
+                ON a.tok = b.tok AND a.lang < b.lang
+              GROUP BY 1, 2)
+            SELECT e.g_a, e.g_b,
+                   round(least(greatest(e.est_inter / oa.e, 0.0), 1.0), 6)
+                     AS est_containment_a,
+                   round(least(greatest(e.est_inter / ob.e, 0.0), 1.0), 6)
+                     AS est_containment_b,
+                   round(CAST(coalesce(xi.xi, 0) AS DOUBLE)
+                         / CAST(pa.n AS DOUBLE), 6) AS exact_containment_a,
+                   round(CAST(coalesce(xi.xi, 0) AS DOUBLE)
+                         / CAST(pb.n AS DOUBLE), 6) AS exact_containment_b
+            FROM est e
+            JOIN oe oa ON oa.lang = e.g_a
+            JOIN oe ob ON ob.lang = e.g_b
+            JOIN na pa ON pa.lang = e.g_a
+            JOIN na pb ON pb.lang = e.g_b
+            LEFT JOIN xi ON xi.g_a = e.g_a AND xi.g_b = e.g_b""",
         # TF-IDF cosine replay: identical smooth-idf weights; norm and dot
         # accumulate integer-quantized terms (round(x*1e9 / x*1e12) as
         # BIGINT -- order-free addition), threshold compares quantized

@@ -559,3 +559,39 @@ def kmv_pair_overlap(
         F.round(rho * est_union, 6).alias("est_inter"),
         F.round(rho, 6).alias("est_jaccard"),
     )
+
+
+def kmv_containment(
+    sketch: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """(g_a, g_b, est_containment_a, est_containment_b): ASYMMETRIC
+    overlap estimates from the same k-row sketches -- containment(A, B) =
+    |A intersect B| / |A|, the "is slice A mostly inside slice B?"
+    question Jaccard cannot answer for differently-sized slices (a tiny
+    slice fully contained in a huge one has Jaccard ~0 but
+    containment_a = 1). est_containment_x = est_inter /
+    est_distinct(x), clamped to [0, 1] since both are estimates.
+    """
+    ov = kmv_pair_overlap(sketch, group_col, k)
+    est = kmv_estimate(sketch, [group_col], k)
+    ea = est.select(
+        F.col(group_col).alias("g_a"), F.col("kmv_estimate").alias("_ea")
+    )
+    eb = est.select(
+        F.col(group_col).alias("g_b"), F.col("kmv_estimate").alias("_eb")
+    )
+    clamp = lambda c: F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+    return (
+        ov.join(ea, "g_a")
+        .join(eb, "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            F.round(clamp(F.col("est_inter") / F.col("_ea")), 6).alias(
+                "est_containment_a"
+            ),
+            F.round(clamp(F.col("est_inter") / F.col("_eb")), 6).alias(
+                "est_containment_b"
+            ),
+        )
+    )

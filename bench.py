@@ -168,6 +168,8 @@ def main():
         "fs_match_weights",
         "fs_multilevel_weights",
         "fs_level_weights",
+        "uncertain_pairs",
+        "kmv_containment",
         "conv_neardup_pairs",
         "conv_prefix_rescrape",
         "monge_elkan_pairs",

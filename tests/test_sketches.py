@@ -282,3 +282,31 @@ def test_kmv_pair_overlap_identical_and_disjoint(spark):
     assert ab["est_jaccard"] == 1.0
     assert ab["est_inter"] == ab["est_union"]
     assert out[("a", "c")]["est_jaccard"] < 0.05
+
+
+def test_kmv_containment_subset(spark):
+    """A slice fully contained in a superset slice: containment_a ~ 1.0
+    while Jaccard stays small -- the asymmetric signal."""
+    import pyspark.sql.functions as F
+
+    from ala_name_matching_spark.operators.sketches import (
+        kmv_containment,
+        kmv_sketch_table,
+    )
+
+    # true containment_a = 1.0, containment_b = 0.5; at k=256 over a
+    # 2000-value union the intersection estimate carries ~10% relative
+    # noise (|kept n both| ~ Binomial, mean ~128), so the asserts bound
+    # the DIRECTION of the asymmetry, not tight values
+    big = spark.range(2000).select(
+        F.lit("b").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    small = spark.range(1000).select(
+        F.lit("a").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    sk = kmv_sketch_table(big.union(small), "v", ["g"], k=256)
+    row = kmv_containment(sk, "g", k=256).collect()[0]
+    assert (row["g_a"], row["g_b"]) == ("a", "b")
+    assert row["est_containment_a"] > 0.7  # small inside big (true 1.0)
+    assert 0.3 < row["est_containment_b"] < 0.7  # true 0.5
+    assert row["est_containment_a"] > row["est_containment_b"] + 0.2
