@@ -2873,6 +2873,39 @@ def _q_edge_support_bridges(spark, sf_dir):
     )
 
 
+def _q_incremental_cc(spark, sf_dir):
+    # Incremental ER maintenance: clusters committed at Jaccard >= 0.6,
+    # then a batch of NEW evidence edges (0.5 <= J < 0.6) arrives and
+    # merges them via the contracted rep graph -- the per-batch operation
+    # of a continuously-ingesting deployment. The oracle is the FULL
+    # closure at 0.5: the strongest possible check, because it proves the
+    # incremental result IDENTICAL to a from-scratch recompute.
+    from ala_name_matching_spark.operators.clustering import (
+        incremental_cc_update,
+    )
+    from ala_name_matching_spark.operators.dedup import (
+        jaccard_edges,
+        neardup_clusters,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    all_edges = jaccard_edges(
+        docs, shingle_n=3, threshold=0.5
+    ).localCheckpoint(eager=True)
+    old_edges = all_edges.where(F.col("jaccard") >= 0.6)
+    new_edges = all_edges.where(F.col("jaccard") < 0.6)
+    labels = neardup_clusters(
+        docs, shingle_n=3, threshold=0.6, edges=old_edges
+    )
+    return incremental_cc_update(
+        labels,
+        new_edges,
+        id_col="doc_id",
+        cluster_col="cluster_rep",
+        edge_cols=("doc_id_l", "doc_id_r"),
+    )
+
+
 def _q_split_leakage(spark, sf_dir):
     # Train/holdout contamination check -- the audit every training run
     # needs before trusting its eval: near-dup pairs (exact Jaccard >=
@@ -3365,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_support_bridges": _q_edge_support_bridges,
         "kcore_membership": _q_kcore_membership,
         "split_leakage": _q_split_leakage,
+        "incremental_cc": _q_incremental_cc,
         "cross_doc_dup_ngrams": _q_cross_doc_dup_ngrams,
         "dedup_keep_best": _q_dedup_keep_best,
         "mixture_weights": _q_mixture_weights,
@@ -6293,6 +6327,33 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN w ON w.c = sz.c
             LEFT JOIN tri ON tri.c = sz.c""",
         "kcore_membership": _kcore_oracle_sql(rounds=8, k=2),
+        # incremental-CC parity oracle: the FULL closure at 0.5 -- the
+        # incremental merge must equal a from-scratch recompute
+        "incremental_cc": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                     )) AS sh
+              FROM t
+            ), e AS (
+              SELECT a.doc_id AS l, b.doc_id AS r
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::double
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ), sym AS (
+              SELECT l AS a, r AS b FROM e UNION ALL SELECT r AS a, l AS b FROM e
+            ), reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM documents
+              UNION
+              SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS cluster_rep
+            FROM reach GROUP BY id""",
         # leakage replay: the proven jaccard-edge rule x the proven
         # md5-bucket split rule, cross-split pairs only
         "split_leakage": f"""

@@ -152,6 +152,7 @@ def main():
         "edge_support_bridges",
         "kcore_membership",
         "split_leakage",
+        "incremental_cc",
         "hll_distinct_tokens",
         "kmv_overlap",
         "cosine_join_pairs",

@@ -103,3 +103,53 @@ def test_via_groups_driver_vs_distributed_parity(spark):
     finally:
         cl._DRIVER_CC_MAX_EDGES = saved
     assert got_driver == got_dist
+
+
+def test_incremental_cc_parity_with_full_recompute(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.clustering import (
+        connected_components,
+        incremental_cc_update,
+    )
+
+    old = [(1, 2), (3, 4), (10, 11)]
+    new = [(2, 3), (20, 21), (11, 20)]  # merges {1..4}; chains 10-11-20-21
+    old_e = spark.createDataFrame(pd.DataFrame(old, columns=["src", "dst"]))
+    new_e = spark.createDataFrame(pd.DataFrame(new, columns=["src", "dst"]))
+    labels = connected_components(old_e)
+    inc = {
+        r["record_id"]: r["cluster_id"]
+        for r in incremental_cc_update(labels, new_e).collect()
+    }
+    full = {
+        r["record_id"]: r["cluster_id"]
+        for r in connected_components(old_e.unionByName(new_e)).collect()
+    }
+    assert inc == full
+    assert inc[4] == 1 and inc[21] == 10
+    # newcomers 20, 21 were never in the committed labeling
+    assert 20 in inc and 21 in inc
+
+
+def test_incremental_cc_no_merge_batch_is_identity(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.clustering import (
+        connected_components,
+        incremental_cc_update,
+    )
+
+    old_e = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (2, 3)], columns=["src", "dst"])
+    )
+    labels = connected_components(old_e)
+    # edge inside an existing cluster: nothing changes
+    same = spark.createDataFrame(
+        pd.DataFrame([(1, 3)], columns=["src", "dst"])
+    )
+    out = {
+        r["record_id"]: r["cluster_id"]
+        for r in incremental_cc_update(labels, same).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
