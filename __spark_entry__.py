@@ -1176,6 +1176,55 @@ def _q_hll_distinct_tokens(spark, sf_dir):
     return est.join(exact, "lang").select("lang", "hll_estimate", "n_exact")
 
 
+def _q_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 shape (shipping priority): selective dim filter ->
+    # broadcast customer into orders -> keyed lineitem join -> revenue
+    # agg -> global top-10. Revenue sums integer-quantized cents (the
+    # cosine_join order-free contract) so the float agg AND the rank on
+    # it replay cross-engine; rank ties break on orderkey.
+    from pyspark.sql import Window
+
+    cutoff = "1998-06-01"
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    rev_q = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(100.0)
+    ).cast("long")
+    joined = (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust.select("c_custkey")),
+                    orders["o_custkey"] == F.col("c_custkey"),
+                ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_q).cast("double") / F.lit(100.0)).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            "revenue",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def _q_kmv_containment(spark, sf_dir):
     # Asymmetric overlap from the same theta sketches: containment(A,B) =
     # |A n B| / |A| -- the differently-sized-slices question Jaccard
@@ -1923,17 +1972,22 @@ def _q_uncertain_pairs(spark, sf_dir):
     )
 
     feats = ["g_jacc", "g_lev", "g_len"]
+    # the gamma pair table feeds the histogram collect AND the posterior
+    # join -- persist it or the levenshtein comparator runs twice
     pairs = _fs_ml_pairs(spark, sf_dir)
-    w = fellegi_sunter_multilevel_weights(
-        pairs, feats, levels=[3, 3, 3], iters=_FS_ITERS
-    )
-    return (
-        pairs.join(F.broadcast(w.select(*feats, "posterior")), feats)
-        .where((F.col("posterior") > 0.05) & (F.col("posterior") < 0.95))
-        .select(
-            "doc_id_l", "doc_id_r", *feats, "posterior"
+    pairs.persist()
+    try:
+        w = fellegi_sunter_multilevel_weights(
+            pairs, feats, levels=[3, 3, 3], iters=_FS_ITERS
         )
-    )
+        return (
+            pairs.join(F.broadcast(w.select(*feats, "posterior")), feats)
+            .where((F.col("posterior") > 0.05) & (F.col("posterior") < 0.95))
+            .select("doc_id_l", "doc_id_r", *feats, "posterior")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        pairs.unpersist()
 
 
 def _q_fs_level_weights(spark, sf_dir):
@@ -3327,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": _q_kmv_overlap,
         "cosine_join_pairs": _q_cosine_join_pairs,
         "kmv_containment": _q_kmv_containment,
+        "shipping_priority": _q_shipping_priority,
         "perplexity_buckets": _q_perplexity_buckets,
         "drift_psi_bins": _q_drift_psi_bins,
         "bloom_prefilter_join": _q_bloom_prefilter_join,
@@ -5387,6 +5442,25 @@ def oracle_sql() -> dict[str, str]:
         # Count-Min grid replay: same md5('cm{{j}}|'||item) cell addressing
         # as the Spark kernel, so every counter -- and therefore every
         # min-over-rows estimate -- is bit-identical across engines
+        "shipping_priority": """
+            WITH j AS (
+              SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                     CAST(sum(CAST(round(l.l_extendedprice
+                                         * (1.0 - l.l_discount) * 100.0)
+                                   AS BIGINT)) AS DOUBLE) / 100.0
+                       AS revenue
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1998-06-01'
+                AND l.l_shipdate > TIMESTAMP '1998-06-01'
+              GROUP BY 1, 2, 3)
+            SELECT l_orderkey, o_orderdate, o_orderpriority, revenue,
+                   CAST(rk AS INTEGER) AS rk
+            FROM (SELECT *, row_number() OVER (
+                    ORDER BY revenue DESC, l_orderkey ASC) AS rk
+                  FROM j) WHERE rk <= 10""",
         # containment replay: the kmv_overlap chain plus per-group own
         # estimates; divides the ROUNDED est columns exactly as the
         # operator composition does
