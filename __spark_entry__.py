@@ -1176,6 +1176,91 @@ def _q_hll_distinct_tokens(spark, sf_dir):
     return est.join(exact, "lang").select("lang", "hll_estimate", "n_exact")
 
 
+def _q_pricing_summary(spark, sf_dir):
+    # TPC-H Q1 shape (pricing summary): the canonical single-pass
+    # wide-aggregate scan -- every measure from one partial-agg groupBy
+    # over the fact table, no joins. Money sums quantized to cents
+    # (order-free); averages derived as quantized-sum / count so they
+    # replay exactly.
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    cents = lambda c: F.round(c * F.lit(100.0)).cast("long")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long"))
+        .cast("long")
+        .alias("sum_qty"),
+        (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100.0)
+        .alias("sum_base_price"),
+        (F.sum(cents(disc_price)).cast("double") / 100.0)
+        .alias("sum_disc_price"),
+        (F.sum(cents(charge)).cast("double") / 100.0).alias("sum_charge"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.round(
+            F.col("sum_qty").cast("double") / F.col("count_order"), 6
+        ).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias(
+            "avg_price"
+        ),
+        "count_order",
+    )
+
+
+def _q_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5 shape (local supplier volume): the six-table snowflake --
+    # region -> nation -> (customer, supplier) -> orders -> lineitem,
+    # revenue only where customer and supplier share a nation. All dims
+    # broadcast; the two fact joins stay keyed. Quantized-cents revenue.
+    r = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _read(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = _read(spark, sf_dir, "customer").join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    s = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("_sn")
+    )
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    rev_q = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(100.0)
+    ).cast("long")
+    joined = (
+        li.join(
+            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                c.select("c_custkey", "n_name", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .where(F.col("c_nationkey") == F.col("_sn"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg((F.sum(rev_q).cast("double") / 100.0).alias("revenue"))
+        .select("n_name", "revenue")
+    )
+
+
 def _q_shipping_priority(spark, sf_dir):
     # TPC-H Q3 shape (shipping priority): selective dim filter ->
     # broadcast customer into orders -> keyed lineitem join -> revenue
@@ -3382,6 +3467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_join_pairs": _q_cosine_join_pairs,
         "kmv_containment": _q_kmv_containment,
         "shipping_priority": _q_shipping_priority,
+        "pricing_summary": _q_pricing_summary,
+        "local_supplier_volume": _q_local_supplier_volume,
         "perplexity_buckets": _q_perplexity_buckets,
         "drift_psi_bins": _q_drift_psi_bins,
         "bloom_prefilter_join": _q_bloom_prefilter_join,
@@ -5442,6 +5529,50 @@ def oracle_sql() -> dict[str, str]:
         # Count-Min grid replay: same md5('cm{{j}}|'||item) cell addressing
         # as the Spark kernel, so every counter -- and therefore every
         # min-over-rows estimate -- is bit-identical across engines
+        "pricing_summary": """
+            WITH li AS (SELECT * FROM lineitem
+                        WHERE l_shipdate <= TIMESTAMP '2001-09-01'),
+            a AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                     CAST(sum(CAST(round(l_extendedprice * 100.0)
+                                   AS BIGINT)) AS DOUBLE) / 100.0
+                       AS sum_base_price,
+                     CAST(sum(CAST(round(l_extendedprice
+                                         * (1.0 - l_discount) * 100.0)
+                                   AS BIGINT)) AS DOUBLE) / 100.0
+                       AS sum_disc_price,
+                     CAST(sum(CAST(round(l_extendedprice
+                                         * (1.0 - l_discount)
+                                         * (1.0 + l_tax) * 100.0)
+                                   AS BIGINT)) AS DOUBLE) / 100.0
+                       AS sum_charge,
+                     count(*) AS count_order
+              FROM li GROUP BY 1, 2)
+            SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+                   sum_disc_price, sum_charge,
+                   round(CAST(sum_qty AS DOUBLE) / count_order, 6)
+                     AS avg_qty,
+                   round(sum_base_price / count_order, 6) AS avg_price,
+                   CAST(count_order AS BIGINT) AS count_order
+            FROM a""",
+        "local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1.0 - l.l_discount) * 100.0)
+                                 AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1""",
         "shipping_priority": """
             WITH j AS (
               SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,

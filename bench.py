@@ -153,6 +153,9 @@ def main():
         "kcore_membership",
         "split_leakage",
         "incremental_cc",
+        "shipping_priority",
+        "pricing_summary",
+        "local_supplier_volume",
         "hll_distinct_tokens",
         "kmv_overlap",
         "cosine_join_pairs",
