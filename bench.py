@@ -49,6 +49,20 @@ def main():
         t0 = time.time()
         n = fn()
         timings[name] = round(time.time() - t0, 3)
+        # Inter-query hygiene: many operators eagerly localCheckpoint
+        # skinny intermediates whose blocks are released only when the
+        # driver GCs the python DataFrame AND the async ContextCleaner
+        # drains. At ~80 queries x 2 runs the backlog of dead blocks
+        # squeezes execution memory and later pair-heavy queries spill
+        # (measured: pprl 4.7 s -> 81 s, setsim 4.3 s -> 36 s purely
+        # from run position). Forcing both GCs between queries restores
+        # isolation so each number measures the OPERATOR, not the
+        # block-manager backlog of its predecessors.
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        spark.catalog.clearCache()
         return n
 
     def consume(df):
