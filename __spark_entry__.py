@@ -1176,6 +1176,40 @@ def _q_hll_distinct_tokens(spark, sf_dir):
     return est.join(exact, "lang").select("lang", "hll_estimate", "n_exact")
 
 
+def _q_mad_outliers(spark, sf_dir):
+    # Robust per-group outlier screen (Hampel identifier): median/MAD
+    # flags on order totals per priority class -- the data-quality rule
+    # mean/stddev z-scores get dragged off by the very outliers they
+    # hunt. Two percentile aggs (inherent two-pass), map-only flags.
+    from ala_name_matching_spark.operators.profiling import mad_outliers
+
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 10 == 0
+    )
+    return mad_outliers(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_totalprice",
+        ["o_orderpriority"],
+    ).select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        "median",
+        "mad",
+        "robust_z",
+        "is_outlier",
+    )
+
+
+def _q_benford_profile(spark, sf_dir):
+    # Benford first-significant-digit forensics on order totals: string
+    # arithmetic digit extraction (no float log boundary), 9-row output
+    # with expected log10(1 + 1/d) and deviation.
+    from ala_name_matching_spark.operators.profiling import benford_profile
+
+    return benford_profile(_read(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def _q_pricing_summary(spark, sf_dir):
     # TPC-H Q1 shape (pricing summary): the canonical single-pass
     # wide-aggregate scan -- every measure from one partial-agg groupBy
@@ -3468,6 +3502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_containment": _q_kmv_containment,
         "shipping_priority": _q_shipping_priority,
         "pricing_summary": _q_pricing_summary,
+        "mad_outliers": _q_mad_outliers,
+        "benford_profile": _q_benford_profile,
         "local_supplier_volume": _q_local_supplier_volume,
         "perplexity_buckets": _q_perplexity_buckets,
         "drift_psi_bins": _q_drift_psi_bins,
@@ -5529,6 +5565,48 @@ def oracle_sql() -> dict[str, str]:
         # Count-Min grid replay: same md5('cm{{j}}|'||item) cell addressing
         # as the Spark kernel, so every counter -- and therefore every
         # min-over-rows estimate -- is bit-identical across engines
+        # Hampel replay: same two-pass quantile_cont medians, same 0.6745
+        # consistency constant; degenerate-MAD convention mirrored
+        "mad_outliers": """
+            WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                       FROM orders WHERE o_orderkey % 10 = 0),
+            med AS (SELECT o_orderpriority,
+                           quantile_cont(o_totalprice, 0.5) AS med
+                    FROM o GROUP BY 1),
+            j AS (SELECT o.*, med.med FROM o JOIN med USING (o_orderpriority)),
+            mad AS (SELECT o_orderpriority,
+                           quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+                    FROM j GROUP BY 1),
+            f AS (SELECT j.*, mad.mad FROM j JOIN mad USING (o_orderpriority))
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   round(med, 6) AS median, round(mad, 6) AS mad,
+                   round(CASE WHEN mad > 0
+                         THEN 0.6745 * abs(o_totalprice - med) / mad END, 6)
+                     AS robust_z,
+                   CASE WHEN mad > 0
+                        THEN 0.6745 * abs(o_totalprice - med) / mad > 3.0
+                        ELSE o_totalprice <> med END AS is_outlier
+            FROM f""",
+        "benford_profile": """
+            WITH d AS (
+              SELECT CAST(substr(regexp_replace(
+                       printf('%.10f', abs(o_totalprice)),
+                       '[.,0]*', '', 'g'), 1, 1) AS INTEGER) AS digit
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0),
+            c AS (SELECT digit, count(*) AS n FROM d
+                  WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+            spine AS (SELECT unnest(generate_series(1, 9)) AS digit),
+            hist AS (SELECT s.digit,
+                            CAST(coalesce(c.n, 0) AS BIGINT) AS n
+                     FROM spine s LEFT JOIN c ON c.digit = s.digit),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM hist)
+            SELECT digit, n,
+                   round(CAST(n AS DOUBLE) / t, 6) AS observed,
+                   round(log10(1.0 + 1.0 / digit), 6) AS expected,
+                   round(CAST(n AS DOUBLE) / t
+                         - log10(1.0 + 1.0 / digit), 6) AS deviation
+            FROM hist, t""",
         "pricing_summary": """
             WITH li AS (SELECT * FROM lineitem
                         WHERE l_shipdate <= TIMESTAMP '2001-09-01'),

@@ -272,3 +272,102 @@ def drift_totals(bins) -> dict:
         psi = psi + r["psi_term"]
         jsd = jsd + r["jsd_term"]
     return {"psi": round(psi, 6), "jsd": round(jsd, 6)}
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """(all input columns, median, mad, robust_z, is_outlier): robust
+    per-group outlier flags via the median/MAD rule (Hampel identifier)
+    -- the data-quality screen that, unlike mean/stddev z-scores, is not
+    itself dragged by the outliers it hunts.
+
+    robust_z = 0.6745 * |x - median| / MAD (the consistency constant
+    makes it comparable to a Gaussian z); is_outlier = robust_z > k.
+    Degenerate groups (MAD = 0: >= half the values identical) flag only
+    values different from the median, by convention.
+
+    SCALE: two percentile aggregations per group (median of x, then
+    median of |x - median| -- the second needs the first, an inherent
+    two-pass), each a single partial-agg'd percentile groupBy; flags are
+    a map-only projection after one group-keyed join. Exactness: both
+    engines interpolate PERCENTILE_CONT identically (the
+    quantile_profile precedent); 6-dp rounding absorbs the division.
+    """
+    g = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*g).agg(
+        F.expr(f"percentile_cont(0.5) WITHIN GROUP (ORDER BY {value_col})")
+        .alias("_med")
+    )
+    joined = df.join(med, g) if g else df.crossJoin(F.broadcast(med))
+    mad = joined.groupBy(*g).agg(
+        F.expr(
+            f"percentile_cont(0.5) WITHIN GROUP "
+            f"(ORDER BY abs({value_col} - _med))"
+        ).alias("_mad")
+    )
+    full = (joined.join(mad, g) if g else joined.crossJoin(F.broadcast(mad)))
+    rz = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * F.abs(v - F.col("_med")) / F.col("_mad"),
+    )
+    return full.select(
+        *[F.col(c) for c in df.columns],
+        F.round(F.col("_med"), 6).alias("median"),
+        F.round(F.col("_mad"), 6).alias("mad"),
+        F.round(rz, 6).alias("robust_z"),
+        F.coalesce(rz > F.lit(k), v != F.col("_med")).alias("is_outlier"),
+    )
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """(digit, n, observed, expected, deviation): first-significant-digit
+    distribution of a positive numeric column against Benford's law --
+    the forensic data-quality screen (fabricated or unit-mangled numeric
+    columns drift off the log10(1 + 1/d) curve).
+
+    First digit extraction is pure string arithmetic on the absolute
+    value (no float log, whose boundary rounding could misclassify
+    9.9999...): strip sign/zeros/dot from the canonical string form.
+    expected = log10(1 + 1/d) -- one libm call per digit row, 6-dp
+    rounded. One partial-agg groupBy; the output is 9 rows.
+    """
+    s = F.regexp_replace(
+        F.format_number(F.abs(F.col(value_col).cast("double")), 10),
+        r"[.,0]*",
+        "",
+    )
+    digit = F.substring(s, 1, 1).cast("int")
+    counts = (
+        df.where(
+            F.col(value_col).isNotNull()
+            & (F.abs(F.col(value_col).cast("double")) > 0)
+        )
+        .select(digit.alias("digit"))
+        .where(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    hist = spine.join(counts, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    tot = hist.agg(F.sum("n").cast("long").alias("_t"))
+    obs = F.col("n").cast("double") / F.col("_t").cast("double")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return hist.join(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed"),
+        F.round(exp, 6).alias("expected"),
+        F.round(obs - exp, 6).alias("deviation"),
+    )

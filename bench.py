@@ -170,6 +170,8 @@ def main():
         "shipping_priority",
         "pricing_summary",
         "local_supplier_volume",
+        "mad_outliers",
+        "benford_profile",
         "hll_distinct_tokens",
         "kmv_overlap",
         "cosine_join_pairs",

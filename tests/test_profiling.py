@@ -114,3 +114,54 @@ def test_drift_detects_shift(spark):
     t = drift_totals(bins)
     assert t["psi"] > 0.25
     assert 0.0 < t["jsd"] <= 0.6932
+
+
+def test_mad_outliers_hampel(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.profiling import mad_outliers
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 1000])]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "grp", "v"]))
+    out = {r["id"]: r for r in mad_outliers(d, "v", ["grp"]).collect()}
+    # the 1000 is flagged, the bulk is not; mean/std z would NOT flag it
+    # this cleanly (std is dragged to ~400)
+    assert out[5]["is_outlier"] and not out[0]["is_outlier"]
+    assert out[0]["median"] == 12.5
+    assert out[5]["robust_z"] > 100
+
+
+def test_mad_outliers_degenerate_group(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.profiling import mad_outliers
+
+    # >= half identical values -> MAD 0: only non-median values flagged
+    rows = [(i, float(5)) for i in range(5)] + [(9, 7.0)]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "v"]))
+    out = {r["id"]: r for r in mad_outliers(d, "v").collect()}
+    assert not out[0]["is_outlier"] and out[0]["robust_z"] is None
+    assert out[9]["is_outlier"]
+
+
+def test_benford_conforming_and_uniform(spark):
+    import math
+
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.profiling import benford_profile
+
+    # powers of a constant ratio are the canonical Benford-conforming set
+    vals = [1.07 ** i for i in range(300)]
+    d = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    rows = {r["digit"]: r for r in benford_profile(d, "v").collect()}
+    assert len(rows) == 9 and sum(r["n"] for r in rows.values()) == 300
+    for dg in range(1, 10):
+        assert rows[dg]["expected"] == round(math.log10(1 + 1 / dg), 6)
+        assert abs(rows[dg]["deviation"]) < 0.05
+    # uniform-first-digit data deviates hard on digit 1
+    u = spark.createDataFrame(
+        pd.DataFrame({"v": [float(100 * d + 7) for d in range(1, 10)] * 30})
+    )
+    urows = {r["digit"]: r for r in benford_profile(u, "v").collect()}
+    assert urows[1]["deviation"] < -0.15
