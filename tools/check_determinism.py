@@ -1,0 +1,98 @@
+"""Partition-invariance sweep: every queries() entry must produce
+IDENTICAL values under different parallelism/partitioning.
+
+The repo's determinism contracts (rank tie-breaks, integer-quantized
+float sums, sorted folds, argmin keepers) all exist so that results do
+not depend on task scheduling or partition count. This harness checks
+the whole surface at once: each query runs under two sessions --
+local[4]/shuffle_partitions=7 and local[16]/shuffle_partitions=32 --
+and the order-insensitive value multiset must match exactly (same
+normalization as tools/check_oracles.py).
+
+Usage: python tools/check_determinism.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return v
+
+
+def frame_sig(df):
+    cols = df.columns
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [
+        tuple(norm_cell(r[i]) for i in idx) for r in df.collect()
+    ]
+    rows.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in idx], rows
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from ala_name_matching_spark.session import get_spark
+
+    queries = entry_mod.queries()
+    names = [n for n in queries if not only or n in only]
+
+    configs = [
+        ("local[4]", 7),
+        ("local[16]", 32),
+    ]
+    results: dict[str, list] = {n: [] for n in names}
+    for master, parts in configs:
+        spark = get_spark(
+            f"det-{parts}",
+            master=master,
+            shuffle_partitions=parts,
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        for n in names:
+            try:
+                results[n].append(frame_sig(queries[n](spark, sf_dir)))
+            except Exception as e:  # noqa: BLE001
+                results[n].append(("ERROR", repr(e)[:300]))
+        spark.stop()
+
+    failures = []
+    for n in names:
+        a, b = results[n]
+        if a == b:
+            print(f"[ok] {n}: {len(a[1]) if a[0] != 'ERROR' else '?'} rows invariant")
+        else:
+            failures.append(n)
+            if a[0] == "ERROR" or b[0] == "ERROR":
+                print(f"[FAIL] {n}: error {a if a[0]=='ERROR' else b}")
+            else:
+                diffs = [
+                    (x, y)
+                    for x, y in zip(a[1], b[1])
+                    if x != y
+                ][:3]
+                print(
+                    f"[FAIL] {n}: rows {len(a[1])} vs {len(b[1])}, "
+                    f"first diffs: {diffs}"
+                )
+    print(f"\n{len(failures)} failures: {failures}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
