@@ -353,3 +353,111 @@ def pq_oracle_sql(
                    PARTITION BY query_id ORDER BY adist, vec_id) AS rank
           FROM adist) WHERE rank <= {topk}"""
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    m_subs: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ composition -- the FAISS default index shape: the IVF
+    coarse quantizer prunes WHICH vectors are scored (candidate volume
+    ~ |C| * nprobe / n_centroids), PQ-ADC compresses HOW the survivors
+    are scored (M table lookups per candidate, no original vectors at
+    query time). Deviation from FAISS stated: codes are learned on RAW
+    vectors, not per-list residuals -- residual encoding would couple
+    the two quantizers' training and buy accuracy at the same plumbing;
+    the composition shape (prune -> compressed-score) is what this
+    operator pins down, and is exactly pq_adc_topk restricted to the
+    probed lists (proven: probing ALL lists reproduces pq_adc_topk
+    bit-for-bit, tested).
+
+    Scale shape: IVF training on a bounded sample + one narrow assign
+    pass; PQ training/encoding as in pq_adc_topk (M*k x dim exchanges,
+    corpus-size independent); the ADC grid broadcast-joins only onto
+    candidate (query, vector) pairs from the probed-list equi-join.
+    """
+    from ala_name_matching_spark.operators.similarity_search import (
+        ivf_assign_udf,
+        ivf_train_centroids,
+    )
+
+    if dim is None:
+        dim = int(vectors.select(F.size(vec_col).alias("d")).first()["d"])
+    subdim = dim // m_subs
+
+    centroids = ivf_train_centroids(vectors, n_centroids, vec_col=vec_col)
+    home = ivf_assign_udf(centroids, nprobe=1)
+    probe = ivf_assign_udf(centroids, nprobe=nprobe)
+    cand = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.element_at(home(F.col(vec_col)), 1).alias("list_id"),
+        )
+        .join(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.explode(probe(F.col(vec_col))).alias("list_id"),
+            ),
+            "list_id",
+        )
+        .select("query_id", "vec_id")
+    )
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("vec_id"))
+
+    codebooks = train_pq_codebooks(
+        vectors, m_subs, k, iters, id_col, vec_col, dim
+    )
+    codes = pq_encode(vectors, codebooks, m_subs, subdim, id_col, vec_col)
+
+    qsv = _subvectors(queries, m_subs, subdim, query_id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv")
+    )
+    qnorm2 = _dot_sv("qsv", "qsv", subdim)
+    grid = qsv.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        (
+            qnorm2
+            - 2.0 * _dot_sv("qsv", "centroid", subdim)
+            + F.col("cnorm2")
+        ).alias("d"),
+    )
+    adist = (
+        codes.join(cand, "vec_id", "left_semi")
+        .join(F.broadcast(grid), ["sub", "code"])
+        .join(cand, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("sub"), F.col("d")))
+            ).alias("_sd")
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.expr("aggregate(_sd, 0.0D, (acc, x) -> acc + x.d)"), 6
+            ).alias("adist"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "vec_id", "adist", "rank")
+    )

@@ -87,3 +87,73 @@ def test_dim_not_divisible_raises(spark):
     df, _ = _vecs(spark, dim=15)
     with pytest.raises(ValueError):
         train_pq_codebooks(df, m_subs=4, k=4, iters=1, dim=15)
+
+
+def test_ivfpq_full_probe_reproduces_pq(spark):
+    """Probing ALL lists makes IVF-PQ exactly pq_adc_topk: the coarse
+    quantizer prunes nothing, the ADC scoring is shared."""
+    import numpy as np
+
+    from ala_name_matching_spark.operators.pq import ivfpq_topk, pq_adc_topk
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(120, 16).astype("float64")
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs.where("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    full = {
+        (r["query_id"], r["vec_id"]): (r["adist"], r["rank"])
+        for r in ivfpq_topk(
+            q, vecs, m_subs=4, k=8, iters=2, topk=8,
+            n_centroids=8, nprobe=8, exclude_self=False,
+        ).collect()
+    }
+    pq = {
+        (r["query_id"], r["vec_id"]): (r["adist"], r["rank"])
+        for r in pq_adc_topk(
+            q, vecs, m_subs=4, k=8, iters=2, topk=8
+        ).collect()
+    }
+    assert full == pq
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    """On clustered data (the regime IVF exploits) the pruned search
+    still finds most true neighbors; candidates shrink with nprobe."""
+    import numpy as np
+
+    from ala_name_matching_spark.operators.pq import ivfpq_topk
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(8, 16) * 6
+    mat = np.vstack(
+        [centers[i % 8] + rng.randn(16) * 0.3 for i in range(240)]
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs.where("vec_id < 4").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    got = ivfpq_topk(
+        q, vecs, m_subs=4, k=8, iters=2, topk=5,
+        n_centroids=8, nprobe=2,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # 4x8 codes cannot resolve WITHIN-cluster order (same-cluster members
+    # share codes; ties break by id), so the honest metric is cluster
+    # recall: returned neighbors belong to the query's true cluster
+    same = 0
+    total = 0
+    for qid in range(4):
+        for v in by_q.get(qid, set()):
+            total += 1
+            same += int(v % 8 == qid % 8)
+    assert total == 20 and same / total >= 0.8
