@@ -680,6 +680,74 @@ def _q_nested_set_intervals(spark, sf_dir):
     return nested_set_encode(r.unionByName(n).unionByName(c))
 
 
+def _q_lca_pairs(spark, sf_dir):
+    # Lowest-common-ancestor over the B2 nested-set tree: for sampled
+    # customer-leaf pairs, the deepest node whose [lft, rgt] contains
+    # both -- the query the reference's left/right encoding exists to
+    # answer in O(1) per candidate (doc/matching-algorithm-v2.md:17-24).
+    # Ancestors of a node form a chain, so argmax depth is unique;
+    # cross-forest pairs (different regions) have no LCA and drop out.
+    # At scale the ancestor probe joins a depth-bounded path table, not
+    # the full node set -- here the node set IS small (the tree's
+    # internal layer), so the direct interval join is the honest shape.
+    from pyspark.sql import Window
+
+    from ala_name_matching_spark.operators.hierarchy import nested_set_encode
+
+    r = _read(spark, sf_dir, "region").select(
+        F.concat(F.lit("r"), F.col("r_regionkey")).alias("node_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+    )
+    n = _read(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("node_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("parent_id"),
+    )
+    c = _read(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("node_id"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("parent_id"),
+    )
+    ns = nested_set_encode(r.unionByName(n).unionByName(c)).localCheckpoint(
+        eager=True
+    )
+    sample = _read(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 100 == 0
+    ).select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node_id"))
+    leaves = ns.join(sample, "node_id").select(
+        F.col("node_id").alias("_n"), F.col("lft").alias("_l"),
+    )
+    pairs = (
+        leaves.alias("a")
+        .crossJoin(leaves.alias("b"))
+        .where(F.col("a._n") < F.col("b._n"))
+        .select(
+            F.col("a._n").alias("node_a"),
+            F.col("a._l").alias("_la"),
+            F.col("b._n").alias("node_b"),
+            F.col("b._l").alias("_lb"),
+        )
+    )
+    anc = pairs.join(
+        ns.where(F.col("depth") < 2).select(
+            F.col("node_id").alias("lca"), "lft", "rgt", "depth"
+        ),
+        (F.col("lft") <= F.col("_la"))
+        & (F.col("_la") <= F.col("rgt"))
+        & (F.col("lft") <= F.col("_lb"))
+        & (F.col("_lb") <= F.col("rgt")),
+    )
+    w = Window.partitionBy("node_a", "node_b").orderBy(F.col("depth").desc())
+    return (
+        anc.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "node_a",
+            "node_b",
+            "lca",
+            F.col("depth").cast("int").alias("lca_depth"),
+        )
+    )
+
+
 def _q_species_split_containment(spark, sf_dir):
     # V2 -- species-split check over REAL nested-set intervals
     # (ALANameSearcher.java:1315-1358): synthetic synonym rows (every 7th
@@ -3503,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _q_shipping_priority,
         "pricing_summary": _q_pricing_summary,
         "mad_outliers": _q_mad_outliers,
+        "lca_pairs": _q_lca_pairs,
         "benford_profile": _q_benford_profile,
         "local_supplier_volume": _q_local_supplier_volume,
         "perplexity_buckets": _q_perplexity_buckets,
@@ -6452,6 +6521,70 @@ def oracle_sql() -> dict[str, str]:
         # lft = parent lft + 1 + 2*sum(earlier-sibling sizes), siblings
         # ordered by the STRING node id (matching the DFS child order);
         # rgt = lft + 2*size - 1
+        # LCA replay: the same closed-form interval construction, then the
+        # containment join + per-pair argmax depth (the ancestor chain
+        # makes it unique)
+        "lca_pairs": """
+            WITH c AS (SELECT 'c' || c_custkey AS id, 'n' || c_nationkey AS pid
+                       FROM customer),
+            n AS (SELECT 'n' || n_nationkey AS id, 'r' || n_regionkey AS pid
+                  FROM nation),
+            r AS (SELECT 'r' || r_regionkey AS id FROM region),
+            nsz AS (
+              SELECT n.id, n.pid,
+                     1 + coalesce(cc.n_child, 0) AS size
+              FROM n LEFT JOIN (SELECT pid, count(*) AS n_child FROM c GROUP BY 1) cc
+                ON n.id = cc.pid),
+            rsz AS (
+              SELECT r.id, 1 + coalesce(sum(nsz.size), 0) AS size
+              FROM r LEFT JOIN nsz ON nsz.pid = r.id GROUP BY r.id),
+            rpos AS (
+              SELECT id, size,
+                     1 + 2 * coalesce(sum(size) OVER (ORDER BY id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS lft
+              FROM rsz),
+            npos AS (
+              SELECT nsz.id, nsz.size, rpos.lft + 1
+                     + 2 * coalesce(sum(nsz.size) OVER (PARTITION BY nsz.pid
+                         ORDER BY nsz.id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS lft
+              FROM nsz JOIN rpos ON nsz.pid = rpos.id),
+            cpos AS (
+              SELECT c.id, 1 AS size, npos.lft
+                     + 2 * row_number() OVER (PARTITION BY c.pid ORDER BY c.id)
+                     - 1 AS lft
+              FROM c JOIN npos ON c.pid = npos.id),
+            ns AS (
+              SELECT id AS node_id, CAST(lft AS BIGINT) AS lft,
+                     CAST(lft + 2 * size - 1 AS BIGINT) AS rgt, 0 AS depth
+              FROM rpos
+              UNION ALL
+              SELECT id, CAST(lft AS BIGINT),
+                     CAST(lft + 2 * size - 1 AS BIGINT), 1 FROM npos
+              UNION ALL
+              SELECT id, CAST(lft AS BIGINT), CAST(lft + 1 AS BIGINT), 2
+              FROM cpos),
+            sample AS (SELECT 'c' || c_custkey AS node_id FROM customer
+                       WHERE c_custkey % 100 = 0),
+            leaves AS (SELECT ns.node_id AS nn, ns.lft AS l
+                       FROM ns JOIN sample ON ns.node_id = sample.node_id),
+            pairs AS (
+              SELECT a.nn AS node_a, a.l AS la, b.nn AS node_b, b.l AS lb
+              FROM leaves a JOIN leaves b ON a.nn < b.nn),
+            anc AS (
+              SELECT p.node_a, p.node_b, ns.node_id AS lca, ns.depth
+              FROM pairs p JOIN ns
+                ON ns.depth < 2
+               AND ns.lft <= p.la AND p.la <= ns.rgt
+               AND ns.lft <= p.lb AND p.lb <= ns.rgt)
+            SELECT node_a, node_b, lca,
+                   CAST(depth AS INTEGER) AS lca_depth
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY node_a, node_b
+                    ORDER BY depth DESC) AS rk FROM anc)
+            WHERE rk = 1""",
         "nested_set_intervals": """
             WITH c AS (SELECT 'c' || c_custkey AS id, 'n' || c_nationkey AS pid
                        FROM customer),

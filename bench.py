@@ -172,6 +172,7 @@ def main():
         "local_supplier_volume",
         "mad_outliers",
         "benford_profile",
+        "lca_pairs",
         "hll_distinct_tokens",
         "kmv_overlap",
         "cosine_join_pairs",
