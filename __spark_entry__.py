@@ -1412,6 +1412,65 @@ def _q_shipping_priority(spark, sf_dir):
     )
 
 
+def _q_icws_weighted_jaccard(spark, sf_dir):
+    # ICWS weighted MinHash (Ioffe 2010): slot-collision estimates of
+    # WEIGHTED Jaccard over tf vectors -- the overlap notion plain
+    # MinHash (set Jaccard) cannot express -- next to the exact
+    # sum(min)/sum(max), per sampled doc pair. Deterministic gamma draws
+    # from salted md5 uniforms, so signatures AND estimates replay.
+    from ala_name_matching_spark.operators.sketches import (
+        icws_pair_estimates,
+        icws_signatures,
+    )
+    from ala_name_matching_spark.operators.text_analysis import _tokens
+
+    k = 32
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 50 == 0)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+        )
+        .where(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    sigs = icws_signatures(tf, k=k)
+    est = icws_pair_estimates(sigs, k)
+    ta = tf.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("w").alias("_wa")
+    )
+    tb = tf.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("w").alias("_wb")
+    )
+    inter = (
+        ta.join(tb, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("_wa", "_wb")).cast("long").alias("_smin"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("w").cast("long").alias("_tot"))
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(tot.select(F.col("doc_id").alias("id_a"), F.col("_tot").alias("_ta")), "id_a")
+        .join(tot.select(F.col("doc_id").alias("id_b"), F.col("_tot").alias("_tb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_match",
+            "est_wjaccard",
+            F.round(
+                F.coalesce(F.col("_smin"), F.lit(0)).cast("double")
+                / (
+                    F.col("_ta") + F.col("_tb")
+                    - F.coalesce(F.col("_smin"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("exact_wjaccard"),
+        )
+    )
+
+
 def _q_kmv_containment(spark, sf_dir):
     # Asymmetric overlap from the same theta sketches: containment(A,B) =
     # |A n B| / |A| -- the differently-sized-slices question Jaccard
@@ -3568,6 +3627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": _q_kmv_overlap,
         "cosine_join_pairs": _q_cosine_join_pairs,
         "kmv_containment": _q_kmv_containment,
+        "icws_weighted_jaccard": _q_icws_weighted_jaccard,
         "shipping_priority": _q_shipping_priority,
         "pricing_summary": _q_pricing_summary,
         "mad_outliers": _q_mad_outliers,
@@ -5739,6 +5799,76 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (
                     ORDER BY revenue DESC, l_orderkey ASC) AS rk
                   FROM j) WHERE rk <= 10""",
+        # ICWS replay: identical salted-md5 uniforms, identical gamma/
+        # floor/exp chain, min(struct) argmin == argmin over (a, term)
+        "icws_weighted_jaccard": f"""
+            WITH docs AS (SELECT doc_id, text FROM documents
+                          WHERE doc_id % 50 = 0),
+            toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM docs),
+            tf AS (SELECT doc_id, term, count(*) AS w FROM toks
+                   WHERE length(term) > 0 GROUP BY 1, 2),
+            spine AS (SELECT unnest(generate_series(0, 31)) AS slot),
+            draws AS (
+              SELECT tf.doc_id, spine.slot, tf.term, tf.w,
+                     (CAST(('0x' || substr(md5('icws-r1|' || spine.slot
+                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
+                       / {float((1 << 60) + 1)!r} AS u1,
+                     (CAST(('0x' || substr(md5('icws-r2|' || spine.slot
+                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
+                       / {float((1 << 60) + 1)!r} AS u2,
+                     (CAST(('0x' || substr(md5('icws-c1|' || spine.slot
+                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
+                       / {float((1 << 60) + 1)!r} AS u3,
+                     (CAST(('0x' || substr(md5('icws-c2|' || spine.slot
+                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
+                       / {float((1 << 60) + 1)!r} AS u4,
+                     (CAST(('0x' || substr(md5('icws-b|' || spine.slot
+                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
+                       / {float((1 << 60) + 1)!r} AS ub
+              FROM tf CROSS JOIN spine),
+            vals AS (
+              SELECT doc_id, slot, term,
+                     floor(ln(CAST(w AS DOUBLE)) / (-ln(u1 * u2)) + ub)
+                       AS ti,
+                     (-ln(u3 * u4))
+                     / (exp((-ln(u1 * u2))
+                            * (floor(ln(CAST(w AS DOUBLE))
+                                     / (-ln(u1 * u2)) + ub) - ub))
+                        * exp(-ln(u1 * u2))) AS a
+              FROM draws),
+            sigs AS (
+              SELECT doc_id, slot, term AS sig_term,
+                     CAST(ti AS BIGINT) AS sig_t
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id, slot
+                      ORDER BY a, term, ti) AS rk FROM vals)
+              WHERE rk = 1),
+            est AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(sum(CASE WHEN a.sig_term = b.sig_term
+                                    AND a.sig_t = b.sig_t
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+              FROM sigs a JOIN sigs b
+                ON a.slot = b.slot AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(sum(least(a.w, b.w)) AS BIGINT) AS smin
+              FROM tf a JOIN tf b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            tot AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS t
+                    FROM tf GROUP BY 1)
+            SELECT e.id_a, e.id_b, e.n_match,
+                   round(CAST(e.n_match AS DOUBLE) / 32.0, 6)
+                     AS est_wjaccard,
+                   round(CAST(coalesce(i.smin, 0) AS DOUBLE)
+                         / CAST(ta.t + tb.t - coalesce(i.smin, 0)
+                                AS DOUBLE), 6) AS exact_wjaccard
+            FROM est e
+            LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+            JOIN tot ta ON ta.doc_id = e.id_a
+            JOIN tot tb ON tb.doc_id = e.id_b""",
         # containment replay: the kmv_overlap chain plus per-group own
         # estimates; divides the ROUNDED est columns exactly as the
         # operator composition does

@@ -595,3 +595,134 @@ def kmv_containment(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ICWS weighted MinHash (Ioffe, "Improved Consistent Weighted Sampling",
+# ICDM 2010), deterministic variant.
+#
+# MinHash estimates SET Jaccard; ICWS estimates WEIGHTED Jaccard
+# J_w(A,B) = sum_t min(a_t, b_t) / sum_t max(a_t, b_t) -- the overlap
+# notion where a term occurring 10x vs 1x should count differently (tf
+# vectors, histograms, weighted features). Per hash slot i and element t
+# with weight w: draw r, c ~ Gamma(2,1) and b ~ U[0,1) consistently from
+# (i, t); then
+#     t_i  = floor(ln(w)/r + b)
+#     y    = exp(r * (t_i - b))
+#     a    = c / (y * exp(r))
+# and the slot's sample is the element minimizing a (with its t_i). The
+# paper's guarantee: P[slot matches between A and B] = J_w(A, B),
+# exactly, per slot.
+#
+# Deterministic like every sketch lane here: the five uniforms per
+# (slot, element) come from salted md5 prefixes (u = (h + 1) / (2^60+1),
+# strictly in (0,1)), Gamma(2,1) = -ln(u1*u2). Both engines evaluate the
+# identical double chain, so the argmin -- and therefore every signature
+# and every estimate -- replays in SQL. Ties on `a` are measure-zero for
+# continuous draws but are still pinned (element string tie-break).
+# ---------------------------------------------------------------------------
+
+
+def _icws_u(salt: str, term_col, i_col):
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), i_col.cast("string"),
+                           F.lit("|"), term_col)),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
+
+
+def icws_signatures(
+    weighted: DataFrame,
+    k: int = 16,
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    weight_col: str = "w",
+) -> DataFrame:
+    """(id, slot, sig_term, sig_t): the k-slot ICWS weighted-MinHash
+    signature of each weighted set. Two signatures agree at a slot with
+    probability exactly the weighted Jaccard.
+
+    Shape: explode the weighted postings across k slots (a spine join --
+    k * postings rows, map-only math), one partial-agg min(struct)
+    groupBy per (id, slot). No per-row Python.
+    """
+    spine = weighted.sparkSession.range(k).select(
+        F.col("id").cast("int").alias("slot")
+    )
+    t = F.col(term_col)
+    i = F.col("slot")
+    u1 = _icws_u("icws-r1|", t, i)
+    u2 = _icws_u("icws-r2|", t, i)
+    u3 = _icws_u("icws-c1|", t, i)
+    u4 = _icws_u("icws-c2|", t, i)
+    ub = _icws_u("icws-b|", t, i)
+    r = -F.log(u1 * u2)
+    c = -F.log(u3 * u4)
+    lnw = F.log(F.col(weight_col).cast("double"))
+    ti = F.floor(lnw / r + ub)
+    y = F.exp(r * (ti.cast("double") - ub))
+    a = c / (y * F.exp(r))
+    rows = weighted.crossJoin(F.broadcast(spine)).select(
+        F.col(id_col).alias("_id"),
+        "slot",
+        t.alias("_t"),
+        ti.cast("long").alias("_ti"),
+        a.alias("_a"),
+    )
+    return (
+        rows.groupBy("_id", "slot")
+        .agg(
+            F.min(F.struct(F.col("_a"), F.col("_t"), F.col("_ti"))).alias(
+                "_m"
+            )
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "slot",
+            F.col("_m._t").alias("sig_term"),
+            F.col("_m._ti").alias("sig_t"),
+        )
+    )
+
+
+def icws_pair_estimates(
+    sigs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, n_match, est_wjaccard): slot-collision estimates for
+    every id pair present in the signature table (callers pre-restrict
+    ids; the join is slot-keyed so cost is |pairs| * k)."""
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), "slot",
+        F.col("sig_term").alias("_ta"), F.col("sig_t").alias("_tia"),
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), "slot",
+        F.col("sig_term").alias("_tb"), F.col("sig_t").alias("_tib"),
+    )
+    return (
+        a.join(b, "slot")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                (
+                    (F.col("_ta") == F.col("_tb"))
+                    & (F.col("_tia") == F.col("_tib"))
+                ).cast("long")
+            ).alias("n_match")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_match").cast("long").alias("n_match"),
+            F.round(
+                F.col("n_match").cast("double") / F.lit(float(k)), 6
+            ).alias("est_wjaccard"),
+        )
+    )

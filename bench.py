@@ -173,6 +173,7 @@ def main():
         "mad_outliers",
         "benford_profile",
         "lca_pairs",
+        "icws_weighted_jaccard",
         "hll_distinct_tokens",
         "kmv_overlap",
         "cosine_join_pairs",

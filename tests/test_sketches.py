@@ -310,3 +310,36 @@ def test_kmv_containment_subset(spark):
     assert row["est_containment_a"] > 0.7  # small inside big (true 1.0)
     assert 0.3 < row["est_containment_b"] < 0.7  # true 0.5
     assert row["est_containment_a"] > row["est_containment_b"] + 0.2
+
+
+def test_icws_identity_and_estimator_accuracy(spark):
+    """Identical weighted sets match at every slot (est = 1.0); for a
+    constructed pair with known weighted Jaccard the per-slot match rate
+    is an unbiased estimate (binomial noise ~ 1/sqrt(k))."""
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.sketches import (
+        icws_pair_estimates,
+        icws_signatures,
+    )
+
+    k = 128
+    # doc 1 == doc 2 (weights included); doc 3 shares half the mass:
+    # WJ(1,3) = sum(min)/sum(max) = (4+2)/(8+6) ... constructed = 6/14
+    rows = (
+        [(1, "x", 4), (1, "y", 4), (2, "x", 4), (2, "y", 4)]
+        + [(3, "x", 8), (3, "y", 2), (3, "z", 4)]
+    )
+    tf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "term", "w"])
+    )
+    est = {
+        (r["id_a"], r["id_b"]): r["est_wjaccard"]
+        for r in icws_pair_estimates(
+            icws_signatures(tf, k=k), k
+        ).collect()
+    }
+    assert est[(1, 2)] == 1.0
+    true_wj = (4 + 2) / (8 + 4 + 4 - 6 + 2)  # min-sum 6, max-sum 12
+    assert abs(est[(1, 3)] - true_wj) < 0.15  # ~3 sigma at k=128
+    assert est[(1, 3)] == est[(2, 3)]  # consistency: same set, same sig
