@@ -1471,6 +1471,30 @@ def _q_icws_weighted_jaccard(spark, sf_dir):
     )
 
 
+def _q_icws_lsh_candidates(spark, sf_dir):
+    # Weighted-Jaccard LSH: band the ICWS signatures (8 bands x 4 slots)
+    # for candidate pairs whose tf vectors overlap heavily -- the
+    # weighted analog of MinHash-LSH, no all-pairs product. Same sampled
+    # docs as icws_weighted_jaccard so recall against the exact WJ table
+    # is inspectable.
+    from ala_name_matching_spark.operators.sketches import (
+        icws_lsh_candidates,
+    )
+    from ala_name_matching_spark.operators.text_analysis import _tokens
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 50 == 0)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+        )
+        .where(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    return icws_lsh_candidates(tf, k=32, n_bands=8)
+
+
 def _q_kmv_containment(spark, sf_dir):
     # Asymmetric overlap from the same theta sketches: containment(A,B) =
     # |A n B| / |A| -- the differently-sized-slices question Jaccard
@@ -3628,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_join_pairs": _q_cosine_join_pairs,
         "kmv_containment": _q_kmv_containment,
         "icws_weighted_jaccard": _q_icws_weighted_jaccard,
+        "icws_lsh_candidates": _q_icws_lsh_candidates,
         "shipping_priority": _q_shipping_priority,
         "pricing_summary": _q_pricing_summary,
         "mad_outliers": _q_mad_outliers,
@@ -3954,6 +3979,49 @@ def _bpe_tokenize_oracle(n_merges: int = 3) -> str:
                CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
         FROM seg GROUP BY doc_id"""
     )
+
+
+_ICWS_SIG_CTES = f"""WITH docs AS (SELECT doc_id, text FROM documents
+                          WHERE doc_id % 50 = 0),
+            toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM docs),
+            tf AS (SELECT doc_id, term, count(*) AS w FROM toks
+                   WHERE length(term) > 0 GROUP BY 1, 2),
+            spine AS (SELECT unnest(generate_series(0, 31)) AS slot),
+            draws AS (
+              SELECT tf.doc_id, spine.slot, tf.term, tf.w,
+                     (CAST(('0x' || substr(md5('icws-r1|' || spine.slot
+                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
+                       / {float((1 << 60) + 1)!r} AS u1,
+                     (CAST(('0x' || substr(md5('icws-r2|' || spine.slot
+                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
+                       / {float((1 << 60) + 1)!r} AS u2,
+                     (CAST(('0x' || substr(md5('icws-c1|' || spine.slot
+                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
+                       / {float((1 << 60) + 1)!r} AS u3,
+                     (CAST(('0x' || substr(md5('icws-c2|' || spine.slot
+                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
+                       / {float((1 << 60) + 1)!r} AS u4,
+                     (CAST(('0x' || substr(md5('icws-b|' || spine.slot
+                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
+                       / {float((1 << 60) + 1)!r} AS ub
+              FROM tf CROSS JOIN spine),
+            vals AS (
+              SELECT doc_id, slot, term,
+                     floor(ln(CAST(w AS DOUBLE)) / (-ln(u1 * u2)) + ub)
+                       AS ti,
+                     (-ln(u3 * u4))
+                     / (exp((-ln(u1 * u2))
+                            * (floor(ln(CAST(w AS DOUBLE))
+                                     / (-ln(u1 * u2)) + ub) - ub))
+                        * exp(-ln(u1 * u2))) AS a
+              FROM draws),
+            sigs AS (
+              SELECT doc_id, slot, term AS sig_term,
+                     CAST(ti AS BIGINT) AS sig_t
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id, slot
+                      ORDER BY a, term, ti) AS rk FROM vals)
+              WHERE rk = 1)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5802,47 +5870,7 @@ def oracle_sql() -> dict[str, str]:
         # ICWS replay: identical salted-md5 uniforms, identical gamma/
         # floor/exp chain, min(struct) argmin == argmin over (a, term)
         "icws_weighted_jaccard": f"""
-            WITH docs AS (SELECT doc_id, text FROM documents
-                          WHERE doc_id % 50 = 0),
-            toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM docs),
-            tf AS (SELECT doc_id, term, count(*) AS w FROM toks
-                   WHERE length(term) > 0 GROUP BY 1, 2),
-            spine AS (SELECT unnest(generate_series(0, 31)) AS slot),
-            draws AS (
-              SELECT tf.doc_id, spine.slot, tf.term, tf.w,
-                     (CAST(('0x' || substr(md5('icws-r1|' || spine.slot
-                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
-                       / {float((1 << 60) + 1)!r} AS u1,
-                     (CAST(('0x' || substr(md5('icws-r2|' || spine.slot
-                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
-                       / {float((1 << 60) + 1)!r} AS u2,
-                     (CAST(('0x' || substr(md5('icws-c1|' || spine.slot
-                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
-                       / {float((1 << 60) + 1)!r} AS u3,
-                     (CAST(('0x' || substr(md5('icws-c2|' || spine.slot
-                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
-                       / {float((1 << 60) + 1)!r} AS u4,
-                     (CAST(('0x' || substr(md5('icws-b|' || spine.slot
-                        || '|' || tf.term), 1, 15)) AS BIGINT) + 1.0)
-                       / {float((1 << 60) + 1)!r} AS ub
-              FROM tf CROSS JOIN spine),
-            vals AS (
-              SELECT doc_id, slot, term,
-                     floor(ln(CAST(w AS DOUBLE)) / (-ln(u1 * u2)) + ub)
-                       AS ti,
-                     (-ln(u3 * u4))
-                     / (exp((-ln(u1 * u2))
-                            * (floor(ln(CAST(w AS DOUBLE))
-                                     / (-ln(u1 * u2)) + ub) - ub))
-                        * exp(-ln(u1 * u2))) AS a
-              FROM draws),
-            sigs AS (
-              SELECT doc_id, slot, term AS sig_term,
-                     CAST(ti AS BIGINT) AS sig_t
-              FROM (SELECT *, row_number() OVER (
-                      PARTITION BY doc_id, slot
-                      ORDER BY a, term, ti) AS rk FROM vals)
-              WHERE rk = 1),
+            {_ICWS_SIG_CTES},
             est AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      CAST(sum(CASE WHEN a.sig_term = b.sig_term
@@ -5869,6 +5897,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
             JOIN tot ta ON ta.doc_id = e.id_a
             JOIN tot tb ON tb.doc_id = e.id_b""",
+        # weighted-LSH replay: same signature CTEs, banded with the
+        # pinned zero-padded serialization
+        "icws_lsh_candidates": f"""
+            {_ICWS_SIG_CTES},
+            bs AS (
+              SELECT doc_id, slot // 4 AS band,
+                     lpad(CAST(slot AS VARCHAR), 3, '0') || ':'
+                       || sig_term || ':' || sig_t AS s
+              FROM sigs),
+            bands AS (
+              SELECT doc_id, band,
+                     md5(string_agg(s, '|' ORDER BY s)) AS bkey
+              FROM bs GROUP BY 1, 2)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_bands
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2""",
         # containment replay: the kmv_overlap chain plus per-group own
         # estimates; divides the ROUNDED est columns exactly as the
         # operator composition does

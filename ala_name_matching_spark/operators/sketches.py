@@ -726,3 +726,55 @@ def icws_pair_estimates(
             ).alias("est_wjaccard"),
         )
     )
+
+
+def icws_lsh_candidates(
+    weighted: DataFrame,
+    k: int = 32,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    weight_col: str = "w",
+) -> DataFrame:
+    """(id_a, id_b, n_shared_bands): WEIGHTED near-dup candidate pairs by
+    banding the ICWS signatures -- the weighted-Jaccard analog of
+    MinHash-LSH (candidate probability 1 - (1 - J_w^r)^b with
+    r = k / n_bands slots per band). The scale path for "which tf
+    vectors overlap heavily?" without any all-pairs product: band keys
+    are an equi-join, exactly like the unweighted LSH lane.
+
+    Band key = md5 over the band's slot signatures serialized in slot
+    order (slot:term:t joined with '|') -- a pinned string form, so the
+    whole candidate set replays in SQL.
+    """
+    r = k // n_bands
+    sigs = icws_signatures(weighted, k, id_col, term_col, weight_col)
+    # zero-padded slot so the lexical sort of the serialized strings is
+    # the numeric slot order in BOTH engines
+    slot_str = F.concat_ws(
+        ":",
+        F.lpad(F.col("slot").cast("string"), 3, "0"),
+        F.col("sig_term"),
+        F.col("sig_t").cast("string"),
+    )
+    bands = (
+        sigs.withColumn("band", (F.col("slot") / F.lit(r)).cast("int"))
+        .withColumn("_s", slot_str)
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(F.array_join(F.array_sort(F.collect_list("_s")), "|"))
+            .alias("bkey")
+        )
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band", "bkey"
+    )
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )

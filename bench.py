@@ -174,6 +174,7 @@ def main():
         "benford_profile",
         "lca_pairs",
         "icws_weighted_jaccard",
+        "icws_lsh_candidates",
         "hll_distinct_tokens",
         "kmv_overlap",
         "cosine_join_pairs",

@@ -343,3 +343,28 @@ def test_icws_identity_and_estimator_accuracy(spark):
     true_wj = (4 + 2) / (8 + 4 + 4 - 6 + 2)  # min-sum 6, max-sum 12
     assert abs(est[(1, 3)] - true_wj) < 0.15  # ~3 sigma at k=128
     assert est[(1, 3)] == est[(2, 3)]  # consistency: same set, same sig
+
+
+def test_icws_lsh_twins_always_candidate(spark):
+    """Identical weighted sets share every band (candidate probability 1);
+    a disjoint set shares none."""
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.sketches import (
+        icws_lsh_candidates,
+    )
+
+    rows = (
+        [(1, f"t{i}", i + 1) for i in range(10)]
+        + [(2, f"t{i}", i + 1) for i in range(10)]   # twin of 1
+        + [(3, f"z{i}", 2) for i in range(10)]       # disjoint
+    )
+    tf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "term", "w"])
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["n_shared_bands"]
+        for r in icws_lsh_candidates(tf, k=32, n_bands=8).collect()
+    }
+    assert out[(1, 2)] == 8
+    assert (1, 3) not in out and (2, 3) not in out
