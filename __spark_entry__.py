@@ -1289,6 +1289,9 @@ def _q_pricing_summary(spark, sf_dir):
     # over the fact table, no joins. Money sums quantized to cents
     # (order-free); averages derived as quantized-sum / count so they
     # replay exactly.
+    # the fixture's shipdates run 1995-01..2001-11 (not TPC-H's 1998
+    # horizon), so this cutoff excludes the trailing ~2.5% of rows --
+    # the filter is live, matching Q1's shipped-before-cutoff shape
     li = _read(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
     )
@@ -1417,6 +1420,24 @@ def _q_shipping_priority(spark, sf_dir):
     )
 
 
+def _icws_tf(spark, sf_dir):
+    """Sampled-doc tf table shared by the two ICWS queries -- ONE
+    definition so the LSH lane provably runs over the same weighted sets
+    as the estimate lane."""
+    from ala_name_matching_spark.operators.text_analysis import _tokens
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 50 == 0)
+    return (
+        docs.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+        )
+        .where(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def _q_icws_weighted_jaccard(spark, sf_dir):
     # ICWS weighted MinHash (Ioffe 2010): slot-collision estimates of
     # WEIGHTED Jaccard over tf vectors -- the overlap notion plain
@@ -1427,19 +1448,9 @@ def _q_icws_weighted_jaccard(spark, sf_dir):
         icws_pair_estimates,
         icws_signatures,
     )
-    from ala_name_matching_spark.operators.text_analysis import _tokens
 
     k = 32
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 50 == 0)
-    tf = (
-        docs.select(
-            "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
-        )
-        .where(F.length("term") > 0)
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("w"))
-        .localCheckpoint(eager=True)
-    )
+    tf = _icws_tf(spark, sf_dir)
     sigs = icws_signatures(tf, k=k)
     est = icws_pair_estimates(sigs, k)
     ta = tf.select(
@@ -1485,19 +1496,8 @@ def _q_icws_lsh_candidates(spark, sf_dir):
     from ala_name_matching_spark.operators.sketches import (
         icws_lsh_candidates,
     )
-    from ala_name_matching_spark.operators.text_analysis import _tokens
 
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 50 == 0)
-    tf = (
-        docs.select(
-            "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
-        )
-        .where(F.length("term") > 0)
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    return icws_lsh_candidates(tf, k=32, n_bands=8)
+    return icws_lsh_candidates(_icws_tf(spark, sf_dir), k=32, n_bands=8)
 
 
 def _q_kmv_containment(spark, sf_dir):
@@ -5791,9 +5791,9 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         "benford_profile": """
             WITH d AS (
-              SELECT CAST(substr(regexp_replace(
+              SELECT CAST(NULLIF(substr(regexp_replace(
                        printf('%.10f', abs(o_totalprice)),
-                       '[.,0]*', '', 'g'), 1, 1) AS INTEGER) AS digit
+                       '[.,0]*', '', 'g'), 1, 1), '') AS INTEGER) AS digit
               FROM orders
               WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0),
             c AS (SELECT digit, count(*) AS n FROM d

@@ -188,6 +188,36 @@ def pq_encode(
     return _assign_codes(sv, codebooks, subdim)
 
 
+def _adc_rank(scored: "DataFrame", topk: int) -> "DataFrame":
+    """Shared ADC tail: fold the per-(query, vector) sub-distances in sub
+    order (sorted fold -- the determinism contract) and rank per query on
+    the 6-dp sum with vec_id tie-break. `scored` carries (query_id,
+    vec_id, sub, d) rows."""
+    from pyspark.sql import Window
+
+    adist = (
+        scored.groupBy("query_id", "vec_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("sub"), F.col("d")))
+            ).alias("_sd")
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.expr("aggregate(_sd, 0.0D, (acc, x) -> acc + x.d)"), 6
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "vec_id", "adist", "rank")
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     vectors: DataFrame,
@@ -236,29 +266,8 @@ def pq_adc_topk(
         ).alias("d"),
     )
     # M lookups per (query, vector), summed in sub order (sorted fold)
-    adist = (
-        codes.join(F.broadcast(grid), ["sub", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("sub"), F.col("d")))
-            ).alias("_sd")
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                F.expr("aggregate(_sd, 0.0D, (acc, x) -> acc + x.d)"), 6
-            ).alias("adist"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
-    return (
-        adist.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
-        .select("query_id", "vec_id", "adist", "rank")
+    return _adc_rank(
+        codes.join(F.broadcast(grid), ["sub", "code"]), topk
     )
 
 
@@ -435,29 +444,13 @@ def ivfpq_topk(
             + F.col("cnorm2")
         ).alias("d"),
     )
-    adist = (
-        codes.join(cand, "vec_id", "left_semi")
-        .join(F.broadcast(grid), ["sub", "code"])
-        .join(cand, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("sub"), F.col("d")))
-            ).alias("_sd")
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                F.expr("aggregate(_sd, 0.0D, (acc, x) -> acc + x.d)"), 6
-            ).alias("adist"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
-    return (
-        adist.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
-        .select("query_id", "vec_id", "adist", "rank")
+    # expand candidate PAIRS by their M code rows, then look up the grid
+    # keyed on (query_id, sub, code) -- the joined volume is exactly
+    # sum over queries of their probed-list candidates x M, never
+    # |Q| x |corpus| (a bare (sub, code) grid join would fan every
+    # vector out to every query before any pair filter could apply)
+    return _adc_rank(
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(grid), ["query_id", "sub", "code"]),
+        topk,
     )

@@ -747,6 +747,12 @@ def icws_lsh_candidates(
     order (slot:term:t joined with '|') -- a pinned string form, so the
     whole candidate set replays in SQL.
     """
+    if k % n_bands != 0:
+        raise ValueError(
+            f"k={k} must be divisible by n_bands={n_bands} "
+            "(a short trailing band would fire far more often and break "
+            "the 1-(1-J^r)^b candidate probability)"
+        )
     r = k // n_bands
     sigs = icws_signatures(weighted, k, id_col, term_col, weight_col)
     # zero-padded slot so the lexical sort of the serialized strings is

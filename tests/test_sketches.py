@@ -324,8 +324,9 @@ def test_icws_identity_and_estimator_accuracy(spark):
     )
 
     k = 128
-    # doc 1 == doc 2 (weights included); doc 3 shares half the mass:
-    # WJ(1,3) = sum(min)/sum(max) = (4+2)/(8+6) ... constructed = 6/14
+    # doc 1 == doc 2 (weights included); doc 3 overlaps partially:
+    # WJ(1,3) = sum(min)/sum(max) = (min(4,8)+min(4,2)+min(0,4))
+    #           / (max(4,8)+max(4,2)+max(0,4)) = 6/16 = 0.375
     rows = (
         [(1, "x", 4), (1, "y", 4), (2, "x", 4), (2, "y", 4)]
         + [(3, "x", 8), (3, "y", 2), (3, "z", 4)]
@@ -340,8 +341,8 @@ def test_icws_identity_and_estimator_accuracy(spark):
         ).collect()
     }
     assert est[(1, 2)] == 1.0
-    true_wj = (4 + 2) / (8 + 4 + 4 - 6 + 2)  # min-sum 6, max-sum 12
-    assert abs(est[(1, 3)] - true_wj) < 0.15  # ~3 sigma at k=128
+    true_wj = 6 / 16  # min-sum 6, max-sum 16
+    assert abs(est[(1, 3)] - true_wj) < 0.15  # >3 sigma at k=128
     assert est[(1, 3)] == est[(2, 3)]  # consistency: same set, same sig
 
 

@@ -17,19 +17,11 @@ from __future__ import annotations
 import sys
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
 
-
-def norm_cell(v):
-    import datetime
-    import math
-
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 9)
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    return v
+# the SAME normalization as the correctness gate -- imported, not copied,
+# so the two sweeps can never drift apart
+from check_oracles import norm_cell  # noqa: E402
 
 
 def frame_sig(df):
@@ -74,22 +66,24 @@ def main():
     failures = []
     for n in names:
         a, b = results[n]
-        if a == b:
-            print(f"[ok] {n}: {len(a[1]) if a[0] != 'ERROR' else '?'} rows invariant")
+        if a[0] == "ERROR" or b[0] == "ERROR":
+            # an identical crash under both configs is NOT invariance --
+            # the query never produced values to compare
+            failures.append(n)
+            print(f"[FAIL] {n}: error {a if a[0] == 'ERROR' else b}")
+        elif a == b:
+            print(f"[ok] {n}: {len(a[1])} rows invariant")
         else:
             failures.append(n)
-            if a[0] == "ERROR" or b[0] == "ERROR":
-                print(f"[FAIL] {n}: error {a if a[0]=='ERROR' else b}")
-            else:
-                diffs = [
-                    (x, y)
-                    for x, y in zip(a[1], b[1])
-                    if x != y
-                ][:3]
-                print(
-                    f"[FAIL] {n}: rows {len(a[1])} vs {len(b[1])}, "
-                    f"first diffs: {diffs}"
-                )
+            diffs = [
+                (x, y)
+                for x, y in zip(a[1], b[1])
+                if x != y
+            ][:3]
+            print(
+                f"[FAIL] {n}: rows {len(a[1])} vs {len(b[1])}, "
+                f"first diffs: {diffs}"
+            )
     print(f"\n{len(failures)} failures: {failures}")
     sys.exit(1 if failures else 0)
 
