@@ -917,12 +917,20 @@ def _q_semdedup_prune(spark, sf_dir):
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double") * 1.001).alias("embedding"),
     )
+    # k scales with the corpus (k = max(8, n/125), the paper's
+    # k ~ |C|/target rule): cell size stays ~constant, so the
+    # within-cell verify cost is LINEAR in the input, not quadratic --
+    # a fixed k made the benched cost grow as sf^2 (VERDICT r03 #2).
+    # The oracle computes the same k from count(nv_t) (see
+    # _semdedup_oracle), so both engines fit the same Lloyd run.
+    n_vectors = 2 * emb.count()
+    k = max(8, n_vectors // 125)
     # _spread parallelizes the normalize/assign projections over the
     # single-split scan; the verify join's small-k broadcast+spread lives
     # in semdedup() itself (24.7 s -> ~2 s at sf0.1).
     return semdedup(
         _spread(base.unionByName(scaled)),
-        n_clusters=8,
+        n_clusters=k,
         iters=2,
         threshold=0.95,
         dim=64,
@@ -1374,10 +1382,14 @@ def _q_local_supplier_volume(spark, sf_dir):
 def _q_shipping_priority(spark, sf_dir):
     # TPC-H Q3 shape (shipping priority): selective dim filter ->
     # broadcast customer into orders -> keyed lineitem join -> revenue
-    # agg -> global top-10. Revenue sums integer-quantized cents (the
+    # agg -> global top-10 via orderBy().limit(10), which Spark plans as
+    # TakeOrderedAndProject (per-partition top-k + driver merge of
+    # 10 x partitions rows -- never a single-partition sort of the
+    # order-grain aggregate); the 1..10 rank is a window over the BOUNDED
+    # 10-row result. Revenue sums integer-quantized cents (the
     # cosine_join order-free contract) so the float agg AND the rank on
     # it replay cross-engine; rank ties break on orderkey.
-    from pyspark.sql import Window
+    from ala_name_matching_spark.operators.blocking import bounded_topk_ranked
 
     cutoff = "1998-06-01"
     cust = _read(spark, sf_dir, "customer").where(
@@ -1406,17 +1418,17 @@ def _q_shipping_priority(spark, sf_dir):
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(rev_q).cast("double") / F.lit(100.0)).alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-    return (
-        joined.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
-        .select(
-            "l_orderkey",
-            "o_orderdate",
-            "o_orderpriority",
-            "revenue",
-            F.col("rk").cast("int").alias("rk"),
-        )
+    return bounded_topk_ranked(
+        joined,
+        [F.col("revenue").desc(), F.col("l_orderkey").asc()],
+        10,
+        rank_col="rk",
+    ).select(
+        "l_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        "revenue",
+        F.col("rk").cast("int").alias("rk"),
     )
 
 
@@ -3026,8 +3038,20 @@ def _q_alias_lookup(spark, sf_dir):
         F.col("p_partkey").alias("target_id"),
         F.col("p_brand"),
     )
-    queries_df = aliases.select("alias_key").distinct().withColumn(
-        "query_id", F.dense_rank().over(Window.orderBy("alias_key"))
+    # query_id = rank of the distinct alias_key -- a window over the
+    # BOUNDED distinct-key table (p_type has a ~150-value domain), made
+    # explicit via bounded_window_input so the partition spec is non-empty
+    from ala_name_matching_spark.operators.blocking import bounded_window_input
+
+    queries_df = (
+        bounded_window_input(aliases.select("alias_key").distinct())
+        .withColumn(
+            "query_id",
+            F.dense_rank().over(
+                Window.partitionBy("_one").orderBy("alias_key")
+            ),
+        )
+        .drop("_one")
     )
     return common_name_lookup(
         queries_df, aliases, cls_cols=("p_brand",)
@@ -3825,7 +3849,13 @@ def _semdedup_oracle() -> str:
         " FROM embeddings)"
     )
     return semdedup_oracle_sql(
-        n_clusters=8, iters=2, threshold=0.95, dim=64, table=aug
+        n_clusters=8,
+        iters=2,
+        threshold=0.95,
+        dim=64,
+        table=aug,
+        # the same corpus-scaled k as _q_semdedup_prune (max(8, n/125))
+        k_sql="greatest(8, (SELECT count(*) FROM nv_t) // 125)",
     )
 
 
@@ -5791,9 +5821,12 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         "benford_profile": """
             WITH d AS (
-              SELECT CAST(NULLIF(substr(regexp_replace(
-                       printf('%.10f', abs(o_totalprice)),
-                       '[.,0]*', '', 'g'), 1, 1), '') AS INTEGER) AS digit
+              -- lead mantissa digit of %.17e: rounding at the 18th
+              -- significant digit can never carry into the first (see
+              -- benford_profile docstring), so Spark and DuckDB agree on
+              -- every double, not just 2-dp money
+              SELECT TRY_CAST(substr(printf('%.17e', abs(o_totalprice)),
+                              1, 1) AS INTEGER) AS digit
               FROM orders
               WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0),
             c AS (SELECT digit, count(*) AS n FROM d

@@ -150,20 +150,25 @@ def select_top_quota(
 ) -> DataFrame:
     """(id, log_weight, selected): deterministic top-`quota` by
     (log_weight DESC, md5(id)) -- the replayable stand-in for the paper's
-    Gumbel resampling (module docstring). Rank via one global sort of the
-    SCORE table (doc grain, far below corpus grain); at 10^12 docs use
-    the global_rank range-partition lane instead of a single window.
+    Gumbel resampling (module docstring). Rank via blocking.global_rank
+    (range-partition on the sort key + per-partition local windows + a
+    parallelism-bounded offset table) -- the same lane weighted_sample
+    rides -- never a single-partition global window, so the selection
+    stays parallel at any doc count (the score table is doc grain).
     """
-    from pyspark.sql import Window
+    from ala_name_matching_spark.operators.blocking import global_rank
 
-    w = Window.orderBy(
-        F.col("log_weight").desc(), F.md5(F.col(id_col).cast("string"))
+    base = weights.select(
+        F.col(id_col),
+        "log_weight",
+        (-F.col("log_weight")).alias("_negw"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
     )
     return (
-        weights.withColumn("__rk", F.row_number().over(w))
+        global_rank(base, ["_negw", "_h", id_col], rank_col="__rk")
         .select(
             id_col,
             "log_weight",
-            (F.col("__rk") <= quota).alias("selected"),
+            (F.col("__rk") < quota).alias("selected"),
         )
     )

@@ -517,60 +517,63 @@ def cluster_triangles(
     # is eagerly checkpointed and the caches released before returning
     # (the bm25_topk lifecycle discipline).
     labels.persist()
-    e = _route_intra_edges(labels, edges, id_col, cluster_col, edge_cols)
-    deg = (
-        e.select("_c", F.col("_a").alias("_n"))
-        .unionAll(e.select("_c", F.col("_b").alias("_n")))
-        .groupBy("_c", "_n")
-        .agg(F.count("*").cast("long").alias("_deg"))
-        .localCheckpoint(eager=True)
-    )
-    per_cluster = deg.groupBy("_c").agg(
-        F.sum(F.expr("_deg * (_deg - 1L) div 2")).cast("long").alias("n_wedges"),
-        F.count("*").cast("long").alias("_n_with_edges"),
-    )
-    n_edges = e.groupBy("_c").agg(F.count("*").cast("long").alias("n_edges"))
-    # degree-ordered orientation: src = smaller (deg, id) endpoint; carry
-    # the destination's order key so the wedge join can avoid double-count
-    da = deg.select(
-        F.col("_c"), F.col("_n").alias("_a"), F.col("_deg").alias("_dega")
-    )
-    db = deg.select(
-        F.col("_c"), F.col("_n").alias("_b"), F.col("_deg").alias("_degb")
-    )
-    ed = e.join(da, ["_c", "_a"]).join(db, ["_c", "_b"])
-    ka = F.struct(F.col("_dega").alias("d"), F.col("_a").alias("n"))
-    kb = F.struct(F.col("_degb").alias("d"), F.col("_b").alias("n"))
-    o = ed.select(
-        "_c",
-        F.when(ka < kb, F.col("_a")).otherwise(F.col("_b")).alias("_src"),
-        F.when(ka < kb, F.col("_b")).otherwise(F.col("_a")).alias("_dst"),
-        F.when(ka < kb, kb).otherwise(ka).alias("_dstkey"),
-    )
-    o1 = o.select("_c", "_src", F.col("_dst").alias("_x"), F.col("_dstkey").alias("_kx"))
-    o2 = o.select("_c", "_src", F.col("_dst").alias("_y"), F.col("_dstkey").alias("_ky"))
-    wedge = o1.join(o2, ["_c", "_src"]).where(F.col("_kx") < F.col("_ky"))
-    closing = o.select(
-        "_c", F.col("_src").alias("_x"), F.col("_dst").alias("_y")
-    )
-    tri = (
-        wedge.join(closing, ["_c", "_x", "_y"], "left_semi")
-        .groupBy("_c")
-        .agg(F.count("*").cast("long").alias("n_triangles"))
-    )
-    sizes = (
-        labels.groupBy(F.col(cluster_col).alias("_c"))
-        .agg(F.count("*").cast("long").alias("n_members"))
-        .where(F.col("n_members") >= 2)
-    )
-    # coalesce BEFORE the ratio: a cluster with wedges but no triangle
-    # row must score 0.0, not null
-    nt = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
-    nw = F.coalesce(F.col("n_wedges"), F.lit(0)).cast("long")
-    trans = F.when(
-        nw > 0, F.lit(3.0) * nt.cast("double") / nw.cast("double")
-    ).otherwise(F.lit(0.0))
+    # try opens IMMEDIATELY after persist (the edge_support/k_core
+    # discipline): the eager checkpoints below execute jobs, and an
+    # exception there must still unpersist the labels cache
     try:
+        e = _route_intra_edges(labels, edges, id_col, cluster_col, edge_cols)
+        deg = (
+            e.select("_c", F.col("_a").alias("_n"))
+            .unionAll(e.select("_c", F.col("_b").alias("_n")))
+            .groupBy("_c", "_n")
+            .agg(F.count("*").cast("long").alias("_deg"))
+            .localCheckpoint(eager=True)
+        )
+        per_cluster = deg.groupBy("_c").agg(
+            F.sum(F.expr("_deg * (_deg - 1L) div 2")).cast("long").alias("n_wedges"),
+            F.count("*").cast("long").alias("_n_with_edges"),
+        )
+        n_edges = e.groupBy("_c").agg(F.count("*").cast("long").alias("n_edges"))
+        # degree-ordered orientation: src = smaller (deg, id) endpoint; carry
+        # the destination's order key so the wedge join can avoid double-count
+        da = deg.select(
+            F.col("_c"), F.col("_n").alias("_a"), F.col("_deg").alias("_dega")
+        )
+        db = deg.select(
+            F.col("_c"), F.col("_n").alias("_b"), F.col("_deg").alias("_degb")
+        )
+        ed = e.join(da, ["_c", "_a"]).join(db, ["_c", "_b"])
+        ka = F.struct(F.col("_dega").alias("d"), F.col("_a").alias("n"))
+        kb = F.struct(F.col("_degb").alias("d"), F.col("_b").alias("n"))
+        o = ed.select(
+            "_c",
+            F.when(ka < kb, F.col("_a")).otherwise(F.col("_b")).alias("_src"),
+            F.when(ka < kb, F.col("_b")).otherwise(F.col("_a")).alias("_dst"),
+            F.when(ka < kb, kb).otherwise(ka).alias("_dstkey"),
+        )
+        o1 = o.select("_c", "_src", F.col("_dst").alias("_x"), F.col("_dstkey").alias("_kx"))
+        o2 = o.select("_c", "_src", F.col("_dst").alias("_y"), F.col("_dstkey").alias("_ky"))
+        wedge = o1.join(o2, ["_c", "_src"]).where(F.col("_kx") < F.col("_ky"))
+        closing = o.select(
+            "_c", F.col("_src").alias("_x"), F.col("_dst").alias("_y")
+        )
+        tri = (
+            wedge.join(closing, ["_c", "_x", "_y"], "left_semi")
+            .groupBy("_c")
+            .agg(F.count("*").cast("long").alias("n_triangles"))
+        )
+        sizes = (
+            labels.groupBy(F.col(cluster_col).alias("_c"))
+            .agg(F.count("*").cast("long").alias("n_members"))
+            .where(F.col("n_members") >= 2)
+        )
+        # coalesce BEFORE the ratio: a cluster with wedges but no triangle
+        # row must score 0.0, not null
+        nt = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+        nw = F.coalesce(F.col("n_wedges"), F.lit(0)).cast("long")
+        trans = F.when(
+            nw > 0, F.lit(3.0) * nt.cast("double") / nw.cast("double")
+        ).otherwise(F.lit(0.0))
         return (
             sizes.join(per_cluster.drop("_n_with_edges"), "_c", "left")
             .join(n_edges, "_c", "left")
@@ -798,9 +801,11 @@ def threshold_sweep(
     scores quantize to `band_decimals` bands. One groupBy builds the
     (band, n, n_tp) histogram; cumulative sums run in a single window
     over the BAND table (<= 10^band_decimals rows regardless of corpus
-    size -- the bounded-sufficient-statistic discipline again), so
-    "predicted at threshold t" = cumsum from the top band down. All
-    counts are exact BIGINTs.
+    size -- the bounded-sufficient-statistic discipline again, with the
+    bounded-window_input constant partition column so the single
+    partition is an explicit bounded choice, not an empty-spec global
+    window), so "predicted at threshold t" = cumsum from the top band
+    down. All counts are exact BIGINTs.
 
     Output: (threshold, n_pred, n_tp, precision, recall, f1), one row
     per non-empty band, thresholds descending.
@@ -825,10 +830,13 @@ def threshold_sweep(
         F.count("*").cast("long").alias("_n"),
         F.sum("_g").cast("long").alias("_tp"),
     )
-    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+    from ala_name_matching_spark.operators.blocking import bounded_window_input
+
+    histc = bounded_window_input(hist)
+    w = Window.partitionBy("_one").orderBy(F.col("threshold").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = hist.select(
+    cum = histc.select(
         "threshold",
         F.sum("_n").over(w).cast("long").alias("n_pred"),
         F.sum("_tp").over(w).cast("long").alias("n_tp"),

@@ -91,6 +91,7 @@ def fs_em(
         sw = 0.0
         for (_, _, c), w in zip(patterns, ws):
             sw = sw + float(c) * w
+        _check_nondegenerate(sw, n_total)
         p = sw / n_total
         for i in range(k):
             sm = 0.0
@@ -102,6 +103,27 @@ def fs_em(
             m[i] = sm / sw
             u[i] = su / (n_total - sw)
     return p, m, u
+
+
+def _check_nondegenerate(sw: float, n_total: float) -> None:
+    """Raise a descriptive error when EM collapses onto one class.
+
+    If every pattern's responsibility converges to 1.0 (sw == n_total)
+    the u-step divides by zero -- all candidate pairs look like matches,
+    so the unmatched-class parameters are unidentifiable (symmetrically
+    for sw == 0 and the m-step). This happens on pathological inputs
+    (e.g. a pair table that is its own gold set); a clear error beats a
+    ZeroDivisionError three frames deep or eps-clamped garbage params.
+    """
+    if sw >= n_total or sw <= 0.0:
+        cls = "match" if sw >= n_total else "unmatch"
+        raise ValueError(
+            "fellegi-sunter EM degenerated: every pattern's responsibility "
+            f"converged to the {cls} class (sum of weights = {sw}, "
+            f"n_total = {n_total}); the opposite class's parameters are "
+            "unidentifiable. Check that the candidate pairs mix matches "
+            "and non-matches (blocking too tight / gold-only input?)."
+        )
 
 
 def fellegi_sunter_weights(
@@ -284,6 +306,7 @@ def fs_em_multilevel(
         sw = 0.0
         for (_, _, c), w in zip(patterns, ws):
             sw = sw + float(c) * w
+        _check_nondegenerate(sw, n_total)
         p = sw / n_total
         for i in range(k):
             for l in range(levels[i]):

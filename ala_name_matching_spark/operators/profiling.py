@@ -333,18 +333,24 @@ def benford_profile(
     the forensic data-quality screen (fabricated or unit-mangled numeric
     columns drift off the log10(1 + 1/d) curve).
 
-    First digit extraction is pure string arithmetic on the absolute
-    value (no float log, whose boundary rounding could misclassify
-    9.9999...): strip sign/zeros/dot from the canonical string form.
+    First digit extraction reads the mantissa's lead digit of the
+    `%.17e` scientific form (no float log, whose boundary rounding could
+    misclassify 9.9999...). %.17e is exact for this purpose on BOTH
+    engines: the formatter rounds the double's exact binary value at the
+    18th significant digit, and a carry from there can reach the first
+    digit only if the exact decimal expansion opens with >= 18 nines --
+    impossible for a 53-bit significand (the nearest-below double to any
+    power of ten opens with ~16 nines). The normalized d.ddd...e+xx form
+    also makes subnormal-small positives extract correctly (a fixed-point
+    10-dp format flushed anything below ~5e-11 to all zeros).
     expected = log10(1 + 1/d) -- one libm call per digit row, 6-dp
     rounded. One partial-agg groupBy; the output is 9 rows.
     """
-    s = F.regexp_replace(
-        F.format_number(F.abs(F.col(value_col).cast("double")), 10),
-        r"[.,0]*",
-        "",
-    )
-    digit = F.substring(s, 1, 1).cast("int")
+    digit = F.substring(
+        F.format_string("%.17e", F.abs(F.col(value_col).cast("double"))),
+        1,
+        1,
+    ).cast("int")
     counts = (
         df.where(
             F.col(value_col).isNotNull()

@@ -212,19 +212,25 @@ def mixture_weights(
     SCALE: one partial-aggregated groupBy(source) over a narrow
     (source, token-count) projection -- map-side combine reduces each
     partition to |sources| rows, so the shuffle is O(sources), not O(docs).
-    The normalizing sum is a window over the aggregated |sources|-row
-    table (trivial). No joins, no second scan of text.
+    The normalizing sums are windows over the aggregated |sources|-row
+    table (trivial; checkpointed once via bounded_window_input so the
+    single-partition window is an explicit bounded choice and the text
+    scan runs exactly once). No joins, no second scan of text.
     """
     from pyspark.sql import Window
+
+    from ala_name_matching_spark.operators.blocking import bounded_window_input
 
     n_tok = F.size(
         F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
     )
-    agg = docs.groupBy(F.col(group_col).alias("source")).agg(
-        F.count("*").alias("n_docs"),
-        F.sum(n_tok).alias("n_tokens"),
+    agg = bounded_window_input(
+        docs.groupBy(F.col(group_col).alias("source")).agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok).alias("n_tokens"),
+        )
     )
-    everything = Window.partitionBy()
+    everything = Window.partitionBy("_one")
     p = F.col("n_tokens") / F.sum("n_tokens").over(everything)
     pa = F.pow(p, F.lit(alpha))
     return agg.select(

@@ -222,6 +222,7 @@ def semdedup_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    k_sql: str | None = None,
 ) -> str:
     """Generate the DuckDB SQL that replays semdedup() exactly.
 
@@ -229,6 +230,12 @@ def semdedup_oracle_sql(
     (assignment via CROSS JOIN + row_number argmax, update via `dim`
     avg() aggregates, LEFT JOIN carry-forward for empty clusters) --
     pure ANSI-ish SQL, no engine extensions beyond DuckDB list ops.
+
+    `k_sql` (a SQL expression over nv_t, e.g.
+    ``greatest(8, (SELECT count(*) FROM nv_t) // 125)``) makes the
+    cluster count corpus-dependent INSIDE the oracle, mirroring a Spark
+    caller that scales k with the input -- the unrolled CTEs are
+    per-ITERATION, not per-cluster, so k never appears structurally.
     """
     unit = (
         f"list_transform(CAST({vec_col} AS DOUBLE[]), x -> round(x / greatest("
@@ -236,12 +243,15 @@ def semdedup_oracle_sql(
         f"CAST({vec_col} AS DOUBLE[]))), 1e-12), 6))"
     )
     avgs = ", ".join(f"avg(nv[{i + 1}])" for i in range(dim))
+    k_expr = k_sql if k_sql is not None else str(n_clusters)
     parts = [
         f"nv_t AS (SELECT {id_col} AS vec_id, {unit} AS nv FROM {table})",
         f"""c0 AS (
-          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
-                 nv AS centroid
-          FROM nv_t ORDER BY vec_id LIMIT {n_clusters})""",
+          SELECT cluster_id, centroid FROM (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+                   nv AS centroid
+            FROM nv_t)
+          WHERE cluster_id < ({k_expr}))""",
     ]
     for it in range(iters):
         parts.append(f"""a{it} AS (

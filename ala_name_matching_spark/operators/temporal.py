@@ -390,12 +390,17 @@ def rfm_segments(
     boundaries -- no engine ntile() conventions. rfm_code =
     100*r + 10*f + m.
 
-    One filtered groupBy per user + three per-metric windows over the
-    USER-grain table (never the raw stream). The windows are global
-    (single-partition sort of the user-grain rows) -- at 10^9+ users
-    swap each for blocking.global_rank, the two-pass distributed rank
-    the dsir lane uses; at any smaller grain the single sort is cheaper
-    than the extra pass.
+    One filtered groupBy per user + three per-metric ranks over the
+    USER-grain table (never the raw stream). Each rank runs on
+    blocking.global_rank -- range-partition + per-partition local
+    windows + a parallelism-bounded offset table -- so the lane stays
+    parallel at 10^9+ users; the per-user table is eagerly checkpointed
+    once because the three rank passes and the total-count aggregate all
+    re-consume it. Rows whose metrics are null (possible only when every
+    event for a user carries a null timestamp or value) are excluded
+    before ranking: engines disagree on null sort order (Spark NULLS
+    FIRST asc vs DuckDB NULLS LAST), and a null metric has no defensible
+    quantile anyway.
     """
     p = events.where(F.col(type_col) == purchase_type)
     mx = p.agg(F.max(ts_col).alias("_mx"))
@@ -425,28 +430,36 @@ def rfm_segments(
             "monetary",
         )
     )
-    wn = Window.partitionBy()
+    from ala_name_matching_spark.operators.blocking import global_rank
+
+    pu = per_user.where(
+        F.col("recency_days").isNotNull()
+        & F.col("frequency").isNotNull()
+        & F.col("monetary").isNotNull()
+    ).localCheckpoint(eager=True)
 
     def quant(name):
+        # global_rank is 0-based, so the 1-based formula's (rk - 1) is rk
         return (
-            F.expr(
-                f"(({name}_rk - 1) * CAST({n_quantiles} AS BIGINT)) div _n"
-            )
+            F.expr(f"(({name}_rk) * CAST({n_quantiles} AS BIGINT)) div _n")
             + 1
         )
 
-    ranked = per_user.select(
-        "*",
-        F.row_number()
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id")))
-        .alias("r_rk"),
-        F.row_number()
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
-        .alias("f_rk"),
-        F.row_number()
-        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
-        .alias("m_rk"),
-        F.count("*").over(wn).alias("_n"),
+    def dim_rank(key_col, name):
+        # descending metrics ride a negated key (the weighted_sample
+        # idiom); user_id tie-break makes the order total
+        return global_rank(
+            pu.select("user_id", key_col.alias("_k")),
+            ["_k", "user_id"],
+            rank_col=f"{name}_rk",
+        ).select("user_id", f"{name}_rk")
+
+    n_t = pu.groupBy().agg(F.count("*").cast("long").alias("_n"))
+    ranked = (
+        pu.join(dim_rank(F.col("recency_days"), "r"), "user_id")
+        .join(dim_rank(-F.col("frequency"), "f"), "user_id")
+        .join(dim_rank(-F.col("monetary"), "m"), "user_id")
+        .crossJoin(F.broadcast(n_t))
     )
     r_q = quant("r")
     f_q = quant("f")

@@ -211,8 +211,19 @@ def autocomplete(
     maxlen = F.greatest(F.length(c), F.lit(len(p)))
     sim = 1.0 - F.levenshtein(c, F.lit(p)) / maxlen
     cand = cand.withColumn("ac_score", F.round(sim * F.col("boost"), 6))
-    w = Window.orderBy(F.col("ac_score").desc(), c.asc(), F.col("record_id").asc())
-    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # top-k via TakeOrderedAndProject (per-partition top-k + driver merge),
+    # then rank the BOUNDED k-row result -- never a global window over the
+    # candidate set (prefix-bounded today, but the shape must hold for any
+    # filter selectivity)
+    from ala_name_matching_spark.operators.blocking import bounded_topk_ranked
+
+    return bounded_topk_ranked(
+        cand,
+        [F.col("ac_score").desc(), F.lower(F.col(name_col)).asc(),
+         F.col("record_id").asc()],
+        k,
+        rank_col="rank",
+    )
 
 
 def spelling_collision_qa(
