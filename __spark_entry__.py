@@ -968,6 +968,135 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(d, q, k=5)
 
 
+# --------------------------------------------------------------------------
+# Streaming lanes surfaced as value-checked batch-parity queries (VERDICT
+# r03 #8): each runs the REAL Structured Streaming job (file source,
+# availableNow trigger, epoch-partitioned idempotent sink), reads the sink
+# back, and value-matches a DuckDB oracle expressing the batch-equivalent
+# semantics. The rows are micro-batch-split invariant by construction --
+# every stream row is processed exactly once against a static index, so
+# the union over epochs equals the one-shot batch result (the parity the
+# pytest lanes assert); dropping the epoch column makes that literal.
+# --------------------------------------------------------------------------
+
+def _stream_stage(df, spark, prefix):
+    """Stage a DataFrame as the parquet file-source of a streaming query;
+    returns (stream_df, tmp_dir). Fresh dir per call so repeated runs
+    (strict partition-invariance sweeps) never collide."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    src = f"{tmp}/in"
+    df.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src), tmp
+
+
+def _q_streaming_neardup_match(spark, sf_dir):
+    # Streaming MinHash-LSH near-dup match vs the static corpus index:
+    # the stream is every 20th doc re-ingested verbatim under a shifted id
+    # (the re-crawl shape). Identical text -> identical signatures, so the
+    # stream row band-collides exactly where its original does, and the
+    # batch lane's green all-pairs oracle at these parameters
+    # (num_hashes=16, bands=8, shingle_n=3, threshold=0.4 -- the
+    # minhash_lsh_neardups audit) proves LSH recall 1.0 on every fixture
+    # pair >= 0.4, so the all-pairs DuckDB oracle is the exact truth set.
+    from ala_name_matching_spark.streaming.incremental import (
+        streaming_neardup_match,
+    )
+
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    qdocs = corpus.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    stream, tmp = _stream_stage(qdocs, spark, "stream_nd_")
+    q = streaming_neardup_match(
+        stream,
+        corpus,
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        num_hashes=16,
+        bands=8,
+        shingle_n=3,
+        threshold=0.4,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id_l", "doc_id_r", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def _q_streaming_index_update(spark, sf_dir):
+    # Incremental retrieval-index maintenance: half the corpus is indexed
+    # up front (build_index, epoch=-1), the other half arrives as a
+    # stream and is appended one epoch per micro-batch. The returned
+    # postings+doclen tables must equal a one-shot build over the FULL
+    # corpus -- BM25's global stats derive from these tables, so this
+    # equality IS the score-parity guarantee the pytest lane asserts.
+    from ala_name_matching_spark.operators.retrieval import build_index
+    from ala_name_matching_spark.streaming.incremental import (
+        streaming_index_update,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="stream_idx_")
+    build_index(d.where(F.col("doc_id") % 2 == 0), idx)
+    stream, tmp = _stream_stage(
+        d.where(F.col("doc_id") % 2 == 1), spark, "stream_idx_in_"
+    )
+    q = streaming_index_update(stream, idx, f"{tmp}/ckpt")
+    q.awaitTermination(300)
+    posts = spark.read.parquet(f"{idx}/postings").select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+    dl = spark.read.parquet(f"{idx}/doclen").select(
+        "doc_id", F.col("dl").cast("long").alias("dl")
+    )
+    return posts.join(dl, "doc_id").select("doc_id", "term", "tf", "dl")
+
+
+def _q_streaming_semdedup_match(spark, sf_dir):
+    # Streaming SemDeDup against the corpus k-means index: queries are
+    # scaled copies (vec_id + 1000000, v * 1.001) of every corpus vector
+    # -- colinear, so after unit-rounding each copy lands in its
+    # original's cluster and matches it at cosine 1.0; organic uniform
+    # -random pairs never reach 0.95. The oracle replays corpus Lloyd +
+    # query assignment + within-cluster cosine via the SAME CTE generator
+    # as the batch semdedup oracle.
+    from ala_name_matching_spark.streaming.incremental import (
+        streaming_semdedup_match,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qvec = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.001).alias(
+            "embedding"
+        ),
+    )
+    stream, tmp = _stream_stage(qvec, spark, "stream_sd_")
+    q = streaming_semdedup_match(
+        stream,
+        corpus,
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        n_clusters=8,
+        iters=2,
+        threshold=0.95,
+        dim=64,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{tmp}/out").select(
+        "vec_id", "corpus_vec_id", "cluster_id", "cosine"
+    )
+
+
 # Hand-derived golden encodings: Philips's classic CUJ-2000 vectors plus the
 # frozen rule-corner corpus (CIA->S/X, -ough silents, CC palatalization,
 # slavo-germanic W/CZ, pinyin ZH, ...). Same pins as
@@ -3667,6 +3796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardups_exact": _q_cosine_neardups_exact,
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "semdedup_prune": _q_semdedup_prune,
+        "streaming_neardup_match": _q_streaming_neardup_match,
+        "streaming_index_update": _q_streaming_index_update,
+        "streaming_semdedup_match": _q_streaming_semdedup_match,
         "prefix_containment": _q_prefix_containment,
         "bm25_topk": _q_bm25_topk,
         "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
@@ -3856,6 +3988,29 @@ def _semdedup_oracle() -> str:
         table=aug,
         # the same corpus-scaled k as _q_semdedup_prune (max(8, n/125))
         k_sql="greatest(8, (SELECT count(*) FROM nv_t) // 125)",
+    )
+
+
+def _streaming_semdedup_oracle() -> str:
+    # corpus Lloyd + query assignment + within-cluster cosine, via the
+    # same CTE generator as the batch semdedup oracle (parameters mirror
+    # _q_streaming_semdedup_match: k=8, 2 iterations, threshold 0.95)
+    from ala_name_matching_spark.operators.semdedup import (
+        semdedup_match_oracle_sql,
+    )
+
+    qt = (
+        "(SELECT vec_id + 1000000 AS vec_id,"
+        " list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001) AS sv"
+        " FROM embeddings)"
+    )
+    return semdedup_match_oracle_sql(
+        n_clusters=8,
+        iters=2,
+        threshold=0.95,
+        dim=64,
+        corpus_table="embeddings",
+        query_table=qt,
     )
 
 
@@ -4626,6 +4781,44 @@ def oracle_sql() -> dict[str, str]:
                    floor((cum - n_tokens) / 64) != floor((cum - 1) / 64) AS spans_boundary
             FROM c""",
         "semdedup_prune": _semdedup_oracle(),
+        # streaming lanes: the oracle is the batch-equivalent semantics --
+        # stream rows are processed exactly once against a static index,
+        # so the epoch-union equals the one-shot batch result
+        "streaming_neardup_match": f"""
+            WITH t AS (
+              SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                     )) AS sh
+              FROM t
+            )
+            SELECT q.doc_id + 3000000 AS doc_id_l, c.doc_id AS doc_id_r,
+                   round(len(list_intersect(q.sh, c.sh))::double
+                     / len(list_distinct(list_concat(q.sh, c.sh))), 4)
+                     AS jaccard
+            FROM s q JOIN s c ON q.doc_id % 20 = 0
+            WHERE len(list_intersect(q.sh, c.sh))::double
+                  / len(list_distinct(list_concat(q.sh, c.sh))) >= 0.4""",
+        "streaming_index_update": f"""
+            WITH t AS (
+              SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+              FROM documents
+            ), e AS (
+              SELECT doc_id, unnest(toks) AS term FROM t
+            ), p AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM e WHERE term IS NOT NULL AND term <> ''
+              GROUP BY doc_id, term
+            ), dl AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+            )
+            SELECT p.doc_id, p.term, p.tf, dl.dl
+            FROM p JOIN dl ON p.doc_id = dl.doc_id""",
+        "streaming_semdedup_match": _streaming_semdedup_oracle(),
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
         "frame_schedule": """
             WITH media AS (

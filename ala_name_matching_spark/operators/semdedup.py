@@ -214,34 +214,30 @@ def semdedup(
         v.unpersist()
 
 
-def semdedup_oracle_sql(
-    n_clusters: int = 8,
-    iters: int = 2,
-    threshold: float = 0.95,
-    dim: int = 64,
-    table: str = "embeddings",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k_sql: str | None = None,
-) -> str:
-    """Generate the DuckDB SQL that replays semdedup() exactly.
-
-    The Lloyd loop is unrolled into one CTE pair per iteration
-    (assignment via CROSS JOIN + row_number argmax, update via `dim`
-    avg() aggregates, LEFT JOIN carry-forward for empty clusters) --
-    pure ANSI-ish SQL, no engine extensions beyond DuckDB list ops.
-
-    `k_sql` (a SQL expression over nv_t, e.g.
-    ``greatest(8, (SELECT count(*) FROM nv_t) // 125)``) makes the
-    cluster count corpus-dependent INSIDE the oracle, mirroring a Spark
-    caller that scales k with the input -- the unrolled CTEs are
-    per-ITERATION, not per-cluster, so k never appears structurally.
-    """
-    unit = (
-        f"list_transform(CAST({vec_col} AS DOUBLE[]), x -> round(x / greatest("
-        f"sqrt(list_dot_product(CAST({vec_col} AS DOUBLE[]), "
-        f"CAST({vec_col} AS DOUBLE[]))), 1e-12), 6))"
+def _unit_sql(vec_expr: str) -> str:
+    """SQL for unit_rounded_col over an arbitrary DOUBLE[] expression."""
+    return (
+        f"list_transform({vec_expr}, x -> round(x / greatest("
+        f"sqrt(list_dot_product({vec_expr}, {vec_expr})), 1e-12), 6))"
     )
+
+
+def _lloyd_cte_parts(
+    n_clusters: int,
+    iters: int,
+    dim: int,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k_sql: str | None,
+) -> list[str]:
+    """The shared unrolled-Lloyd CTE chain: nv_t (unit-rounded vectors),
+    c0 (lowest-id init, optionally data-dependent k via `k_sql`), one
+    (a{i}, m{i+1}, c{i+1}) triple per iteration, and `af` -- the final
+    (vec_id, nv, cluster_id) assignment. Both the full-semdedup oracle
+    and the streaming query-vs-corpus match oracle build on this, so the
+    two replays can never drift from each other."""
+    unit = _unit_sql(f"CAST({vec_col} AS DOUBLE[])")
     avgs = ", ".join(f"avg(nv[{i + 1}])" for i in range(dim))
     k_expr = k_sql if k_sql is not None else str(n_clusters)
     parts = [
@@ -280,6 +276,83 @@ def semdedup_oracle_sql(
                  ORDER BY list_dot_product(v.nv, c.centroid) DESC,
                           c.cluster_id) AS rk
         FROM nv_t v CROSS JOIN c{iters} c) WHERE rk = 1)""")
+    return parts
+
+
+def semdedup_match_oracle_sql(
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    dim: int = 64,
+    corpus_table: str = "embeddings",
+    query_table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of streaming_semdedup_match's batch-equivalent result.
+
+    Lloyd runs on the CORPUS only (the streaming lane's index-build),
+    query vectors are assigned to the final centroids, and every
+    (query, corpus) pair sharing a cluster with 6-dp-rounded cosine >=
+    threshold is emitted -- exactly the rows the epoch-partitioned
+    streaming sink accumulates, independent of how the stream was split
+    into micro-batches (each query row is processed exactly once against
+    the static index). `query_table` must expose (vec_id, DOUBLE[] sv).
+    """
+    parts = _lloyd_cte_parts(
+        n_clusters, iters, dim, corpus_table, id_col, vec_col, None
+    )
+    parts.append(
+        f"qn AS (SELECT {id_col} AS vec_id, {_unit_sql('sv')} AS qnv "
+        f"FROM {query_table})"
+    )
+    parts.append(f"""qa AS (
+      SELECT vec_id, qnv, cluster_id FROM (
+        SELECT q.vec_id, q.qnv, c.cluster_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.qnv, c.centroid) DESC,
+                          c.cluster_id) AS rk
+        FROM qn q CROSS JOIN c{iters} c) WHERE rk = 1)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT qa.vec_id, af.vec_id AS corpus_vec_id,
+               CAST(qa.cluster_id AS INTEGER) AS cluster_id,
+               round(list_cosine_similarity(qa.qnv, af.nv), 6) AS cosine
+        FROM qa JOIN af ON qa.cluster_id = af.cluster_id
+        WHERE round(list_cosine_similarity(qa.qnv, af.nv), 6)
+              >= {threshold}"""
+    )
+
+
+def semdedup_oracle_sql(
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_sql: str | None = None,
+) -> str:
+    """Generate the DuckDB SQL that replays semdedup() exactly.
+
+    The Lloyd loop is unrolled into one CTE pair per iteration
+    (assignment via CROSS JOIN + row_number argmax, update via `dim`
+    avg() aggregates, LEFT JOIN carry-forward for empty clusters) --
+    pure ANSI-ish SQL, no engine extensions beyond DuckDB list ops.
+
+    `k_sql` (a SQL expression over nv_t, e.g.
+    ``greatest(8, (SELECT count(*) FROM nv_t) // 125)``) makes the
+    cluster count corpus-dependent INSIDE the oracle, mirroring a Spark
+    caller that scales k with the input -- the unrolled CTEs are
+    per-ITERATION, not per-cluster, so k never appears structurally.
+    """
+    parts = _lloyd_cte_parts(
+        n_clusters, iters, dim, table, id_col, vec_col, k_sql
+    )
     parts.append(f"""pruned AS (
       SELECT DISTINCT r.vec_id
       FROM af l JOIN af r

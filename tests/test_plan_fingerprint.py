@@ -112,3 +112,52 @@ def test_driver_cc_gate_untouched():
     """The p5 driver-lane gate is part of the audited inventory; moving it
     silently re-shapes the scaling runs."""
     assert clustering._DRIVER_CC_MAX_EDGES == 5_000_000
+
+
+# ---------------------------------------------------------------------------
+# Top non-ER bench queries (VERDICT r03 #6): pin Exchange count and join
+# mode so a Catalyst or refactor regression is caught by pytest, not by a
+# slow bench. Counts audited 2026-08-21 at sf0.001/local[8] on the CONSUMED
+# plan (bit_xor(xxhash64(all cols)) -- the exact tree bench.py times).
+# Stages hidden behind eager localCheckpoints (postings builds, prefix
+# tables, codebooks) do not appear in the final plan; their shape is pinned
+# by their own operator tests. Pins are <= (fewer shuffles = improvement).
+# ---------------------------------------------------------------------------
+
+_SF_DIR = "/root/testdata/sf0.001"
+
+# (query, max_shuffles, requires_broadcast_join, forbids_sortmergejoin)
+_QUERY_PINS = [
+    # prefix-gram equi-join + count/position filters + banded verify;
+    # dim sides (gram stats, short-string lane) broadcast
+    ("ed_join_pairs", 7, True, True),
+    # delete-variant equi-join + banded verify; dictionary broadcast
+    ("symspell_lookup", 6, True, True),
+    # staged posexplode postings + rare-term anchor: anchor rides
+    # BROADCAST at this scale (auto-guard: exact-size <= 5M rows)
+    ("phrase_match", 2, False, True),
+    # (query, sub, code)-keyed ADC grid join; codebook/grid broadcast
+    ("pq_adc_topk", 8, True, True),
+    # postings + per-query top-k; query table broadcast
+    ("bm25_topk", 2, False, True),
+]
+
+
+@pytest.mark.parametrize("name,max_shuf,need_bcast,no_smj", _QUERY_PINS)
+def test_bench_query_shuffle_inventory(spark, name, max_shuf, need_bcast, no_smj):
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    df = entry_mod.queries()[name](spark, _SF_DIR)
+    cols = [F.col(c) for c in df.columns]
+    cdf = df.select(F.xxhash64(*cols).alias("_h")).agg(F.bit_xor("_h"))
+    cdf.collect()  # materialize so AQE finalizes the physical plan
+    plan = cdf._jdf.queryExecution().executedPlan().toString()
+    n = len(_SHUFFLE.findall(plan))
+    assert n <= max_shuf, f"{name} gained a shuffle: {n} > {max_shuf}"
+    if need_bcast:
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+    if no_smj:
+        assert "SortMergeJoin" not in plan, (
+            f"{name}: a small side fell out of broadcast into sort-merge"
+        )

@@ -3,7 +3,23 @@
 Runs every __spark_entry__.queries() entry on Spark and, where an oracle
 exists, the oracle_sql() on DuckDB over the same parquet views; compares
 row count, sorted column names, and order-insensitive values (floats rounded
-to 9 dp). Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+to 9 dp). Usage: python tools/check_oracles.py [sf_dir] [--strict] [only ...]
+
+--strict (VERDICT r03 #5, the pre-round gate for the never-driver-sampled
+rotation tail) additionally asserts per query:
+  (a) NO unrounded double column: every float cell must equal its own
+      9-dp round. The repo's determinism contract rounds every emitted
+      double to <= 9 dp (6 dp scores, 9 dp sampling keys); a raw double
+      (log, ratio, mean) is the classic source of last-ulp cross-engine
+      hash mismatches, and this catches it before the driver rotation
+      does. (Exactly-representable raw values can slip through cell-wise,
+      but any realistic unrounded column contains non-representable
+      values, so the column-level check is effectively airtight.)
+  (b) partition invariance under spark.sql.shuffle.partitions in {1, 8}:
+      the query is re-run under both settings and the normalized value
+      multisets must match -- the whole 156-query surface, not just the
+      determinism-sweep configs (which vary master/parallelism but not
+      the 1-partition edge case).
 """
 
 from __future__ import annotations
@@ -41,9 +57,26 @@ def frame_to_rows(cols, rows):
     return [cols[i] for i in idx], out
 
 
+def unrounded_float_cells(rows) -> int:
+    """Count float cells that do not equal their own 9-dp round."""
+    import math
+
+    bad = 0
+    for r in rows:
+        for v in r:
+            if isinstance(v, float) and not (math.isnan(v) or math.isinf(v)):
+                if round(v, 9) != v:
+                    bad += 1
+    return bad
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    strict = "--strict" in argv
+    if strict:
+        argv.remove("--strict")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from ala_name_matching_spark.session import get_spark
@@ -63,6 +96,39 @@ def main():
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols, svals = frame_to_rows(sdf.columns, [tuple(r) for r in srows])
+            if strict:
+                raw = [tuple(r) for r in srows]
+                bad = unrounded_float_cells(raw)
+                if bad:
+                    failures.append(name)
+                    print(
+                        f"[STRICT] {name}: {bad} unrounded double cells "
+                        "(emit F.round(x, <=9) on every float column)"
+                    )
+                    continue
+                sigs = []
+                for parts in (1, 8):
+                    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                    try:
+                        pdf = fn(spark, sf_dir)
+                        sigs.append(
+                            frame_to_rows(
+                                pdf.columns, [tuple(r) for r in pdf.collect()]
+                            )
+                        )
+                    finally:
+                        spark.conf.set("spark.sql.shuffle.partitions", "8")
+                if sigs[0] != sigs[1]:
+                    failures.append(name)
+                    ndiff = sum(
+                        1 for a, b in zip(sigs[0][1], sigs[1][1]) if a != b
+                    )
+                    print(
+                        f"[STRICT] {name}: NOT partition-invariant under "
+                        f"shuffle.partitions 1 vs 8 ({ndiff} row diffs, "
+                        f"rows {len(sigs[0][1])} vs {len(sigs[1][1])})"
+                    )
+                    continue
             if name not in oracles:
                 print(f"[rows-only] {name}: {len(svals)} rows")
                 continue
