@@ -3418,7 +3418,15 @@ def _q_split_leakage(spark, sf_dir):
             "doc_id_r",
         )
         .where(F.col("split_l") != F.col("split_r"))
-        .select("doc_id_l", "doc_id_r", "jaccard", "split_l", "split_r")
+        # 4-dp round on the emitted score (the minhash lane's convention;
+        # the >= 0.5 filter upstream ran on the unrounded value)
+        .select(
+            "doc_id_l",
+            "doc_id_r",
+            F.round("jaccard", 4).alias("jaccard"),
+            "split_l",
+            "split_r",
+        )
     )
 
 
@@ -7202,7 +7210,8 @@ def oracle_sql() -> dict[str, str]:
                                < '1999'
                           THEN 'holdout' ELSE 'train' END AS split
               FROM documents)
-            SELECT e.doc_id_l, e.doc_id_r, e.jaccard,
+            SELECT e.doc_id_l, e.doc_id_r,
+                   round(e.jaccard, 4) AS jaccard,
                    sl.split AS split_l, sr.split AS split_r
             FROM e
             JOIN sp sl ON sl.doc_id = e.doc_id_l

@@ -305,7 +305,7 @@ def canon_group_representatives(features: DataFrame) -> DataFrame:
     # partitions -- which would serialize the (CPU-bound) phonetic UDF
     # re-derivation below onto a few cores regardless of cluster size. Pin
     # the rep table to cluster parallelism before the UDF projection.
-    reps = reps.repartition(features.sparkSession.sparkContext.defaultParallelism * 2)
+    reps = reps.repartition(features.sparkSession.sparkContext.defaultParallelism)
     reps = reps.withColumn("_ph", phonetic_struct_udf(F.col("canon_text")))
     return (
         reps.withColumn("phonetic_key", F.col("_ph.phonetic_key"))

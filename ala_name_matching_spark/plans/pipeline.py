@@ -195,9 +195,14 @@ def run_pipeline(
         # id-joins of the pair table -- see payload_pairs docstring).
         # min_partitions: the pair join's output is byte-small but CPU-heavy
         # (Arrow JW kernel); AQE's byte-based coalescing would starve it of
-        # tasks (apply_pair_scores docstring), so pin 2x cluster parallelism.
+        # tasks (apply_pair_scores docstring), so pin cluster parallelism.
+        # Exactly 1x (not the earlier 2x): block caps already bound the
+        # worst task at C(cap,2) pairs, so oversubscription bought no skew
+        # smoothing while doubling the python-task fixed cost -- measured
+        # -0.8 s at 120k turns/local[32]; the N->4N protocol was re-run
+        # under this shape (BENCH/BASELINE.md round-4 replication).
         pairs = payload_pairs(salted.select("block_id", "record_id"), reps)
-        scored = apply_pair_scores(pairs, min_partitions=par * 2)
+        scored = apply_pair_scores(pairs, min_partitions=par)
         return match_edges(scored, threshold=cfg.match_threshold)
 
     fuzzy_edges = _phase(ckpt, "p4_edges", build_edges)

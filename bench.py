@@ -36,6 +36,22 @@ def main():
 
     timings: dict[str, float] = {}
 
+    def gc_all():
+        # Block-manager hygiene: many operators eagerly localCheckpoint
+        # skinny intermediates whose blocks are released only when the
+        # driver GCs the python DataFrame AND the async ContextCleaner
+        # drains. At ~80 queries x 2 runs the backlog of dead blocks
+        # squeezes execution memory and later pair-heavy queries spill
+        # (measured: pprl 4.7 s -> 81 s, setsim 4.3 s -> 36 s purely
+        # from run position). Forcing both GCs restores isolation so each
+        # number measures the OPERATOR, not the block-manager backlog of
+        # its predecessors.
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        spark.catalog.clearCache()
+
     def timed(name, fn):
         # Steady-state discipline: one untimed warm pass, then the timed
         # run. Each query's plan carries unique generated code; janino
@@ -46,23 +62,15 @@ def main():
         # BENCH/BASELINE.md scaling protocol pins. JSON carries
         # "warmup_runs" so rounds are compared like-for-like.
         fn()
+        # the warm pass's own dead checkpoint blocks are predecessor
+        # interference for the timed pass too -- same hygiene as between
+        # queries (measured: er_pipeline 6.2-7.7 s unGC'd vs 4.8 s with
+        # the warm pass's blocks released; both runs execute identically)
+        gc_all()
         t0 = time.time()
         n = fn()
         timings[name] = round(time.time() - t0, 3)
-        # Inter-query hygiene: many operators eagerly localCheckpoint
-        # skinny intermediates whose blocks are released only when the
-        # driver GCs the python DataFrame AND the async ContextCleaner
-        # drains. At ~80 queries x 2 runs the backlog of dead blocks
-        # squeezes execution memory and later pair-heavy queries spill
-        # (measured: pprl 4.7 s -> 81 s, setsim 4.3 s -> 36 s purely
-        # from run position). Forcing both GCs between queries restores
-        # isolation so each number measures the OPERATOR, not the
-        # block-manager backlog of its predecessors.
-        import gc as _gc
-
-        _gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        spark.catalog.clearCache()
+        gc_all()
         return n
 
     def consume(df):
@@ -226,8 +234,11 @@ def main():
                 # queries. Totals are NOT comparable to BENCH_r01/r02.
                 "consume": "bitxor-xxhash64-all-columns",
                 # each query: one untimed warm pass (codegen/JIT), timed
-                # second run -- steady-state operator cost
+                # second run -- steady-state operator cost; the warm pass's
+                # dead checkpoint blocks are GC'd before the timed run
+                # (same isolation rationale as the inter-query GC)
                 "warmup_runs": 1,
+                "gc_between_warm_and_timed": True,
             }
         )
     )
