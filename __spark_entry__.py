@@ -992,6 +992,23 @@ def _stream_stage(df, spark, prefix):
     return spark.readStream.schema(schema).parquet(src), tmp
 
 
+def _q_pagerank_supply_graph(spark, sf_dir):
+    # PageRank over the supplier->part supply graph (distinct lineitem
+    # edges; parts offset to a disjoint id space). Every part is a
+    # dangling node (no out-edges), so the run exercises the dangling
+    # -mass redistribution, not just the join+agg loop. 3 power
+    # iterations; 9-dp per-iteration rounds + nano-quantized sums make
+    # the whole trajectory replay as unrolled CTEs.
+    from ala_name_matching_spark.operators.pagerank import pagerank
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey").cast("long") + 1000000).alias("dst"),
+    ).distinct()
+    return pagerank(edges, damping=0.85, iters=3)
+
+
 def _q_streaming_neardup_match(spark, sf_dir):
     # Streaming MinHash-LSH near-dup match vs the static corpus index:
     # the stream is every 20th doc re-ingested verbatim under a shifted id
@@ -3804,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardups_exact": _q_cosine_neardups_exact,
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "semdedup_prune": _q_semdedup_prune,
+        "pagerank_supply_graph": _q_pagerank_supply_graph,
         "streaming_neardup_match": _q_streaming_neardup_match,
         "streaming_index_update": _q_streaming_index_update,
         "streaming_semdedup_match": _q_streaming_semdedup_match,
@@ -4019,6 +4037,18 @@ def _streaming_semdedup_oracle() -> str:
         dim=64,
         corpus_table="embeddings",
         query_table=qt,
+    )
+
+
+def _pagerank_oracle() -> str:
+    # parameters mirror _q_pagerank_supply_graph (damping 0.85, 3 iters)
+    from ala_name_matching_spark.operators.pagerank import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(
+        "SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,"
+        " CAST(l_partkey AS BIGINT) + 1000000 AS dst FROM lineitem",
+        damping=0.85,
+        iters=3,
     )
 
 
@@ -4827,6 +4857,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, p.term, p.tf, dl.dl
             FROM p JOIN dl ON p.doc_id = dl.doc_id""",
         "streaming_semdedup_match": _streaming_semdedup_oracle(),
+        "pagerank_supply_graph": _pagerank_oracle(),
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
         "frame_schedule": """
             WITH media AS (
