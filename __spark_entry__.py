@@ -992,6 +992,21 @@ def _stream_stage(df, spark, prefix):
     return spark.readStream.schema(schema).parquet(src), tmp
 
 
+def _q_jl_projection(spark, sf_dir):
+    # Johnson-Lindenstrauss projection 64 -> 16 dims (Achlioptas
+    # Rademacher signs from md5 parity; 1/sqrt(16) = 0.25 exact). Each
+    # output dim is a fixed-order codegen +- chain -- no aggregation, so
+    # the oracle is the SAME chain textually and values match bit-for-bit
+    # before the 6-dp round.
+    from ala_name_matching_spark.operators.random_projection import (
+        random_projection,
+    )
+
+    return random_projection(
+        _read(spark, sf_dir, "embeddings"), dim=64, k=16
+    )
+
+
 def _q_pagerank_supply_graph(spark, sf_dir):
     # PageRank over the supplier->part supply graph (distinct lineitem
     # edges; parts offset to a disjoint id space). Every part is a
@@ -3821,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardups_exact": _q_cosine_neardups_exact,
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "semdedup_prune": _q_semdedup_prune,
+        "jl_projection": _q_jl_projection,
         "pagerank_supply_graph": _q_pagerank_supply_graph,
         "streaming_neardup_match": _q_streaming_neardup_match,
         "streaming_index_update": _q_streaming_index_update,
@@ -4038,6 +4054,14 @@ def _streaming_semdedup_oracle() -> str:
         corpus_table="embeddings",
         query_table=qt,
     )
+
+
+def _jl_oracle() -> str:
+    from ala_name_matching_spark.operators.random_projection import (
+        random_projection_oracle_sql,
+    )
+
+    return random_projection_oracle_sql(dim=64, k=16)
 
 
 def _pagerank_oracle() -> str:
@@ -4858,6 +4882,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN dl ON p.doc_id = dl.doc_id""",
         "streaming_semdedup_match": _streaming_semdedup_oracle(),
         "pagerank_supply_graph": _pagerank_oracle(),
+        "jl_projection": _jl_oracle(),
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
         "frame_schedule": """
             WITH media AS (
