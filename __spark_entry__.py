@@ -982,7 +982,8 @@ def _q_bm25_topk(spark, sf_dir):
 def _stream_stage(df, spark, prefix):
     """Stage a DataFrame as the parquet file-source of a streaming query;
     returns (stream_df, tmp_dir). Fresh dir per call so repeated runs
-    (strict partition-invariance sweeps) never collide."""
+    (strict partition-invariance sweeps) never collide; callers hand the
+    dir to _finish_stream, which removes it after the sink is read back."""
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix=prefix)
@@ -990,6 +991,28 @@ def _stream_stage(df, spark, prefix):
     df.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(src), tmp
+
+
+def _finish_stream(q, spark, build_result, *tmp_dirs):
+    """Await an availableNow streaming query, materialize the read-back
+    result, and remove the scratch dirs (staging + checkpoint + sink --
+    repeated sweep runs would otherwise leak GBs of /tmp state).
+
+    `build_result` is a CALLABLE constructing the read-back DataFrame: the
+    sink paths exist (and their parquet file listings are complete) only
+    after the stream terminates -- a DataFrame built earlier would snapshot
+    a missing or partial file index. awaitTermination returns False on
+    timeout WITHOUT raising; a partial sink must be an error, not a
+    silently-truncated result."""
+    import shutil
+
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming query did not finish within 300 s")
+    out = build_result().localCheckpoint(eager=True)
+    for d in tmp_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def _q_jl_projection(spark, sf_dir):
@@ -1052,9 +1075,13 @@ def _q_streaming_neardup_match(spark, sf_dir):
         shingle_n=3,
         threshold=0.4,
     )
-    q.awaitTermination(300)
-    return spark.read.parquet(f"{tmp}/out").select(
-        "doc_id_l", "doc_id_r", F.round("jaccard", 4).alias("jaccard")
+    return _finish_stream(
+        q,
+        spark,
+        lambda: spark.read.parquet(f"{tmp}/out").select(
+            "doc_id_l", "doc_id_r", F.round("jaccard", 4).alias("jaccard")
+        ),
+        tmp,
     )
 
 
@@ -1079,14 +1106,17 @@ def _q_streaming_index_update(spark, sf_dir):
         d.where(F.col("doc_id") % 2 == 1), spark, "stream_idx_in_"
     )
     q = streaming_index_update(stream, idx, f"{tmp}/ckpt")
-    q.awaitTermination(300)
-    posts = spark.read.parquet(f"{idx}/postings").select(
-        "doc_id", "term", F.col("tf").cast("long").alias("tf")
-    )
-    dl = spark.read.parquet(f"{idx}/doclen").select(
-        "doc_id", F.col("dl").cast("long").alias("dl")
-    )
-    return posts.join(dl, "doc_id").select("doc_id", "term", "tf", "dl")
+
+    def build():
+        posts = spark.read.parquet(f"{idx}/postings").select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf")
+        )
+        dl = spark.read.parquet(f"{idx}/doclen").select(
+            "doc_id", F.col("dl").cast("long").alias("dl")
+        )
+        return posts.join(dl, "doc_id").select("doc_id", "term", "tf", "dl")
+
+    return _finish_stream(q, spark, build, tmp, idx)
 
 
 def _q_streaming_semdedup_match(spark, sf_dir):
@@ -1123,9 +1153,13 @@ def _q_streaming_semdedup_match(spark, sf_dir):
         threshold=0.95,
         dim=64,
     )
-    q.awaitTermination(300)
-    return spark.read.parquet(f"{tmp}/out").select(
-        "vec_id", "corpus_vec_id", "cluster_id", "cosine"
+    return _finish_stream(
+        q,
+        spark,
+        lambda: spark.read.parquet(f"{tmp}/out").select(
+            "vec_id", "corpus_vec_id", "cluster_id", "cosine"
+        ),
+        tmp,
     )
 
 
@@ -4934,11 +4968,18 @@ def oracle_sql() -> dict[str, str]:
                                AS DOUBLE) / 1000000.0 AS monetary
                    FROM p GROUP BY 1),
             base AS (
+              -- mirror the Spark side's null-metric exclusion (possible
+              -- only when every event for a user has null ts/value):
+              -- engines disagree on null sort order, and a null metric
+              -- has no defensible quantile
               SELECT user_id,
                      date_diff('day', CAST(last AS DATE),
                                CAST(mx AS DATE)) AS recency_days,
                      frequency, monetary
-              FROM pu, mx),
+              FROM pu, mx
+              WHERE last IS NOT NULL AND monetary IS NOT NULL
+                AND date_diff('day', CAST(last AS DATE),
+                              CAST(mx AS DATE)) IS NOT NULL),
             rk AS (
               SELECT *,
                      row_number() OVER (ORDER BY recency_days ASC, user_id)

@@ -13,11 +13,13 @@ Spark shape, built for 10^11-edge graphs:
     their out-degree, precomputed once) and ONE partial-aggregated
     groupBy(dst). Dangling mass (nodes with no out-edges) is a 1-row
     aggregate broadcast back -- never a driver scalar in the loop.
-  * ranks are materialized per iteration (localCheckpoint) and the
-    previous iteration released -- the classic iterative-algorithm
-    persist/unpersist cadence (same as clustering's star rounds); the
-    lineage never grows with iteration count.
-  * the node table, degree table, and edge table are computed once.
+  * ranks are materialized per iteration (localCheckpoint), so the
+    lineage never grows with iteration count; superseded iterations'
+    blocks are dead references the driver GC / ContextCleaner reclaim
+    (the bench harness forces that GC between queries).
+  * the node, degree, and degree-carrying edge tables are each computed
+    once and checkpointed -- every per-iteration join reads a
+    materialized table, never the raw edge lineage.
 
 Determinism contract (the unrolled-Lloyd/EM construction applied to
 PageRank): every rank is 9-dp rounded per iteration, and every
@@ -63,7 +65,14 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("_deg"))
+    # deg is checkpointed: the per-iteration dangling anti-join probes it,
+    # and without the barrier each iteration would replay the full edge
+    # scan + groupBy behind it
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").cast("long").alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
     # edges carry their out-degree once, so the per-iteration join is
     # ranks-vs-edges only (the degree join never repeats)
     ed = e.join(deg, "src").localCheckpoint(eager=True)
@@ -149,7 +158,7 @@ def pagerank_oracle_sql(
           WHERE deg.src IS NULL)""")
         parts.append(f"""r{i} AS (
           SELECT n0.node_id,
-                 round((1.0 - {d}) / nn.n
+                 round({(1.0 - d)!r} / nn.n
                        + {d} * (coalesce(c.cq, 0) / 1000000000.0
                                 + (dd.dq / 1000000000.0) / nn.n), 9) AS r
           FROM nodes n0

@@ -57,16 +57,24 @@ def consume(spark, df):
     )
 
 
-def timed_run(spark, fn, sf_dir):
+def _gc_all(spark):
     import gc
 
-    consume(spark, fn(spark, sf_dir))  # warm (codegen/JIT)
-    t0 = time.time()
-    consume(spark, fn(spark, sf_dir))
-    dt = time.time() - t0
     gc.collect()
     spark.sparkContext._jvm.System.gc()
     spark.catalog.clearCache()
+
+
+def timed_run(spark, fn, sf_dir):
+    consume(spark, fn(spark, sf_dir))  # warm (codegen/JIT)
+    # release the warm pass's dead checkpoint blocks before timing --
+    # bench.py's warm-to-timed hygiene; the blocks scale with data, so
+    # skipping this inflates t_big more than t_small and fakes ratios
+    _gc_all(spark)
+    t0 = time.time()
+    consume(spark, fn(spark, sf_dir))
+    dt = time.time() - t0
+    _gc_all(spark)
     return dt
 
 

@@ -58,16 +58,23 @@ def frame_to_rows(cols, rows):
 
 
 def unrounded_float_cells(rows) -> int:
-    """Count float cells that do not equal their own 9-dp round."""
+    """Count float values that do not equal their own 9-dp round --
+    recursing into array/struct cells (array<double> outputs like
+    jl_projection's rp column must honor the rounding contract too)."""
     import math
 
-    bad = 0
-    for r in rows:
-        for v in r:
-            if isinstance(v, float) and not (math.isnan(v) or math.isinf(v)):
-                if round(v, 9) != v:
-                    bad += 1
-    return bad
+    def bad(v) -> int:
+        if isinstance(v, float):
+            if math.isnan(v) or math.isinf(v):
+                return 0
+            return 0 if round(v, 9) == v else 1
+        if isinstance(v, (list, tuple)):
+            return sum(bad(x) for x in v)
+        if isinstance(v, dict):
+            return sum(bad(x) for x in v.values())
+        return 0
+
+    return sum(bad(v) for r in rows for v in r)
 
 
 def main():
