@@ -211,6 +211,7 @@ def main():
         "cluster_repair",
         "threshold_sweep",
         "pagerank_supply_graph",
+        "jl_projection",
         # real Structured Streaming jobs (file source, availableNow,
         # epoch-idempotent sink) -- their wall time includes the
         # micro-batch machinery, which IS the operator's honest cost
