@@ -1015,6 +1015,23 @@ def _finish_stream(q, spark, build_result, *tmp_dirs):
     return out
 
 
+def _q_render_conversations(spark, sf_dir):
+    # Turn-grain -> document-grain assembly over the planted conversation
+    # table (roles alternate user/assistant by parity); sorted-fold join
+    # replays as string_agg(... ORDER BY turn_idx).
+    from ala_name_matching_spark.operators.conversations import (
+        render_conversations,
+    )
+
+    t = _conv_turns(spark, sf_dir).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+    )
+    return render_conversations(t)
+
+
 def _q_jl_projection(spark, sf_dir):
     # Johnson-Lindenstrauss projection 64 -> 16 dims (Achlioptas
     # Rademacher signs from md5 parity; 1/sqrt(16) = 0.25 exact). Each
@@ -3871,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups_lsh": _q_embedding_neardups_lsh,
         "semdedup_prune": _q_semdedup_prune,
         "jl_projection": _q_jl_projection,
+        "render_conversations": _q_render_conversations,
         "pagerank_supply_graph": _q_pagerank_supply_graph,
         "streaming_neardup_match": _q_streaming_neardup_match,
         "streaming_index_update": _q_streaming_index_update,
@@ -4917,6 +4935,19 @@ def oracle_sql() -> dict[str, str]:
         "streaming_semdedup_match": _streaming_semdedup_oracle(),
         "pagerank_supply_graph": _pagerank_oracle(),
         "jl_projection": _jl_oracle(),
+        "render_conversations": _CONV_FP_SQL + """,
+            lines AS (
+              SELECT conv_id, turn_idx,
+                     (CASE WHEN turn_idx % 2 = 0 THEN 'user'
+                           ELSE 'assistant' END) || ': ' || text AS line
+              FROM turns),
+            agg AS (
+              SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                     string_agg(line, chr(10) ORDER BY turn_idx) AS text
+              FROM lines GROUP BY conv_id)
+            SELECT conv_id, n_turns,
+                   CAST(length(text) AS BIGINT) AS n_chars, text
+            FROM agg""",
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
         "frame_schedule": """
             WITH media AS (

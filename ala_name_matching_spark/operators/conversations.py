@@ -44,6 +44,66 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def render_conversations(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str | None = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """(conv_id, n_turns, n_chars, text): assemble each conversation into
+    ONE training-document string under stable turn ordering -- the step
+    that turns a turn-grain transcript table into documents an LLM data
+    pipeline can pack, dedup, and score (the per-turn text equality
+    invariant carries through verbatim: each turn's text appears exactly
+    once, unmodified, in order).
+
+    Per-turn line = "{role}: {text}" when `role_col` is given, else the
+    bare text. The fold is the repo's sorted-fold contract:
+    collect_list(struct(turn_idx, line)) -> sort_array -> join, a total
+    order because (conv_id, turn_idx) is unique by contract -- so the
+    result is task-scheduling-independent and replays as DuckDB
+    string_agg(line, sep ORDER BY turn_idx).
+
+    SCALE: one partially-aggregated shuffle on conv_id; the text payload
+    rides it exactly once (assembling documents is the one job where the
+    payload MUST move). Conversation length bounds the per-group state,
+    not the corpus.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    line = (
+        F.concat(F.col(role_col), F.lit(": "), text)
+        if role_col
+        else text
+    )
+    return (
+        turns.groupBy(F.col(conv_col).alias("conv_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col(idx_col).alias("i"), line.alias("l")
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            F.length("text").cast("long").alias("n_chars"),
+            "text",
+        )
+    )
+
+
 def turn_fingerprint(text: Column) -> Column:
     """md5 of the whitespace-folded lowercase turn text (content identity)."""
     return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))

@@ -150,3 +150,48 @@ def test_planted_driver_inventory(spark):
     assert pairs == vs + rs + both
     prefixes = entry._q_conv_prefix_rescrape(spark, sf).count()
     assert prefixes == rs + both
+
+
+def test_render_conversations_order_and_text_equality(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.conversations import (
+        render_conversations,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "b"],
+            "turn_idx": [2, 0, 1, 0],
+            "role": ["user", "assistant", "user", "user"],
+            "text": ["third", "first", "second", "only"],
+        }
+    )
+    out = {
+        r["conv_id"]: r
+        for r in render_conversations(spark.createDataFrame(rows)).collect()
+    }
+    # stable (conv_id, turn_idx) ordering regardless of input row order
+    assert out["a"]["text"] == "assistant: first\nuser: second\nuser: third"
+    assert out["a"]["n_turns"] == 3
+    assert out["a"]["n_chars"] == len(out["a"]["text"])
+    assert out["b"]["text"] == "user: only"
+    # per-turn text equality: every turn's text appears verbatim
+    for t in rows["text"]:
+        assert t in out[rows[rows["text"] == t]["conv_id"].iloc[0]]["text"]
+
+
+def test_render_conversations_without_roles(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.conversations import (
+        render_conversations,
+    )
+
+    rows = pd.DataFrame(
+        {"conv_id": ["c", "c"], "turn_idx": [1, 0], "text": ["y", "x"]}
+    )
+    out = render_conversations(
+        spark.createDataFrame(rows), role_col=None
+    ).collect()
+    assert out[0]["text"] == "x\ny"
