@@ -1064,6 +1064,21 @@ def _q_pagerank_supply_graph(spark, sf_dir):
     return pagerank(edges, damping=0.85, iters=3)
 
 
+def _q_hits_supply_graph(spark, sf_dir):
+    # HITS hubs/authorities over the same supplier->part graph as
+    # pagerank_supply_graph: suppliers are pure hubs, parts pure
+    # authorities (bipartite), so the two scores separate cleanly and the
+    # 3-iteration trajectory replays via the unrolled oracle.
+    from ala_name_matching_spark.operators.pagerank import hits
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey").cast("long") + 1000000).alias("dst"),
+    ).distinct()
+    return hits(edges, iters=3)
+
+
 def _q_streaming_neardup_match(spark, sf_dir):
     # Streaming MinHash-LSH near-dup match vs the static corpus index:
     # the stream is every 20th doc re-ingested verbatim under a shifted id
@@ -3890,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_projection": _q_jl_projection,
         "render_conversations": _q_render_conversations,
         "pagerank_supply_graph": _q_pagerank_supply_graph,
+        "hits_supply_graph": _q_hits_supply_graph,
         "streaming_neardup_match": _q_streaming_neardup_match,
         "streaming_index_update": _q_streaming_index_update,
         "streaming_semdedup_match": _q_streaming_semdedup_match,
@@ -4114,6 +4130,16 @@ def _jl_oracle() -> str:
     )
 
     return random_projection_oracle_sql(dim=64, k=16)
+
+
+def _hits_oracle() -> str:
+    from ala_name_matching_spark.operators.pagerank import hits_oracle_sql
+
+    return hits_oracle_sql(
+        "SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,"
+        " CAST(l_partkey AS BIGINT) + 1000000 AS dst FROM lineitem",
+        iters=3,
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -4934,6 +4960,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN dl ON p.doc_id = dl.doc_id""",
         "streaming_semdedup_match": _streaming_semdedup_oracle(),
         "pagerank_supply_graph": _pagerank_oracle(),
+        "hits_supply_graph": _hits_oracle(),
         "jl_projection": _jl_oracle(),
         "render_conversations": _CONV_FP_SQL + """,
             lines AS (

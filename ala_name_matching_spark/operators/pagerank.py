@@ -127,6 +127,147 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node_id, hub, authority): Kleinberg's HITS (JACM 1999) power
+    iterations with per-step L2 normalization.
+
+    authority <- sum of in-neighbors' hub scores; hub <- sum of
+    out-neighbors' authority scores; each vector L2-normalized after its
+    update. Same per-iteration shape as pagerank: one ranks-x-edges
+    shuffle join + one partial-agg groupBy per direction, then a 1-row
+    norm aggregate broadcast back.
+
+    Determinism: scores are 9-dp rounded after every normalization;
+    per-node sums run on nano-quantized BIGINTs (exact up to ~9.2e9
+    in/out-degree); the GLOBAL squared-norm sum runs on pico-quantized
+    DECIMAL(38,0) -- exact at any node count -- and both engines convert
+    that exact integer to the same nearest double before the sqrt. The
+    trajectory replays as unrolled CTEs (hits_oracle_sql).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def l2_normalized(scores: DataFrame, col: str) -> DataFrame:
+        sq = (
+            scores.groupBy()
+            .agg(
+                F.sum(
+                    F.round(F.col(col) * F.col(col) * F.lit(1e12))
+                    .cast("decimal(38,0)")
+                ).alias("_sq")
+            )
+            .select(
+                F.sqrt(F.col("_sq").cast("double") / F.lit(1e12)).alias("_nrm")
+            )
+        )
+        return scores.crossJoin(F.broadcast(sq)).select(
+            "node_id",
+            F.round(
+                F.col(col) / F.greatest(F.col("_nrm"), F.lit(1e-12)), 9
+            ).alias(col),
+        )
+
+    hub = nodes.select(
+        "node_id", F.lit(1.0).alias("hub")
+    ).localCheckpoint(eager=True)
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node_id", "src"), "src")
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(
+                (
+                    F.sum(F.round(F.col("hub") * F.lit(1e9)).cast("long"))
+                    .cast("double")
+                    / F.lit(1e9)
+                ).alias("authority")
+            )
+        )
+        a_full = nodes.join(a_raw, "node_id", "left").select(
+            "node_id",
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+        )
+        auth = l2_normalized(a_full, "authority").localCheckpoint(eager=True)
+        h_raw = (
+            e.join(auth.withColumnRenamed("node_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("node_id"))
+            .agg(
+                (
+                    F.sum(F.round(F.col("authority") * F.lit(1e9)).cast("long"))
+                    .cast("double")
+                    / F.lit(1e9)
+                ).alias("hub")
+            )
+        )
+        h_full = nodes.join(h_raw, "node_id", "left").select(
+            "node_id", F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub")
+        )
+        hub = l2_normalized(h_full, "hub").localCheckpoint(eager=True)
+    return hub.join(auth, "node_id").select("node_id", "hub", "authority")
+
+
+def hits_oracle_sql(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB replay of hits(): identical quantized sums, HUGEINT norm
+    accumulator (exact like Spark's DECIMAL(38,0)), 9-dp rounds."""
+    parts = [
+        f"e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT node_id, CAST(1.0 AS DOUBLE) AS s FROM nodes)",
+    ]
+
+    def norm(i: int, raw: str, out: str) -> list[str]:
+        return [
+            f"""{out}_n AS (
+              SELECT sqrt(CAST(sum(CAST(round(s * s * 1e12) AS HUGEINT))
+                               AS DOUBLE) / 1e12) AS nrm
+              FROM {raw})""",
+            f"""{out} AS (
+              SELECT node_id, round(s / greatest(nrm, 1e-12), 9) AS s
+              FROM {raw}, {out}_n)""",
+        ]
+
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i}_raw AS (
+          SELECT n0.node_id,
+                 coalesce(CAST(x.q AS DOUBLE) / 1e9, 0.0) AS s
+          FROM nodes n0 LEFT JOIN (
+            SELECT e.dst AS node_id,
+                   CAST(sum(CAST(round(h.s * 1e9) AS BIGINT)) AS BIGINT) AS q
+            FROM e JOIN {prev_h} h ON h.node_id = e.src
+            GROUP BY e.dst) x ON x.node_id = n0.node_id)""")
+        parts.extend(norm(i, f"a{i}_raw", f"a{i}"))
+        parts.append(f"""h{i}_raw AS (
+          SELECT n0.node_id,
+                 coalesce(CAST(x.q AS DOUBLE) / 1e9, 0.0) AS s
+          FROM nodes n0 LEFT JOIN (
+            SELECT e.src AS node_id,
+                   CAST(sum(CAST(round(a.s * 1e9) AS BIGINT)) AS BIGINT) AS q
+            FROM e JOIN a{i} a ON a.node_id = e.dst
+            GROUP BY e.src) x ON x.node_id = n0.node_id)""")
+        parts.extend(norm(i, f"h{i}_raw", f"h{i}"))
+        prev_h = f"h{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT h.node_id, h.s AS hub, a.s AS authority
+        FROM h{iters} h JOIN a{iters} a ON a.node_id = h.node_id"""
+    )
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     damping: float = 0.85,

@@ -40,3 +40,37 @@ def test_deterministic_across_runs(spark):
     a = _ranks(spark, edges, iters=3)
     b = _ranks(spark, edges, iters=3)
     assert a == b
+
+
+def test_hits_bipartite_separation(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.pagerank import hits
+
+    # bipartite: 0,1 -> 10,11,12 ; node 1 points at more parts
+    edges = [(0, 10), (0, 11), (1, 10), (1, 11), (1, 12)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    r = {x["node_id"]: (x["hub"], x["authority"]) for x in hits(df, iters=3).collect()}
+    # sources are pure hubs, sinks pure authorities
+    assert r[0][1] == 0.0 and r[1][1] == 0.0
+    assert r[10][0] == 0.0 and r[11][0] == 0.0 and r[12][0] == 0.0
+    # the higher-out-degree source is the stronger hub; the part linked by
+    # both sources outranks the part linked by one
+    assert r[1][0] > r[0][0]
+    assert r[10][1] == r[11][1] > r[12][1]
+    # L2 norms ~ 1
+    hub_norm = sum(v[0] ** 2 for v in r.values()) ** 0.5
+    auth_norm = sum(v[1] ** 2 for v in r.values()) ** 0.5
+    assert abs(hub_norm - 1) < 1e-6 and abs(auth_norm - 1) < 1e-6
+
+
+def test_hits_deterministic(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.pagerank import hits
+
+    edges = [(i, 100 + (i * 3) % 7) for i in range(20)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    a = sorted(map(tuple, hits(df, iters=3).collect()))
+    b = sorted(map(tuple, hits(df, iters=3).collect()))
+    assert a == b
