@@ -211,7 +211,9 @@ def main():
         "cluster_repair",
         "threshold_sweep",
         "pagerank_supply_graph",
+        "hits_supply_graph",
         "jl_projection",
+        "render_conversations",
         # real Structured Streaming jobs (file source, availableNow,
         # epoch-idempotent sink) -- their wall time includes the
         # micro-batch machinery, which IS the operator's honest cost
