@@ -65,11 +65,21 @@ def main():
         # the warm pass's own dead checkpoint blocks are predecessor
         # interference for the timed pass too -- same hygiene as between
         # queries (measured: er_pipeline 6.2-7.7 s unGC'd vs 4.8 s with
-        # the warm pass's blocks released; both runs execute identically)
-        gc_all()
-        t0 = time.time()
-        n = fn()
-        timings[name] = round(time.time() - t0, 3)
+        # the warm pass's blocks released; both runs execute identically).
+        # Best-of-2 timed runs, the BENCH/BASELINE.md scaling protocol's
+        # best-of-N convention at bench scale: single timed runs showed a
+        # +-10% host-noise band (er_pipeline 4.79 vs 5.23 s across
+        # otherwise-identical full-suite runs), and min-of-N is the
+        # steady-state estimator the protocol already pins.
+        n = None
+        best = None
+        for _ in range(2):
+            gc_all()
+            t0 = time.time()
+            n = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         gc_all()
         return n
 
@@ -243,11 +253,13 @@ def main():
                 # count(1)), so earlier rounds under-timed projection-heavy
                 # queries. Totals are NOT comparable to BENCH_r01/r02.
                 "consume": "bitxor-xxhash64-all-columns",
-                # each query: one untimed warm pass (codegen/JIT), timed
-                # second run -- steady-state operator cost; the warm pass's
-                # dead checkpoint blocks are GC'd before the timed run
-                # (same isolation rationale as the inter-query GC)
+                # each query: one untimed warm pass (codegen/JIT), then
+                # TWO timed runs with GC between, reporting the min --
+                # the scaling protocol's best-of-N steady-state estimator
+                # (single timed runs carried a +-10% host-noise band)
                 "warmup_runs": 1,
+                "timed_runs": 2,
+                "timed_aggregation": "min",
                 "gc_between_warm_and_timed": True,
             }
         )
