@@ -851,6 +851,19 @@ def _q_weighted_sample(spark, sf_dir):
     )
 
 
+def _q_weighted_sample_per_lang(spark, sf_dir):
+    # per-domain quota sampling: 20 length-weighted docs PER LANGUAGE
+    # (A-ES keys, rank partitioned by lang -- never a global sort)
+    from ala_name_matching_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return weighted_sample_per_group(
+        d, "n_chars", k=20, group_col="lang"
+    ).select("doc_id", "lang", "n_chars", "es_key", "es_rank")
+
+
 def _q_pack_sequences(spark, sf_dir):
     # GPT-style sequence packing: per-shard token streams chunked at a
     # 64-token budget; every offset/chunk index reproduced by the DuckDB
@@ -1030,6 +1043,23 @@ def _q_render_conversations(spark, sf_dir):
         ),
     )
     return render_conversations(t)
+
+
+def _q_sft_pairs(spark, sf_dir):
+    # SFT pair mining over the planted conversations (parity roles:
+    # even turns user, odd assistant -> every odd turn pairs with its
+    # predecessor); lag window partitioned by conversation.
+    from ala_name_matching_spark.operators.conversations import (
+        extract_sft_pairs,
+    )
+
+    t = _conv_turns(spark, sf_dir).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+    )
+    return extract_sft_pairs(t)
 
 
 def _q_jl_projection(spark, sf_dir):
@@ -3904,6 +3934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": _q_semdedup_prune,
         "jl_projection": _q_jl_projection,
         "render_conversations": _q_render_conversations,
+        "sft_pairs": _q_sft_pairs,
+        "weighted_sample_per_lang": _q_weighted_sample_per_lang,
         "pagerank_supply_graph": _q_pagerank_supply_graph,
         "hits_supply_graph": _q_hits_supply_graph,
         "streaming_neardup_match": _q_streaming_neardup_match,
@@ -4888,6 +4920,22 @@ def oracle_sql() -> dict[str, str]:
         # exactly representable), es_key = ln(u)/w rounded to 9 dp BEFORE
         # ranking (absorbs libm ln ulp), id tie-break; row_number replays
         # the distributed global_rank
+        "weighted_sample_per_lang": """
+            WITH k AS (
+              SELECT doc_id, lang, n_chars,
+                     round(ln((CAST(('0x' || substr(md5('aes-v1' ||
+                                CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                               + 0.5) / 4503599627370496.0)
+                           / CAST(n_chars AS DOUBLE), 9) AS es_key
+              FROM documents WHERE n_chars > 0),
+            rk AS (
+              SELECT doc_id, lang, n_chars, es_key,
+                     CAST(row_number() OVER (PARTITION BY lang
+                                             ORDER BY es_key DESC, doc_id)
+                          - 1 AS BIGINT) AS es_rank
+              FROM k)
+            SELECT doc_id, lang, n_chars, es_key, es_rank FROM rk
+            WHERE es_rank < 20""",
         "weighted_sample": """
             WITH k AS (
               SELECT doc_id, n_chars,
@@ -4975,6 +5023,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, n_turns,
                    CAST(length(text) AS BIGINT) AS n_chars, text
             FROM agg""",
+        "sft_pairs": _CONV_FP_SQL + """,
+            rt AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN turn_idx % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role, text
+              FROM turns),
+            lagged AS (
+              SELECT conv_id, turn_idx, role, text,
+                     lag(role) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev_role,
+                     lag(text) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev_text
+              FROM rt)
+            SELECT conv_id, turn_idx, prev_text AS prompt,
+                   text AS response
+            FROM lagged
+            WHERE role = 'assistant' AND prev_role = 'user'""",
         "fuzzy_bm25_topk": _fuzzy_bm25_oracle(),
         "frame_schedule": """
             WITH media AS (

@@ -104,6 +104,59 @@ def render_conversations(
     )
 
 
+def extract_sft_pairs(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """(conv_id, turn_idx, prompt, response): supervised fine-tuning pair
+    extraction -- every `response_role` turn immediately preceded (by
+    turn_idx order within its conversation) by a `prompt_role` turn
+    yields one training pair; turn_idx is the RESPONSE turn's index.
+
+    The standard instruction-data mining step over chat transcripts:
+    adjacent user->assistant exchanges become (prompt, response) rows,
+    multi-turn context handling deferred to render_conversations (whole
+    -conversation documents) -- the two ops together cover the single
+    -exchange and full-context SFT formats.
+
+    SCALE: one lag() window PARTITIONED by conversation (never global) --
+    a single shuffle on conv_id, per-group state bounded by conversation
+    length. Deterministic: (conv_id, turn_idx) is unique by contract, so
+    lag's order is total; replays as DuckDB lag(...) OVER (PARTITION BY
+    conv ORDER BY idx).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    prev_role = F.lag(F.col(role_col)).over(w)
+    prev_text = F.lag(F.col(text_col)).over(w)
+    return (
+        turns.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(idx_col).alias("turn_idx"),
+            F.col(role_col).alias("_role"),
+            F.col(text_col).alias("_text"),
+            prev_role.alias("_prev_role"),
+            prev_text.alias("_prev_text"),
+        )
+        .where(
+            (F.col("_role") == response_role)
+            & (F.col("_prev_role") == prompt_role)
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("_prev_text").alias("prompt"),
+            F.col("_text").alias("response"),
+        )
+    )
+
+
 def turn_fingerprint(text: Column) -> Column:
     """md5 of the whitespace-folded lowercase turn text (content identity)."""
     return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))

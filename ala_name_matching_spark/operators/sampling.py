@@ -135,6 +135,49 @@ def weighted_sample(
     return ranked.where(F.col("es_rank") < k).drop("_negkey")
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "aes-v1",
+) -> DataFrame:
+    """Top-k weighted sample WITHIN each group (A-ES per key): the
+    per-domain quota variant of weighted_sample -- "k quality-weighted
+    docs per source/language/site", the standard per-domain budget rule
+    for mixture curation.
+
+    Identical Efraimidis-Spirtes key construction as weighted_sample
+    (md5 uniform, ln(u)/w, 9-dp rounded, id tie-break), but the rank is a
+    window PARTITIONED by the group -- per-group state is bounded by the
+    group, the shuffle is one exchange on group_col, and no global sort
+    exists anywhere (the global variant is the one that needs the
+    global_rank lane). Output: input columns + es_key + es_rank
+    (0-based within group).
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16**13))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    # largest u^(1/w) wins <=> es_key DESC (the weighted_sample order:
+    # it ranks on the negated key ascending)
+    w = Window.partitionBy(group_col).orderBy(F.col("es_key").desc(), id_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .withColumn("es_rank", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("es_rank") < k)
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_budget: int = 2048,

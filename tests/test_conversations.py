@@ -195,3 +195,27 @@ def test_render_conversations_without_roles(spark):
         spark.createDataFrame(rows), role_col=None
     ).collect()
     assert out[0]["text"] == "x\ny"
+
+
+def test_extract_sft_pairs_adjacency(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.conversations import (
+        extract_sft_pairs,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 4 + ["b"] * 2,
+            "turn_idx": [0, 1, 2, 3, 0, 1],
+            "role": ["user", "assistant", "assistant", "user", "system", "assistant"],
+            "text": ["q1", "a1", "a2", "q2", "sys", "a"],
+        }
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["prompt"], r["response"])
+        for r in extract_sft_pairs(spark.createDataFrame(rows)).collect()
+    }
+    # only assistant turns IMMEDIATELY preceded by a user turn qualify:
+    # a/1 (q1->a1) yes; a/2 (prev assistant) no; b/1 (prev system) no
+    assert got == {("a", 1): ("q1", "a1")}

@@ -165,3 +165,33 @@ def test_weighted_sample_weight_dominance_and_zero_exclusion(spark):
     }
     assert 7 in other  # dominance survives any salt
     assert ids != other  # but the uniform draw changes
+
+
+def test_weighted_sample_per_group_quota_and_determinism(spark):
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "lang": ["en"] * 40 + ["de"] * 15 + ["fr"] * 5,
+            "w": [1 + (i % 7) for i in range(60)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = weighted_sample_per_group(df, "w", k=10, group_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # quota: min(k, group size) per group; ranks 0..n-1 within group
+    assert len(by_lang["en"]) == 10
+    assert len(by_lang["de"]) == 10
+    assert len(by_lang["fr"]) == 5
+    for rs in by_lang.values():
+        assert sorted(r["es_rank"] for r in rs) == list(range(len(rs)))
+    # deterministic across runs
+    again = weighted_sample_per_group(df, "w", k=10, group_col="lang").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
