@@ -1006,10 +1006,11 @@ def _stream_stage(df, spark, prefix):
     return spark.readStream.schema(schema).parquet(src), tmp
 
 
-def _finish_stream(q, spark, build_result, *tmp_dirs):
+def _finish_stream(q, build_result, *tmp_dirs):
     """Await an availableNow streaming query, materialize the read-back
     result, and remove the scratch dirs (staging + checkpoint + sink --
-    repeated sweep runs would otherwise leak GBs of /tmp state).
+    repeated sweep runs would otherwise leak GBs of /tmp state; the
+    cleanup runs in a finally so the TIMEOUT path cannot leak either).
 
     `build_result` is a CALLABLE constructing the read-back DataFrame: the
     sink paths exist (and their parquet file listings are complete) only
@@ -1019,13 +1020,14 @@ def _finish_stream(q, spark, build_result, *tmp_dirs):
     silently-truncated result."""
     import shutil
 
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("streaming query did not finish within 300 s")
-    out = build_result().localCheckpoint(eager=True)
-    for d in tmp_dirs:
-        shutil.rmtree(d, ignore_errors=True)
-    return out
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming query did not finish within 300 s")
+        return build_result().localCheckpoint(eager=True)
+    finally:
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _q_render_conversations(spark, sf_dir):
@@ -1139,7 +1141,6 @@ def _q_streaming_neardup_match(spark, sf_dir):
     )
     return _finish_stream(
         q,
-        spark,
         lambda: spark.read.parquet(f"{tmp}/out").select(
             "doc_id_l", "doc_id_r", F.round("jaccard", 4).alias("jaccard")
         ),
@@ -1178,7 +1179,7 @@ def _q_streaming_index_update(spark, sf_dir):
         )
         return posts.join(dl, "doc_id").select("doc_id", "term", "tf", "dl")
 
-    return _finish_stream(q, spark, build, tmp, idx)
+    return _finish_stream(q, build, tmp, idx)
 
 
 def _q_streaming_semdedup_match(spark, sf_dir):
@@ -1217,7 +1218,6 @@ def _q_streaming_semdedup_match(spark, sf_dir):
     )
     return _finish_stream(
         q,
-        spark,
         lambda: spark.read.parquet(f"{tmp}/out").select(
             "vec_id", "corpus_vec_id", "cluster_id", "cosine"
         ),
@@ -5013,8 +5013,11 @@ def oracle_sql() -> dict[str, str]:
         "render_conversations": _CONV_FP_SQL + """,
             lines AS (
               SELECT conv_id, turn_idx,
+                     -- coalesce mirrors the Spark operator's null-text
+                     -- handling (null turn -> 'role: ' line, still counted)
                      (CASE WHEN turn_idx % 2 = 0 THEN 'user'
-                           ELSE 'assistant' END) || ': ' || text AS line
+                           ELSE 'assistant' END) || ': '
+                       || coalesce(text, '') AS line
               FROM turns),
             agg AS (
               SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,

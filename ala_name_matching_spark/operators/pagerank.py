@@ -149,6 +149,8 @@ def hits(
     that exact integer to the same nearest double before the sqrt. The
     trajectory replays as unrolled CTEs (hits_oracle_sql).
     """
+    if iters < 1:
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     ).localCheckpoint(eager=True)
@@ -221,6 +223,8 @@ def hits(
 def hits_oracle_sql(edges_sql: str, iters: int = 3) -> str:
     """DuckDB replay of hits(): identical quantized sums, HUGEINT norm
     accumulator (exact like Spark's DECIMAL(38,0)), 9-dp rounds."""
+    if iters < 1:
+        raise ValueError(f"hits_oracle_sql: iters must be >= 1, got {iters}")
     parts = [
         f"e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM ({edges_sql}))",
         "nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e)",

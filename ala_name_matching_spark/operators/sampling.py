@@ -80,6 +80,23 @@ def stratified_sample(
     return df.filter(bucket < cut)
 
 
+def _es_key(id_col: str, weight_col: str, salt: str):
+    """The shared A-ES sort key: ln(u)/w from a 52-bit salted-md5 uniform,
+    9-dp rounded -- the cross-engine determinism contract both the global
+    and the per-group weighted samplers (and their oracles) encode. ONE
+    definition so a change to the salt scheme / hex width / rounding
+    cannot drift between the two lanes."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16**13))
+    return F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,
@@ -117,15 +134,7 @@ def weighted_sample(
     """
     from ala_name_matching_spark.operators.blocking import global_rank
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16**13))
-    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    key = _es_key(id_col, weight_col, salt)
     base = (
         df.where(F.col(weight_col) > 0)
         .withColumn("es_key", key)
@@ -158,15 +167,7 @@ def weighted_sample_per_group(
     """
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16**13))
-    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    key = _es_key(id_col, weight_col, salt)
     # largest u^(1/w) wins <=> es_key DESC (the weighted_sample order:
     # it ranks on the negated key ascending)
     w = Window.partitionBy(group_col).orderBy(F.col("es_key").desc(), id_col)
