@@ -996,14 +996,37 @@ def _stream_stage(df, spark, prefix):
     """Stage a DataFrame as the parquet file-source of a streaming query;
     returns (stream_df, tmp_dir). Fresh dir per call so repeated runs
     (strict partition-invariance sweeps) never collide; callers hand the
-    dir to _finish_stream, which removes it after the sink is read back."""
+    dir to _finish_stream, which removes it after the sink is read back.
+    If staging itself fails mid-way the dir is removed before re-raising
+    (the cleanup-in-finally discipline extended to the setup phase)."""
+    import shutil
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix=prefix)
-    src = f"{tmp}/in"
-    df.write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-    return spark.readStream.schema(schema).parquet(src), tmp
+    try:
+        src = f"{tmp}/in"
+        df.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        return spark.readStream.schema(schema).parquet(src), tmp
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def _stream_wired(start_fn, *tmp_dirs):
+    """Run a streaming query's WIRING phase (index build + .start()) with
+    scratch-dir cleanup on failure: if wiring raises, the already-created
+    tmp dirs are removed before re-raising, so a failed setup never leaks
+    /tmp state (previously only the await/read-back phase was covered by
+    _finish_stream's finally)."""
+    import shutil
+
+    try:
+        return start_fn()
+    except BaseException:
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        raise
 
 
 def _finish_stream(q, build_result, *tmp_dirs):
@@ -1129,15 +1152,18 @@ def _q_streaming_neardup_match(spark, sf_dir):
         (F.col("doc_id") + 3000000).alias("doc_id"), "text"
     )
     stream, tmp = _stream_stage(qdocs, spark, "stream_nd_")
-    q = streaming_neardup_match(
-        stream,
-        corpus,
-        f"{tmp}/out",
-        f"{tmp}/ckpt",
-        num_hashes=16,
-        bands=8,
-        shingle_n=3,
-        threshold=0.4,
+    q = _stream_wired(
+        lambda: streaming_neardup_match(
+            stream,
+            corpus,
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            num_hashes=16,
+            bands=8,
+            shingle_n=3,
+            threshold=0.4,
+        ),
+        tmp,
     )
     return _finish_stream(
         q,
@@ -1164,11 +1190,20 @@ def _q_streaming_index_update(spark, sf_dir):
     import tempfile
 
     idx = tempfile.mkdtemp(prefix="stream_idx_")
-    build_index(d.where(F.col("doc_id") % 2 == 0), idx)
-    stream, tmp = _stream_stage(
-        d.where(F.col("doc_id") % 2 == 1), spark, "stream_idx_in_"
-    )
-    q = streaming_index_update(stream, idx, f"{tmp}/ckpt")
+
+    def _wire():
+        build_index(d.where(F.col("doc_id") % 2 == 0), idx)
+        stream, tmp = _stream_stage(
+            d.where(F.col("doc_id") % 2 == 1), spark, "stream_idx_in_"
+        )
+        return (
+            _stream_wired(
+                lambda: streaming_index_update(stream, idx, f"{tmp}/ckpt"), tmp
+            ),
+            tmp,
+        )
+
+    q, tmp = _stream_wired(_wire, idx)
 
     def build():
         posts = spark.read.parquet(f"{idx}/postings").select(
@@ -1206,15 +1241,23 @@ def _q_streaming_semdedup_match(spark, sf_dir):
         ),
     )
     stream, tmp = _stream_stage(qvec, spark, "stream_sd_")
-    q = streaming_semdedup_match(
-        stream,
-        corpus,
-        f"{tmp}/out",
-        f"{tmp}/ckpt",
-        n_clusters=8,
-        iters=2,
-        threshold=0.95,
-        dim=64,
+    # n_clusters=None -> k = max(8, n_corpus // 125) computed inside the
+    # operator: cluster membership stays ~constant with corpus scale, so
+    # the per-batch within-cluster verify is linear, not superlinear (the
+    # same k rule as _q_semdedup_prune; the oracle derives the identical k
+    # from count(nv_t) via k_sql -- VERDICT r04 #1).
+    q = _stream_wired(
+        lambda: streaming_semdedup_match(
+            stream,
+            corpus,
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            n_clusters=None,
+            iters=2,
+            threshold=0.95,
+            dim=64,
+        ),
+        tmp,
     )
     return _finish_stream(
         q,
@@ -1222,6 +1265,141 @@ def _q_streaming_semdedup_match(spark, sf_dir):
             "vec_id", "corpus_vec_id", "cluster_id", "cosine"
         ),
         tmp,
+    )
+
+
+def _q_streaming_drift_monitor(spark, sf_dir):
+    # Streaming drift monitoring vs a STATIC reference slice: the English
+    # documents pin the binning range (ref min/max collected once at
+    # wiring), the non-English slice arrives as the stream and its
+    # n_chars histogram is scored per micro-batch with the SAME smoothed
+    # PSI / JS bin terms as the batch distribution_drift lane
+    # (profiling.drift_term_cols -- one definition, both lanes). The
+    # stream is staged as ONE file so availableNow processes it as ONE
+    # batch: the sink rows then equal the batch drift of the whole
+    # slice, which is what the oracle replays (per-batch histograms are
+    # composition-dependent, so single-batch staging is what makes this
+    # lane value-checkable; the multi-batch path is pytest-covered).
+    from ala_name_matching_spark.streaming.incremental import (
+        streaming_drift_monitor,
+    )
+
+    d = _docs(spark, sf_dir)
+    ref = d.where(F.col("lang") == "en").select("doc_id", "n_chars")
+    cur = d.where(F.col("lang") != "en").select("doc_id", "n_chars")
+    stream, tmp = _stream_stage(cur.coalesce(1), spark, "stream_drift_")
+    q = _stream_wired(
+        lambda: streaming_drift_monitor(
+            stream,
+            ref,
+            "n_chars",
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            n_bins=10,
+            smoothing=0.5,
+        ),
+        tmp,
+    )
+    return _finish_stream(
+        q,
+        lambda: spark.read.parquet(f"{tmp}/out").select(
+            "bin", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term", "jsd_term"
+        ),
+        tmp,
+    )
+
+
+def _q_compaction_checksum(spark, sf_dir):
+    # S3 compaction content-parity as a VALUE-CHECKED query (was
+    # tests-only): documents are written as 16 small files, bin-packed by
+    # compact_table (readers.py:100 -- the reference's index
+    # optimize/forceMerge(1), DwcaNameIndexer.java:614-626), and the
+    # read-back is content-checksummed per lang. The oracle computes the
+    # same (n_rows, checksum) directly over the source table, so a green
+    # row proves the rewrite preserved the exact row multiset; the
+    # `compacted` literal additionally value-checks that the bin-pack
+    # actually RAN (16 files > n_target * slack by construction).
+    import shutil
+    import tempfile
+
+    from ala_name_matching_spark.operators.profiling import content_checksum
+    from ala_name_matching_spark.sources.readers import compact_table
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    tmp = tempfile.mkdtemp(prefix="compact_ck_")
+    try:
+        path = f"{tmp}/docs"
+        d.repartition(16).write.parquet(path)
+        stats = compact_table(spark, path, target_file_mb=1024)
+        back = spark.read.parquet(path)
+        return (
+            content_checksum(back, ["doc_id", "lang", "text"], group_col="lang")
+            .withColumn("compacted", F.lit(bool(stats["compacted"])))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_ann_ivf_persisted_topk(spark, sf_dir):
+    # Persisted-IVF roundtrip (was tests-only): build_ivf_index writes
+    # centroids + list_id-partitioned lists to disk, ivf_topk_from_index
+    # answers from the files alone (partition pruning on the probed
+    # lists). Same planted fixture + (16 lists, nprobe=6, rounded-rank)
+    # config as ann_ivf_topk, so the analytic truth set -- the five
+    # colinear copies per query at cosine 1.0 -- is unchanged and the
+    # oracle is shared verbatim: a green row proves the index survives
+    # the disk roundtrip bit-for-bit.
+    import shutil
+    import tempfile
+
+    from ala_name_matching_spark.operators.similarity_search import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    corpus, queries = _ann_planted_corpus_and_queries(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        build_ivf_index(corpus, f"{tmp}/idx", n_centroids=16)
+        return ivf_topk_from_index(
+            spark,
+            f"{tmp}/idx",
+            queries,
+            k=5,
+            nprobe=6,
+            rank_rounded=True,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_ivfpq_full_probe_topk(spark, sf_dir):
+    # IVF-PQ composition at FULL probe (was parity-tested only,
+    # test_pq.py): with nprobe = n_centroids the coarse quantizer prunes
+    # nothing, so ivfpq_topk must reproduce pq_adc_topk bit-for-bit --
+    # and therefore shares its unrolled train+encode+ADC oracle verbatim.
+    # A green row value-checks the IVF->PQ candidate plumbing (home-list
+    # assign, probed-list equi-join, per-pair grid lookup) end to end;
+    # the pruning configs' recall floors stay pytest-covered.
+    from ala_name_matching_spark.operators.pq import ivfpq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # exclude_self=False: pq_adc_topk keeps the self pair (its quantized
+    # self-distance is informative), so bit-for-bit parity requires it
+    return ivfpq_topk(
+        q,
+        emb,
+        m_subs=4,
+        k=8,
+        iters=2,
+        topk=10,
+        n_centroids=8,
+        nprobe=8,
+        exclude_self=False,
     )
 
 
@@ -3941,6 +4119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup_match": _q_streaming_neardup_match,
         "streaming_index_update": _q_streaming_index_update,
         "streaming_semdedup_match": _q_streaming_semdedup_match,
+        "streaming_drift_monitor": _q_streaming_drift_monitor,
+        "compaction_checksum": _q_compaction_checksum,
+        "ann_ivf_persisted_topk": _q_ann_ivf_persisted_topk,
+        "ivfpq_full_probe_topk": _q_ivfpq_full_probe_topk,
         "prefix_containment": _q_prefix_containment,
         "bm25_topk": _q_bm25_topk,
         "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
@@ -4136,7 +4318,8 @@ def _semdedup_oracle() -> str:
 def _streaming_semdedup_oracle() -> str:
     # corpus Lloyd + query assignment + within-cluster cosine, via the
     # same CTE generator as the batch semdedup oracle (parameters mirror
-    # _q_streaming_semdedup_match: k=8, 2 iterations, threshold 0.95)
+    # _q_streaming_semdedup_match: corpus-scaled k = max(8, n//125)
+    # derived from count(nv_t), 2 iterations, threshold 0.95)
     from ala_name_matching_spark.operators.semdedup import (
         semdedup_match_oracle_sql,
     )
@@ -4147,12 +4330,13 @@ def _streaming_semdedup_oracle() -> str:
         " FROM embeddings)"
     )
     return semdedup_match_oracle_sql(
-        n_clusters=8,
         iters=2,
         threshold=0.95,
         dim=64,
         corpus_table="embeddings",
         query_table=qt,
+        # the same corpus-scaled k rule as the batch semdedup oracle
+        k_sql="greatest(8, (SELECT count(*) FROM nv_t) // 125)",
     )
 
 
@@ -5007,6 +5191,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, p.term, p.tf, dl.dl
             FROM p JOIN dl ON p.doc_id = dl.doc_id""",
         "streaming_semdedup_match": _streaming_semdedup_oracle(),
+        # single-batch staging makes the streaming drift rows equal the
+        # batch drift of the whole slice; binning range pinned by the
+        # REFERENCE slice min/max, out-of-range stream values clamp into
+        # the edge bins (Spark's trunc-div vs DuckDB's floor-div diverge
+        # only at negative raw bins, which the clamp maps to 0 either way)
+        "streaming_drift_monitor": """
+            WITH ref AS (
+              SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+              WHERE lang = 'en' AND n_chars IS NOT NULL),
+            mm AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
+            cur AS (
+              SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+              WHERE lang <> 'en' AND n_chars IS NOT NULL),
+            rb AS (
+              SELECT least(greatest(((v - lo) * 10) // (hi - lo + 1), 0), 9)
+                       AS bin
+              FROM ref, mm),
+            cb AS (
+              SELECT least(greatest(((v - lo) * 10) // (hi - lo + 1), 0), 9)
+                       AS bin
+              FROM cur, mm),
+            spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+            hist AS (
+              SELECT s.bin,
+                     CAST(coalesce(r.n, 0) AS BIGINT) AS n_ref,
+                     CAST(coalesce(c.n, 0) AS BIGINT) AS n_cur
+              FROM spine s
+              LEFT JOIN (SELECT bin, count(*) AS n FROM rb GROUP BY bin) r
+                ON r.bin = s.bin
+              LEFT JOIN (SELECT bin, count(*) AS n FROM cb GROUP BY bin) c
+                ON c.bin = s.bin),
+            tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                           CAST(sum(n_cur) AS BIGINT) AS tc FROM hist),
+            p AS (
+              SELECT bin, n_ref, n_cur,
+                     (CAST(n_ref AS DOUBLE) + 0.5)
+                       / (CAST(tr AS DOUBLE) + 5.0) AS pr,
+                     (CAST(n_cur AS DOUBLE) + 0.5)
+                       / (CAST(tc AS DOUBLE) + 5.0) AS pc
+              FROM hist, tot)
+            SELECT bin, n_ref, n_cur,
+                   round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+                   round((pc - pr) * ln(pc / pr), 6) AS psi_term,
+                   round(0.5 * (pr * ln(pr / ((pr + pc) / 2.0))
+                         + pc * ln(pc / ((pr + pc) / 2.0))), 6) AS jsd_term
+            FROM p""",
+        # the compaction roundtrip must be content-transparent: the oracle
+        # checksums the SOURCE table; TRUE pins that the bin-pack ran
+        "compaction_checksum": """
+            SELECT lang, count(*) AS n_rows,
+                   CAST(sum(CAST(('0x' || substr(md5(
+                         doc_id || '|' || lang || '|' || text), 1, 8))
+                       AS BIGINT)) AS BIGINT) AS checksum,
+                   TRUE AS compacted
+            FROM documents GROUP BY lang""",
+        # identical truth set to ann_ivf_topk (same fixture + config; the
+        # only difference is the disk roundtrip through build_ivf_index)
+        "ann_ivf_persisted_topk": """
+            SELECT e.vec_id AS query_id,
+                   e.vec_id + g.j * 1000000 AS vec_id,
+                   CAST(1.0 AS DOUBLE) AS cosine,
+                   CAST(g.j AS INT) AS rank
+            FROM embeddings e, generate_series(1, 5) AS g(j)
+            WHERE e.vec_id < 20""",
+        # full probe prunes nothing -> bit-for-bit pq_adc_topk, so the
+        # unrolled PQ train+encode+ADC replay is shared verbatim
+        "ivfpq_full_probe_topk": _pq_oracle(),
         "pagerank_supply_graph": _pagerank_oracle(),
         "hits_supply_graph": _hits_oracle(),
         "jl_projection": _jl_oracle(),

@@ -71,9 +71,14 @@ def render_conversations(
     payload MUST move). Conversation length bounds the per-group state,
     not the corpus.
     """
+    # role is coalesced like text: a NULL role must yield ": text", not a
+    # NULL line -- concat propagates NULL and array_join SKIPS null
+    # elements, which would silently drop the whole turn's text while
+    # n_turns still counts it, breaking the "each turn's text appears
+    # exactly once" invariant.
     text = F.coalesce(F.col(text_col), F.lit(""))
     line = (
-        F.concat(F.col(role_col), F.lit(": "), text)
+        F.concat(F.coalesce(F.col(role_col), F.lit("")), F.lit(": "), text)
         if role_col
         else text
     )

@@ -55,7 +55,13 @@ def pagerank(
     Dangling nodes' mass is redistributed uniformly (the standard
     stochastic-matrix completion), so total rank stays ~1 up to the
     documented 9-dp per-iteration rounding.
+
+    `iters < 1` is an error (pinned to match hits()): a 0-iteration call
+    would silently return the uniform vector, which is never what a
+    caller wants and hides a mis-wired parameter.
     """
+    if iters < 1:
+        raise ValueError(f"pagerank: iters must be >= 1, got {iters}")
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
@@ -280,6 +286,8 @@ def pagerank_oracle_sql(
     """DuckDB replay of pagerank(): unrolled power iterations, identical
     quantized sums and 9-dp rounds. `edges_sql` must yield (src, dst)
     BIGINT columns. Emits (node_id, rank)."""
+    if iters < 1:
+        raise ValueError(f"pagerank_oracle_sql: iters must be >= 1, got {iters}")
     d = damping
     parts = [
         f"e AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM ({edges_sql}))",

@@ -80,6 +80,33 @@ def stratified_sample(
     return df.filter(bucket < cut)
 
 
+def _positive_weights(
+    df: DataFrame, weight_col: str, strict: bool
+) -> DataFrame:
+    """Shared weight-domain gate for the A-ES samplers. A-ES assigns
+    zero mass to weight <= 0 (ln(u)/w flips sign), so those rows are
+    filtered; with `strict` the filter becomes an execution-time
+    raise_error -- zero extra Spark actions, the check rides the same
+    scan -- for callers where a non-positive weight is an upstream bug."""
+    w = F.col(weight_col).cast("double")
+    if strict:
+        # schema-preserving: the raise rides the filter itself
+        return df.where(
+            F.when(w > 0, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"weighted sample: non-positive weight in "
+                            f"'{weight_col}' (strict_weights=True): "
+                        ),
+                        F.col(weight_col).cast("string"),
+                    )
+                ).cast("boolean")
+            )
+        )
+    return df.where(w > 0)
+
+
 def _es_key(id_col: str, weight_col: str, salt: str):
     """The shared A-ES sort key: ln(u)/w from a 52-bit salted-md5 uniform,
     9-dp rounded -- the cross-engine determinism contract both the global
@@ -103,6 +130,7 @@ def weighted_sample(
     weight_col: str,
     k: int,
     salt: str = "aes-v1",
+    strict_weights: bool = False,
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement: the
     Efraimidis-Spirtes exponential-keys scheme (A-ES, Inf. Proc. Letters
@@ -136,7 +164,7 @@ def weighted_sample(
 
     key = _es_key(id_col, weight_col, salt)
     base = (
-        df.where(F.col(weight_col) > 0)
+        _positive_weights(df, weight_col, strict_weights)
         .withColumn("es_key", key)
         .withColumn("_negkey", -F.col("es_key"))
     )
@@ -151,6 +179,8 @@ def weighted_sample_per_group(
     group_col: str,
     id_col: str = "doc_id",
     salt: str = "aes-v1",
+    n_salts: int = 32,
+    strict_weights: bool = False,
 ) -> DataFrame:
     """Top-k weighted sample WITHIN each group (A-ES per key): the
     per-domain quota variant of weighted_sample -- "k quality-weighted
@@ -158,24 +188,52 @@ def weighted_sample_per_group(
     for mixture curation.
 
     Identical Efraimidis-Spirtes key construction as weighted_sample
-    (md5 uniform, ln(u)/w, 9-dp rounded, id tie-break), but the rank is a
-    window PARTITIONED by the group -- per-group state is bounded by the
-    group, the shuffle is one exchange on group_col, and no global sort
-    exists anywhere (the global variant is the one that needs the
-    global_rank lane). Output: input columns + es_key + es_rank
-    (0-based within group).
+    (md5 uniform, ln(u)/w, 9-dp rounded, id tie-break), ranked as a
+    SALTED TWO-STAGE top-k -- never a window partitioned by the group
+    alone over the raw input. Group sizes are data-grain (a lang-grouped
+    corpus is typically ~half one language), so a plain
+    Window.partitionBy(group) would serialize the dominant group's full
+    sort into ONE task for a k-row output: hot-group skew is the
+    single-partition sort wearing a partition-spec disguise. Instead:
+
+      1. rank within (group, salt) where salt = pmod(xxhash64(id),
+         n_salts) -- n_salts-way parallel even for a single dominant
+         group -- and keep <= k rows per salt;
+      2. final rank over the now-BOUNDED <= n_salts * k rows per group.
+
+    Output is IDENTICAL to the naive shape: the A-ES keys plus id
+    tie-break are a total order, and every group-top-k row is by
+    definition in its own salt partition's top-k, so stage 1 never drops
+    a winner. Stage 2's per-group state is bounded by n_salts * k
+    (parallelism-grain, not data-grain). One extra narrow hash column
+    and one extra bounded shuffle buy the de-skew; raise n_salts with
+    the cluster. Output: input columns + es_key + es_rank (0-based
+    within group).
+
+    Rows with weight <= 0 carry zero A-ES mass and are EXCLUDED;
+    `strict_weights=True` turns silent exclusion into an execution-time
+    error for pipelines where a non-positive weight means an upstream
+    bug rather than "don't sample me".
     """
     from pyspark.sql import Window
 
     key = _es_key(id_col, weight_col, salt)
-    # largest u^(1/w) wins <=> es_key DESC (the weighted_sample order:
-    # it ranks on the negated key ascending)
-    w = Window.partitionBy(group_col).orderBy(F.col("es_key").desc(), id_col)
+    base = _positive_weights(df, weight_col, strict_weights).withColumn(
+        "es_key", key
+    )
+    s = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int")
+    order = [F.col("es_key").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(*order)
+    pruned = (
+        base.withColumn("_salt", s)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
     return (
-        df.where(F.col(weight_col) > 0)
-        .withColumn("es_key", key)
-        .withColumn("es_rank", (F.row_number().over(w) - 1).cast("long"))
+        pruned.withColumn("es_rank", (F.row_number().over(w2) - 1).cast("long"))
         .where(F.col("es_rank") < k)
+        .drop("_salt", "_r1")
     )
 
 

@@ -288,6 +288,7 @@ def semdedup_match_oracle_sql(
     query_table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    k_sql: str | None = None,
 ) -> str:
     """DuckDB replay of streaming_semdedup_match's batch-equivalent result.
 
@@ -298,9 +299,15 @@ def semdedup_match_oracle_sql(
     streaming sink accumulates, independent of how the stream was split
     into micro-batches (each query row is processed exactly once against
     the static index). `query_table` must expose (vec_id, DOUBLE[] sv).
+
+    `k_sql` (a SQL expression over nv_t -- the unit-rounded CORPUS) makes
+    the cluster count corpus-dependent inside the oracle, mirroring a
+    Spark caller that scales k with the index corpus (the fixed-k regime
+    makes the per-batch within-cluster verify superlinear in corpus size;
+    see semdedup_oracle_sql's k_sql note).
     """
     parts = _lloyd_cte_parts(
-        n_clusters, iters, dim, corpus_table, id_col, vec_col, None
+        n_clusters, iters, dim, corpus_table, id_col, vec_col, k_sql
     )
     parts.append(
         f"qn AS (SELECT {id_col} AS vec_id, {_unit_sql('sv')} AS qnv "

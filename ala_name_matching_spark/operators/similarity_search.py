@@ -461,6 +461,7 @@ def ivf_topk_from_index(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """Query a persisted IVF index (build_ivf_index layout).
 
@@ -469,7 +470,8 @@ def ivf_topk_from_index(
     scan time (dynamic partition pruning against the broadcast query side)
     -- the physical read is ~corpus * nprobe / n_centroids, matching the
     in-memory ivf_topk's candidate volume but without recomputing
-    assignments per query batch.
+    assignments per query batch. `rank_rounded` as in ivf_topk (rank on
+    the 6-dp cosine for cross-engine-stable ordering of exact ties).
     """
     cen = spark.read.parquet(f"{path}/centroids").collect()
     centroids = np.zeros((len(cen), len(cen[0]["centroid"])))
@@ -483,8 +485,9 @@ def ivf_topk_from_index(
     scored = c.join(q, "list_id").withColumn(
         "cosine", cosine_col(F.col("qv"), F.col("cv"))
     )
+    order_col = F.round(F.col("cosine"), 6) if rank_rounded else F.col("cosine")
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
+        order_col.desc(), F.col("vec_id").asc()
     )
     return (
         scored.filter(F.col("query_id") != F.col("vec_id"))

@@ -349,7 +349,7 @@ def streaming_semdedup_match(
     corpus: DataFrame,
     out_path: str,
     checkpoint_path: str,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     iters: int = 2,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -368,6 +368,15 @@ def streaming_semdedup_match(
     cluster_id against the persisted members, exact cosine verify.
     Writes (vec_id, corpus_vec_id, cluster_id, cosine, epoch) effectively
     exactly-once (epoch-partitioned idempotent sink).
+
+    `n_clusters=None` (the default) scales k with the index corpus --
+    k = max(8, n_corpus // 125), the same |C|/target rule as the batch
+    semdedup lane -- so expected cluster membership stays ~constant and
+    the per-batch within-cluster verify join is LINEAR in batch size,
+    independent of corpus scale. A FIXED k would make every cluster's
+    membership grow linearly with the corpus and the verify join grow
+    superlinearly (the r03/r04 fixed-k regime, fixed in the batch lane
+    first). Pass an explicit int only for bounded experiment corpora.
     """
     from ala_name_matching_spark.operators.semdedup import (
         _assign_udf,
@@ -382,6 +391,8 @@ def streaming_semdedup_match(
         F.col(id_col).alias("corpus_vec_id"), unit_rounded_col(F.col(vec_col)).alias("cnv")
     )
     cv.persist()
+    if n_clusters is None:
+        n_clusters = max(8, cv.count() // 125)
     cents = kmeans_fit(
         cv.select(F.col("corpus_vec_id").alias("vec_id"), F.col("cnv").alias("nv")),
         n_clusters,

@@ -230,6 +230,11 @@ def main():
         "streaming_neardup_match",
         "streaming_index_update",
         "streaming_semdedup_match",
+        "streaming_drift_monitor",
+        # round-5 additions: disk-roundtrip + composition parity lanes
+        "compaction_checksum",
+        "ann_ivf_persisted_topk",
+        "ivfpq_full_probe_topk",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: consume(f(spark, SF_DIR)))

@@ -219,3 +219,31 @@ def test_extract_sft_pairs_adjacency(spark):
     # only assistant turns IMMEDIATELY preceded by a user turn qualify:
     # a/1 (q1->a1) yes; a/2 (prev assistant) no; b/1 (prev system) no
     assert got == {("a", 1): ("q1", "a1")}
+
+
+def test_render_conversations_null_role_keeps_turn_text(spark):
+    """A NULL role must not erase the turn: concat propagates NULL and
+    array_join SKIPS null array elements, so an un-coalesced role would
+    silently drop the turn's text while n_turns still counts it --
+    breaking the per-turn text-equality invariant. The null-role line
+    renders as ': text'."""
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.conversations import (
+        render_conversations,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3,
+            "turn_idx": [0, 1, 2],
+            "role": ["user", None, "assistant"],
+            "text": ["hello", "middle turn", "bye"],
+        }
+    )
+    out = render_conversations(spark.createDataFrame(pdf)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_turns"] == 3
+    assert r["text"] == "user: hello\n: middle turn\nassistant: bye"
+    assert r["n_chars"] == len(r["text"])

@@ -538,3 +538,37 @@ def test_streaming_drift_monitor_parity_and_shift(spark, tmp_path):
     psi = sum(r["psi_term"] for r in rows)
     assert abs(psi) < 0.05  # near-identical distribution
     assert "epoch" in spark.read.parquet(out_path).columns
+
+
+def test_stream_setup_failure_cleans_scratch_dirs(spark, tmp_path):
+    """ADVICE r04: a failure during the streaming WIRING phase (staging
+    write, index build, .start()) must remove the already-created /tmp
+    scratch dirs -- previously only the await/read-back phase was covered
+    by _finish_stream's finally, so a wiring error leaked the dirs."""
+    import glob
+    import os
+    import tempfile
+
+    import __spark_entry__ as entry
+
+    # _stream_wired: dirs are removed when the wiring thunk raises
+    d = str(tmp_path / "scratch")
+    os.makedirs(d)
+
+    def boom():
+        raise RuntimeError("wiring failed")
+
+    with pytest.raises(RuntimeError, match="wiring failed"):
+        entry._stream_wired(boom, d)
+    assert not os.path.exists(d)
+
+    # _stream_stage: its own mkdtemp is removed when staging fails
+    # (raise_error fires during the staging parquet write)
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "stream_fail_*")))
+    bad = spark.range(1).select(
+        F.raise_error(F.lit("staging boom")).cast("string").alias("x")
+    )
+    with pytest.raises(Exception):
+        entry._stream_stage(bad, spark, "stream_fail_")
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "stream_fail_*")))
+    assert after == before

@@ -74,3 +74,21 @@ def test_hits_deterministic(spark):
     a = sorted(map(tuple, hits(df, iters=3).collect()))
     b = sorted(map(tuple, hits(df, iters=3).collect()))
     assert a == b
+
+
+def test_pagerank_iters_lower_bound_pinned(spark):
+    """iters < 1 is an error on BOTH engines' generators (pinned to match
+    hits()): a 0-iteration call would silently return the uniform vector
+    and hide a mis-wired parameter."""
+    import pytest
+
+    from ala_name_matching_spark.operators.pagerank import (
+        pagerank,
+        pagerank_oracle_sql,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="iters must be >= 1"):
+        pagerank(edges, iters=0)
+    with pytest.raises(ValueError, match="iters must be >= 1"):
+        pagerank_oracle_sql("SELECT 1 AS src, 2 AS dst", iters=0)

@@ -195,3 +195,117 @@ def test_weighted_sample_per_group_quota_and_determinism(spark):
     # deterministic across runs
     again = weighted_sample_per_group(df, "w", k=10, group_col="lang").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_weighted_sample_per_group_matches_naive_window(spark):
+    """The salted two-stage top-k must be OUTPUT-IDENTICAL to the naive
+    group-window rank (A-ES keys + id tie-break are a total order, and
+    every group-top-k row is in its own salt partition's top-k, so stage 1
+    never drops a winner) -- the de-skew is a plan change only."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ala_name_matching_spark.operators.sampling import (
+        _es_key,
+        weighted_sample_per_group,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(500),
+            "lang": ["en"] * 400 + ["de"] * 80 + ["fr"] * 20,
+            "w": [1 + (i % 11) for i in range(500)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        (r["lang"], r["doc_id"], r["es_rank"])
+        for r in weighted_sample_per_group(
+            df, "w", k=15, group_col="lang", n_salts=7
+        ).collect()
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    naive = sorted(
+        (r["lang"], r["doc_id"], r["es_rank"])
+        for r in df.where(F.col("w") > 0)
+        .withColumn("es_key", _es_key("doc_id", "w", "aes-v1"))
+        .withColumn("es_rank", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("es_rank") < 15)
+        .collect()
+    )
+    assert got == naive
+
+
+def test_weighted_sample_per_group_no_unbounded_group_window(spark):
+    """Plan-shape guard (VERDICT r04 #2): the window that runs over the
+    UNBOUNDED input (the bottom-most Window in the physical plan) must
+    partition by (group, _salt), never by the group alone -- the
+    group-only window is allowed only over the stage-1-pruned
+    <= n_salts*k rows per group."""
+    import re
+
+    import pandas as pd
+
+    from ala_name_matching_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "lang": ["en"] * 190 + ["de"] * 10,
+            "w": [1.0 + i for i in range(200)],
+        }
+    )
+    out = weighted_sample_per_group(
+        spark.createDataFrame(pdf), "w", k=5, group_col="lang"
+    )
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert len(specs) == 2, plan
+    # plan text is top-down: the LAST spec is the bottom-most window --
+    # the one fed by the raw (unbounded) input -- and must be salted
+    assert "_salt" in specs[-1], plan
+    assert "_salt" not in specs[0], plan
+
+
+def test_weighted_sample_strict_weights(spark):
+    """strict_weights=True turns the silent weight<=0 exclusion into an
+    execution-time error on BOTH sampler lanes; default stays drop."""
+    import pandas as pd
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from ala_name_matching_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(20), "lang": ["en"] * 20, "w": [1.0] * 19 + [0.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    # default: the zero-weight row is dropped, no error
+    assert len(weighted_sample(df, "doc_id", "w", k=25).collect()) == 19
+    assert (
+        len(
+            weighted_sample_per_group(df, "w", k=25, group_col="lang").collect()
+        )
+        == 19
+    )
+    with pytest.raises((Py4JJavaError, Exception)):
+        weighted_sample(
+            df, "doc_id", "w", k=25, strict_weights=True
+        ).collect()
+    with pytest.raises((Py4JJavaError, Exception)):
+        weighted_sample_per_group(
+            df, "w", k=25, group_col="lang", strict_weights=True
+        ).collect()
+    # strict passes untouched when all weights are positive
+    ok = spark.createDataFrame(pdf[pdf.w > 0])
+    assert (
+        len(weighted_sample(ok, "doc_id", "w", k=25, strict_weights=True).collect())
+        == 19
+    )

@@ -17,21 +17,30 @@ small-SF times are floored before dividing: at that scale fixed
 per-query overhead (session round-trips, Arrow worker warm-up)
 dominates and a ratio would measure noise, not growth.
 
+The default query list is NOT hardcoded: it is the top-N most expensive
+queries of the LATEST BENCH_r*.json in the repo root (VERDICT r04 #3 --
+a frozen snapshot silently stops guarding once the cost frontier moves,
+which is exactly how the r04 streaming-semdedup fixed-k defect escaped
+the r03-pinned list). Falls back to a static list only when no bench
+JSON exists.
+
 Usage: python tools/bench_growth.py [sf_small] [sf_big] [limit] [only...]
 Exits 1 if any query's ratio breaches the limit.
 """
 
 from __future__ import annotations
 
+import glob
 import json
+import os
+import re
 import sys
 import time
 
 sys.path.insert(0, ".")
 
-# the r03 top-10 most expensive queries() entries (BENCH_r03.json) --
-# the set where superlinear growth costs the most wall-clock
-DEFAULT_QUERIES = [
+# fallback only -- used when no BENCH_r*.json is present
+_STATIC_FALLBACK = [
     "semdedup_prune",
     "ed_join_pairs",
     "phrase_match",
@@ -43,6 +52,34 @@ DEFAULT_QUERIES = [
     "setsim_join_pairs",
     "pq_adc_topk",
 ]
+
+TOP_N = 10
+
+
+def default_queries(repo_root: str = ".", top_n: int = TOP_N) -> list[str]:
+    """Top-N most expensive queries of the latest BENCH_r*.json (by round
+    number), so the growth guard always tracks the live cost frontier."""
+    cands = glob.glob(os.path.join(repo_root, "BENCH_r*.json"))
+    best, best_round = None, -1
+    for p in cands:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_round:
+            best, best_round = p, int(m.group(1))
+    if best is None:
+        return list(_STATIC_FALLBACK)
+    with open(best) as f:
+        bench = json.load(f)
+    # the driver wraps bench.py's JSON line under "parsed"; a raw
+    # bench.py capture has "queries" at top level
+    qtimes = bench.get("queries") or bench.get("parsed", {}).get(
+        "queries", {}
+    )
+    if not qtimes:
+        return list(_STATIC_FALLBACK)
+    ranked = sorted(qtimes.items(), key=lambda kv: (-kv[1], kv[0]))
+    picked = [name for name, _ in ranked[:top_n]]
+    print(f"[bench_growth] frontier from {os.path.basename(best)}: {picked}")
+    return picked
 
 SMALL_FLOOR_SEC = 0.15
 
@@ -82,7 +119,7 @@ def main():
     sf_small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sf_big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     limit = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
-    names = sys.argv[4:] or DEFAULT_QUERIES
+    names = sys.argv[4:] or default_queries()
 
     import __spark_entry__ as entry_mod
     from ala_name_matching_spark.session import get_spark
