@@ -1374,6 +1374,128 @@ def _q_ann_ivf_persisted_topk(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_exact_dedup(spark, sf_dir):
+    # Watermarked streaming exact dedup (was tests-only): every document
+    # is staged TWICE verbatim -- the replay/re-ingest shape -- and
+    # dropDuplicatesWithinWatermark must pass exactly one copy of each.
+    # The within-batch survivor pick is processing-order, but the planted
+    # duplicates are byte-identical rows, so ANY pick yields the same
+    # values and the lane is fully value-checked: the oracle is simply
+    # one (doc_id, text_hash) row per source document (the fixture has no
+    # organic normalized-text collisions -- exact_dup_groups is empty on
+    # this corpus, which is what makes doc_id deterministic here).
+    from ala_name_matching_spark.streaming.incremental import (
+        streaming_exact_dedup,
+    )
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    )
+    staged = d.unionByName(d)
+    stream, tmp = _stream_stage(staged.coalesce(1), spark, "stream_xd_")
+    q = _stream_wired(
+        lambda: streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(),
+        tmp,
+    )
+    return _finish_stream(
+        q,
+        lambda: spark.read.parquet(f"{tmp}/out").select("doc_id", "text_hash"),
+        tmp,
+    )
+
+
+def _q_bucketed_join_parity(spark, sf_dir):
+    # Bucketed-layout roundtrip (was plan-tested only): orders + lineitem
+    # are written hash-bucketed on the join key (shuffle paid once at
+    # WRITE time), read back through the catalog, and joined+aggregated.
+    # The zero-Exchange property stays pinned by test_bucketed.py; this
+    # row value-checks that the bucketed write/read roundtrip preserves
+    # content exactly (the oracle is the plain join over the source
+    # tables). Money sums ride the cents-quantized order-free contract.
+    import shutil
+    import tempfile
+
+    from ala_name_matching_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    o = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="bucketed_q_")
+    try:
+        write_bucketed(o, "bkq_orders", f"{tmp}/o", "o_orderkey")
+        write_bucketed(li, "bkq_lineitem", f"{tmp}/l", "o_orderkey")
+        j = read_table(spark, "bkq_orders").join(
+            read_table(spark, "bkq_lineitem"), "o_orderkey"
+        )
+        return (
+            j.groupBy("o_orderkey", "o_custkey")
+            .agg(
+                F.count("*").cast("long").alias("n_items"),
+                F.sum(F.round(F.col("l_quantity")).cast("long"))
+                .cast("long")
+                .alias("sum_qty"),
+                (
+                    F.sum(
+                        F.round(F.col("l_extendedprice") * F.lit(100.0)).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / 100.0
+                ).alias("revenue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkq_orders")
+        spark.sql("DROP TABLE IF EXISTS bkq_lineitem")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_jaccard_verify_cross(spark, sf_dir):
+    # Cross-table exact-Jaccard verify (was tests-only): the query-vs
+    # -corpus verify kernel of the streaming near-dup lane, surfaced on a
+    # planted candidate set -- every 10th doc pairs with its own
+    # re-ingest (jaccard exactly 1.0) AND with its successor's re-ingest
+    # (organic word-salad similarity, exactly replayed by the DuckDB
+    # shingle SQL). threshold=0 keeps the low-similarity pairs in the
+    # output, so the verify arithmetic is value-checked across the whole
+    # range, not just the planted hits.
+    from ala_name_matching_spark.operators.dedup import jaccard_verify_cross
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    right = d.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    tenth = d.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_id_l")
+    )
+    succ = d.select((F.col("doc_id") - 1).alias("doc_id_l"), "doc_id")
+    cands = tenth.select(
+        "doc_id_l", (F.col("doc_id_l") + 3000000).alias("doc_id_r")
+    ).unionByName(
+        tenth.join(succ, "doc_id_l").select(
+            "doc_id_l", (F.col("doc_id") + 3000000).alias("doc_id_r")
+        )
+    )
+    return jaccard_verify_cross(
+        d, right, cands, shingle_n=3, threshold=0.0
+    ).withColumn("jaccard", F.round("jaccard", 4))
+
+
 def _q_ivfpq_full_probe_topk(spark, sf_dir):
     # IVF-PQ composition at FULL probe (was parity-tested only,
     # test_pq.py): with nprobe = n_centroids the coarse quantizer prunes
@@ -4123,6 +4245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_checksum": _q_compaction_checksum,
         "ann_ivf_persisted_topk": _q_ann_ivf_persisted_topk,
         "ivfpq_full_probe_topk": _q_ivfpq_full_probe_topk,
+        "streaming_exact_dedup": _q_streaming_exact_dedup,
+        "bucketed_join_parity": _q_bucketed_join_parity,
+        "jaccard_verify_cross": _q_jaccard_verify_cross,
         "prefix_containment": _q_prefix_containment,
         "bm25_topk": _q_bm25_topk,
         "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
@@ -5258,6 +5383,53 @@ def oracle_sql() -> dict[str, str]:
         # full probe prunes nothing -> bit-for-bit pq_adc_topk, so the
         # unrolled PQ train+encode+ADC replay is shared verbatim
         "ivfpq_full_probe_topk": _pq_oracle(),
+        # every row staged twice, byte-identical -> the dedup must emit
+        # exactly the source table (no organic normalized-text collisions
+        # in this corpus: exact_dup_groups is empty)
+        "streaming_exact_dedup": f"""
+            SELECT doc_id, md5(lower({_NORM})) AS text_hash
+            FROM documents""",
+        # the bucketed write/read roundtrip must be content-transparent:
+        # plain join over the SOURCE tables, cents-quantized money sums
+        "bucketed_join_parity": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                     AS sum_qty,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT))
+                       AS DOUBLE) / 100.0 AS revenue
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey % 10 = 0
+            GROUP BY o.o_orderkey, o.o_custkey""",
+        # planted candidate pairs (self re-ingest at jaccard 1.0 +
+        # successor re-ingest at organic similarity), exact shingle
+        # jaccard replayed by the same SQL as the all-pairs dedup oracles
+        "jaccard_verify_cross": f"""
+            WITH t AS (
+              SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                     )) AS sh
+              FROM t
+            ), cands AS (
+              SELECT a.doc_id AS doc_id_l, a.doc_id + 3000000 AS doc_id_r
+              FROM documents a WHERE a.doc_id % 10 = 0
+              UNION ALL
+              SELECT a.doc_id, b.doc_id + 3000000
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % 10 = 0
+            )
+            SELECT c.doc_id_l, c.doc_id_r,
+                   round(len(list_intersect(l.sh, r.sh))::double
+                     / len(list_distinct(list_concat(l.sh, r.sh))), 4)
+                     AS jaccard
+            FROM cands c
+            JOIN s l ON l.doc_id = c.doc_id_l
+            JOIN s r ON r.doc_id = c.doc_id_r - 3000000""",
         "pagerank_supply_graph": _pagerank_oracle(),
         "hits_supply_graph": _hits_oracle(),
         "jl_projection": _jl_oracle(),

@@ -231,10 +231,13 @@ def main():
         "streaming_index_update",
         "streaming_semdedup_match",
         "streaming_drift_monitor",
+        "streaming_exact_dedup",
         # round-5 additions: disk-roundtrip + composition parity lanes
         "compaction_checksum",
         "ann_ivf_persisted_topk",
         "ivfpq_full_probe_topk",
+        "bucketed_join_parity",
+        "jaccard_verify_cross",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: consume(f(spark, SF_DIR)))
