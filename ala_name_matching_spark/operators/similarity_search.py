@@ -437,16 +437,34 @@ def build_ivf_index(
     """
     spark = corpus.sparkSession
     centroids = ivf_train_centroids(corpus, n_centroids, vec_col=vec_col)
+    # single-slice parallelize, NOT createDataFrame().coalesce(1): the
+    # default path slices 16 rows across defaultParallelism partitions
+    # and coalesce(1) then drags one task through every python-eval
+    # slice sequentially (measured 4.4 s for 16 rows vs 0.3 s here)
     spark.createDataFrame(
-        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        spark.sparkContext.parallelize(
+            [
+                (i, [float(x) for x in centroids[i]])
+                for i in range(len(centroids))
+            ],
+            1,
+        ),
         "list_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     home = ivf_assign_udf(centroids, nprobe=1)
     (
         corpus.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
         )
         .withColumn("list_id", F.element_at(home(F.col("cv")), 1))
+        # one shuffle on list_id before the partitioned write: without it
+        # every input partition writes a fragment into every list dir
+        # (n_parts x n_centroids small files -- a scan then pays one task
+        # + footer read per fragment); with it each list is exactly one
+        # file. This is the same pay-the-shuffle-at-write-time trade as
+        # the bucketed layout. At 100 TB add a salt column to the
+        # repartition to split hot lists across several writers/files.
+        .repartition("list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(f"{path}/lists")

@@ -76,7 +76,16 @@ def default_queries(repo_root: str = ".", top_n: int = TOP_N) -> list[str]:
     )
     if not qtimes:
         return list(_STATIC_FALLBACK)
-    ranked = sorted(qtimes.items(), key=lambda kv: (-kv[1], kv[0]))
+    # er_pipeline is benched via run_pipeline directly, not a queries()
+    # entry -- its growth story is the scaling protocol's, not this
+    # harness's -- so drop any bench key that queries() cannot serve
+    import __spark_entry__ as entry_mod
+
+    known = set(entry_mod.queries())
+    ranked = sorted(
+        ((n, t) for n, t in qtimes.items() if n in known),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
     picked = [name for name, _ in ranked[:top_n]]
     print(f"[bench_growth] frontier from {os.path.basename(best)}: {picked}")
     return picked
