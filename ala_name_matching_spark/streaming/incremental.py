@@ -383,7 +383,10 @@ def streaming_semdedup_match(
         kmeans_fit,
         unit_rounded_col,
     )
-    from ala_name_matching_spark.operators.similarity_search import cosine_col
+    from ala_name_matching_spark.operators.similarity_search import (
+        dot_expanded_col,
+        norm_expanded_col,
+    )
 
     if dim is None:
         dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
@@ -400,18 +403,43 @@ def streaming_semdedup_match(
         dim,
     )
     assign = _assign_udf(cents)
-    members = cv.withColumn("cluster_id", assign(F.col("cnv")))
+    # per-member norm ONCE at index time (N rows, not batch x members
+    # pairs); the pair-stream cosine below is the unrolled codegen dot --
+    # bit-identical to cosine_col's interpreted HOF folds, which on the
+    # per-batch verify join are the dominant cost (the same hot spot the
+    # batch semdedup lane eliminated)
+    members = cv.withColumn("cluster_id", assign(F.col("cnv"))).withColumn(
+        "_nc", norm_expanded_col(F.col("cnv"), dim)
+    )
     members.persist()
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        q = batch_df.select(
-            F.col(id_col).alias("vec_id"), unit_rounded_col(F.col(vec_col)).alias("qnv")
-        ).withColumn("cluster_id", assign(F.col("qnv")))
+        # q MUST be materialized before the pair join: unit_rounded_col
+        # is an interpreted HOF lambda, and without a cache barrier
+        # Catalyst inlines it into every one of the dot chain's `dim`
+        # element_at references -- dim interpreted transforms PER PAIR
+        # (measured ~9 s/batch at a mere 250k pairs; with the cache the
+        # pair stream reads materialized arrays and runs in codegen).
+        # members carries the same barrier via its persist above.
+        q = (
+            batch_df.select(
+                F.col(id_col).alias("vec_id"),
+                unit_rounded_col(F.col(vec_col)).alias("qnv"),
+            )
+            .withColumn("cluster_id", assign(F.col("qnv")))
+            .withColumn("_nq", norm_expanded_col(F.col("qnv"), dim))
+            .localCheckpoint(eager=True)
+        )
+        denom = F.col("_nq") * F.col("_nc")
+        cos = F.when(
+            denom > 0,
+            dot_expanded_col(F.col("qnv"), F.col("cnv"), dim) / denom,
+        ).otherwise(F.lit(0.0))
         matched = (
             q.join(members, "cluster_id")
-            .withColumn("cosine", F.round(cosine_col(F.col("qnv"), F.col("cnv")), 6))
+            .withColumn("cosine", F.round(cos, 6))
             .filter(F.col("cosine") >= threshold)
             .select("vec_id", "corpus_vec_id", "cluster_id", "cosine")
         )
