@@ -26,10 +26,15 @@ Spark shape, built for 100 TB:
     corpus size. The k x dim centroid matrix lives on the driver between
     iterations (it is a few KB; this is the canonical distributed-Lloyd
     split).
-  * within-cluster verify: equi-join on cluster_id; the quadratic term is
-    confined to clusters. Hot clusters at scale are the same failure mode
-    as hot ER blocks -- cap/salt with operators/blocking.salt_and_cap_blocks
-    if cluster-size stats show skew (uniform random fixtures don't).
+  * within-cluster verify: ONE Arrow matmul per cluster (applyInPandas,
+    the FAISS blocked-scoring shape) -- the quadratic term is confined
+    to clusters AND executed as a single BLAS call per cell instead of a
+    per-pair expression (r05; the per-pair codegen chain ran at ~3 us/
+    pair, the matmul at ~ns/pair). Per-cluster state is (cell x dim),
+    bounded by the k ~ |C|/target rule. Hot clusters at scale are the
+    same failure mode as hot ER blocks -- cap/salt with
+    operators/blocking.salt_and_cap_blocks if cluster-size stats show
+    skew (uniform random fixtures don't).
 
 Determinism contract (what makes the DuckDB oracle possible): centroids
 init from the ``n_clusters`` lowest-id vectors; every normalized vector
@@ -153,53 +158,27 @@ def semdedup(
         cents = kmeans_fit(v, n_clusters, iters, dim)
         assign = _assign_udf(cents)
         a = v.withColumn("cluster_id", assign(F.col("nv")))
-        # per-vector norm ONCE before the pair join (N rows, not N^2/k
-        # pairs); bit-identical to cosine_col's per-pair norm fold
-        from ala_name_matching_spark.operators.similarity_search import (
-            dot_expanded_col,
-            norm_expanded_col,
-        )
-
-        an = a.withColumn("_n", norm_expanded_col(F.col("nv"), dim))
-        left = an.select(
-            F.col("cluster_id"),
-            F.col("vec_id").alias("_id_l"),
-            F.col("nv").alias("_nv_l"),
-            F.col("_n").alias("_n_l"),
-        )
-        right = an.select(
-            F.col("cluster_id"),
-            F.col("vec_id").alias("_id_r"),
-            F.col("nv").alias("_nv_r"),
-            F.col("_n").alias("_n_r"),
-        )
-        # Verify-join strategy depends on the k regime. At production k
-        # (~|C|/1000, far above core count) the plain equi-join on
-        # cluster_id distributes naturally -- leave it to Catalyst. At
-        # small k the join-key cardinality is BELOW the parallelism, so a
-        # shuffle join serializes the quadratic cosine fold onto <= k
-        # tasks (measured 13-15 s vs 1.6 s at sf0.1/local[32]):
-        # broadcast the right side (small by the same small-k premise --
-        # k cells only stay verify-tractable when the corpus is modest)
-        # and spread the left so every core carries pair work.
-        sc = vectors.sparkSession.sparkContext
-        if n_clusters < 2 * sc.defaultParallelism:
-            left = left.repartition(sc.defaultParallelism)
-            right = F.broadcast(right)
-        # cosine via the unrolled codegen dot (interpreted HOF folds on
-        # the quadratic pair stream were the honest-consume hot spot:
-        # 29.7 s -> codegen at sf0.1); value bit-identical to cosine_col
-        denom = F.col("_n_l") * F.col("_n_r")
-        cos = F.when(
-            denom > 0,
-            dot_expanded_col(F.col("_nv_l"), F.col("_nv_r"), dim) / denom,
-        ).otherwise(F.lit(0.0))
+        # Within-cluster verify as ONE Arrow matmul per cluster
+        # (applyInPandas): the cell's (n, dim) matrix against itself --
+        # the FAISS-style blocked-scoring shape, ~1000x fewer
+        # instructions than any per-pair expression chain (the r03/r05
+        # history of this lane: interpreted HOF folds 29.7 s -> unrolled
+        # codegen dot ~2 s -> blocked matmul; measured ~3 us/pair as an
+        # expression vs ~ns-scale in dgemm). Per-cluster state is
+        # (cell_size x dim), bounded by the k ~ |C|/target rule -- the
+        # same premise that makes SemDeDup tractable at all. Values
+        # match the JVM fold and DuckDB's list_cosine_similarity up to
+        # final-ulp summation order (all three engines sum the same 64
+        # products in different orders); the prune compares RAW cosine
+        # >= threshold exactly like the oracle's WHERE clause, and each
+        # dot is computed by one BLAS kernel invocation per output cell
+        # (K=dim is never split), so the value is partition- and
+        # thread-count-independent.
         pruned = (
-            left.join(right, "cluster_id")
-            .filter(F.col("_id_l") < F.col("_id_r"))
-            .filter(cos >= threshold)
-            .select(F.col("_id_r").alias("vec_id"))
-            .distinct()
+            a.groupBy("cluster_id")
+            .applyInPandas(
+                _make_cluster_prune(threshold), "vec_id long"
+            )
             .withColumn("_pruned", F.lit(True))
         )
         return (
@@ -212,6 +191,28 @@ def semdedup(
         )
     finally:
         v.unpersist()
+
+
+def _make_cluster_prune(threshold: float):
+    """applyInPandas kernel factory: per cluster, emit the vec_ids that a
+    LOWER-id same-cluster vector matches at raw cosine >= threshold."""
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_id": ids[:0]})
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["nv"].to_numpy()[order]])
+        norms = np.linalg.norm(mat, axis=1)
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (mat @ mat.T) / denom, 0.0)
+        iu = np.triu_indices(len(ids), k=1)
+        hit = cos[iu] >= threshold
+        return pd.DataFrame({"vec_id": np.unique(ids[iu[1][hit]])})
+
+    return prune
 
 
 def _unit_sql(vec_expr: str) -> str:

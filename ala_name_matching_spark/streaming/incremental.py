@@ -378,14 +378,13 @@ def streaming_semdedup_match(
     superlinearly (the r03/r04 fixed-k regime, fixed in the batch lane
     first). Pass an explicit int only for bounded experiment corpora.
     """
+    import numpy as np
+    import pandas as pd
+
     from ala_name_matching_spark.operators.semdedup import (
         _assign_udf,
         kmeans_fit,
         unit_rounded_col,
-    )
-    from ala_name_matching_spark.operators.similarity_search import (
-        dot_expanded_col,
-        norm_expanded_col,
     )
 
     if dim is None:
@@ -403,45 +402,53 @@ def streaming_semdedup_match(
         dim,
     )
     assign = _assign_udf(cents)
-    # per-member norm ONCE at index time (N rows, not batch x members
-    # pairs); the pair-stream cosine below is the unrolled codegen dot --
-    # bit-identical to cosine_col's interpreted HOF folds, which on the
-    # per-batch verify join are the dominant cost (the same hot spot the
-    # batch semdedup lane eliminated)
-    members = cv.withColumn("cluster_id", assign(F.col("cnv"))).withColumn(
-        "_nc", norm_expanded_col(F.col("cnv"), dim)
-    )
+    members = cv.withColumn("cluster_id", assign(F.col("cnv")))
     members.persist()
+
+    def verify(key, qp: pd.DataFrame, mp: pd.DataFrame) -> pd.DataFrame:
+        # One Arrow matmul per (batch x cluster) cell -- the blocked
+        # query-vs-members scoring shape (same kernel family as the
+        # batch semdedup prune, operators/semdedup.py
+        # _make_cluster_prune): cosine = Q @ M.T over unit-rounded
+        # vectors, rounded to 6 dp BEFORE the threshold exactly like
+        # the oracle. Per-cell state = (batch_in_cell + members_in_cell)
+        # x dim, bounded by the k ~ |C|/target rule.
+        if qp.empty or mp.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": np.array([], dtype=np.int64),
+                    "corpus_vec_id": np.array([], dtype=np.int64),
+                    "cluster_id": np.array([], dtype=np.int32),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        qm = np.stack([np.asarray(x, dtype=np.float64) for x in qp["qnv"]])
+        mm = np.stack([np.asarray(x, dtype=np.float64) for x in mp["cnv"]])
+        denom = np.outer(np.linalg.norm(qm, axis=1), np.linalg.norm(mm, axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.round(np.where(denom > 0, (qm @ mm.T) / denom, 0.0), 6)
+        qi, mi = np.nonzero(cos >= threshold)
+        return pd.DataFrame(
+            {
+                "vec_id": qp["vec_id"].to_numpy()[qi],
+                "corpus_vec_id": mp["corpus_vec_id"].to_numpy()[mi],
+                "cluster_id": np.full(len(qi), key[0], dtype=np.int32),
+                "cosine": cos[qi, mi],
+            }
+        )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # q MUST be materialized before the pair join: unit_rounded_col
-        # is an interpreted HOF lambda, and without a cache barrier
-        # Catalyst inlines it into every one of the dot chain's `dim`
-        # element_at references -- dim interpreted transforms PER PAIR
-        # (measured ~9 s/batch at a mere 250k pairs; with the cache the
-        # pair stream reads materialized arrays and runs in codegen).
-        # members carries the same barrier via its persist above.
-        q = (
-            batch_df.select(
-                F.col(id_col).alias("vec_id"),
-                unit_rounded_col(F.col(vec_col)).alias("qnv"),
-            )
-            .withColumn("cluster_id", assign(F.col("qnv")))
-            .withColumn("_nq", norm_expanded_col(F.col("qnv"), dim))
-            .localCheckpoint(eager=True)
-        )
-        denom = F.col("_nq") * F.col("_nc")
-        cos = F.when(
-            denom > 0,
-            dot_expanded_col(F.col("qnv"), F.col("cnv"), dim) / denom,
-        ).otherwise(F.lit(0.0))
-        matched = (
-            q.join(members, "cluster_id")
-            .withColumn("cosine", F.round(cos, 6))
-            .filter(F.col("cosine") >= threshold)
-            .select("vec_id", "corpus_vec_id", "cluster_id", "cosine")
+        q = batch_df.select(
+            F.col(id_col).alias("vec_id"),
+            unit_rounded_col(F.col(vec_col)).alias("qnv"),
+        ).withColumn("cluster_id", assign(F.col("qnv")))
+        matched = q.groupBy("cluster_id").cogroup(
+            members.groupBy("cluster_id")
+        ).applyInPandas(
+            verify,
+            "vec_id long, corpus_vec_id long, cluster_id int, cosine double",
         )
         _write_epoch_idempotent(matched, epoch_id, out_path)
 
