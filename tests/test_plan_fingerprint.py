@@ -140,6 +140,14 @@ _QUERY_PINS = [
     ("pq_adc_topk", 8, True, True),
     # postings + per-query top-k; query table broadcast
     ("bm25_topk", 2, False, True),
+    # r05 frontier additions (the guard tracks the live cost frontier):
+    # PPJoin prefix-token equi-join + positional/size filters + verify;
+    # token-frequency dim broadcast
+    ("setsim_join_pairs", 14, True, True),
+    # iterative k-core peel: per-round degree agg + semi-join on the
+    # surviving edge set (localCheckpoint barriers hide the rounds; the
+    # final plan is the last round's agg + label join)
+    ("kcore_membership", 2, False, True),
 ]
 
 
