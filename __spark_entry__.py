@@ -1374,6 +1374,93 @@ def _q_ann_ivf_persisted_topk(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_incremental_er(spark, sf_dir):
+    # Streaming incremental ER (was tests-only): arriving turns are
+    # matched against the static cluster-representative index with the
+    # BATCH search ladder inside foreachBatch (operators/ladder.py;
+    # ALANameSearcher.searchForRecordMetrics analog) -- the north-rule
+    # operator's streaming form. Planted-truth construction, one lane
+    # per ladder outcome, each analytically exact:
+    #   q<id>: verbatim copy of index doc <id>  -> EXACT, score 1.0
+    #          (identical canon/role, JW=Lev=token=1, renormalized
+    #          weighted mean collapses to exactly 1.0), no codes;
+    #   m<id>: copy + ' ?'                      -> norm_key differs,
+    #          canon strips punctuation -> CANONICAL, score 1.0,
+    #          error_codes [QUESTION] (the F10 marker rides through);
+    #   x<id>: nonsense tokens                  -> NO_MATCH + code.
+    # Every query row meets the static index independently, so the
+    # result is micro-batch-split invariant and the oracle is the
+    # planted expectation itself (the fuzzy-tier arithmetic is
+    # value-checked by the pair-score oracles and gated by the
+    # pipeline F1 test; this row pins tier precedence, ranking, the
+    # marker/NO_MATCH/homonym code assembly, and the streaming
+    # exactly-once plumbing end to end).
+    from ala_name_matching_spark.streaming.incremental import (
+        incremental_match,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    role = F.lit("user").alias("role")
+    tool = F.lit(None).cast("string").alias("tool")
+    idx = d.select(
+        F.concat(F.lit("i"), F.col("doc_id").cast("string")).alias(
+            "record_id"
+        ),
+        "text",
+        role,
+        tool,
+    )
+    qs = (
+        d.select(
+            F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias(
+                "record_id"
+            ),
+            "text",
+            role,
+            tool,
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias(
+                    "record_id"
+                ),
+                F.concat("text", F.lit(" ?")).alias("text"),
+                role,
+                tool,
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 25 == 0).select(
+                F.concat(F.lit("x"), F.col("doc_id").cast("string")).alias(
+                    "record_id"
+                ),
+                F.concat(
+                    F.lit("qqqxv jjjzv wwwkv token"),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+                role,
+                tool,
+            )
+        )
+    )
+    stream, tmp = _stream_stage(qs, spark, "stream_er_")
+    q = _stream_wired(
+        lambda: incremental_match(stream, idx, f"{tmp}/out", f"{tmp}/ckpt"),
+        tmp,
+    )
+    return _finish_stream(
+        q,
+        lambda: spark.read.parquet(f"{tmp}/out").select(
+            "query_id",
+            "index_id",
+            "score",
+            "match_type",
+            F.array_join("error_codes", ",").alias("error_codes"),
+        ),
+        tmp,
+    )
+
+
 def _q_streaming_exact_dedup(spark, sf_dir):
     # Watermarked streaming exact dedup (was tests-only): every document
     # is staged TWICE verbatim -- the replay/re-ingest shape -- and
@@ -4246,6 +4333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_persisted_topk": _q_ann_ivf_persisted_topk,
         "ivfpq_full_probe_topk": _q_ivfpq_full_probe_topk,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
+        "streaming_incremental_er": _q_streaming_incremental_er,
         "bucketed_join_parity": _q_bucketed_join_parity,
         "jaccard_verify_cross": _q_jaccard_verify_cross,
         "prefix_containment": _q_prefix_containment,
@@ -5383,6 +5471,28 @@ def oracle_sql() -> dict[str, str]:
         # full probe prunes nothing -> bit-for-bit pq_adc_topk, so the
         # unrolled PQ train+encode+ADC replay is shared verbatim
         "ivfpq_full_probe_topk": _pq_oracle(),
+        # planted-truth ladder expectation, one UNION branch per lane:
+        # verbatim copies -> EXACT 1.0 no codes; '?'-suffixed copies ->
+        # CANONICAL 1.0 + QUESTION (canon strips the punctuation, the
+        # marker flag survives); nonsense -> NO_MATCH + code. Analytic
+        # like the planted ANN oracles -- the engine must reproduce the
+        # known truth set exactly.
+        "streaming_incremental_er": """
+            SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
+                   'i' || CAST(doc_id AS VARCHAR) AS index_id,
+                   CAST(1.0 AS DOUBLE) AS score,
+                   'EXACT' AS match_type, '' AS error_codes
+            FROM documents
+            UNION ALL
+            SELECT 'm' || CAST(doc_id AS VARCHAR),
+                   'i' || CAST(doc_id AS VARCHAR),
+                   CAST(1.0 AS DOUBLE), 'CANONICAL', 'QUESTION'
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT 'x' || CAST(doc_id AS VARCHAR),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+                   'NO_MATCH', 'NO_MATCH'
+            FROM documents WHERE doc_id % 25 = 0""",
         # every row staged twice, byte-identical -> the dedup must emit
         # exactly the source table (no organic normalized-text collisions
         # in this corpus: exact_dup_groups is empty)

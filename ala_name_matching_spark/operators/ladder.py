@@ -36,6 +36,15 @@ MATCH_PROXIMITY = 0.1  # MatchMetrics.java:31
 def _prep(df: DataFrame) -> DataFrame:
     if "record_id" not in df.columns:
         df = with_record_id(df)
+    # spread narrow inputs before the Arrow blocking kernels: a table
+    # read from one file (or one micro-batch split) would otherwise run
+    # every per-row kernel AND each tier's scoring single-threaded --
+    # the same AQE-starves-UDF-stages rule as the pipeline's explicit
+    # repartitions (measured 13.3 -> 5.0 s on a 5000x5000 ladder whose
+    # inputs were single-split scans)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     return with_blocking_columns(df)
 
 
@@ -113,8 +122,19 @@ def search_ladder(
         ("canon_key", "CANONICAL"),
         ("phonetic_key", "PHONETIC"),
     ]
-    q = q.withColumn("norm_key", F.lower(F.col("norm_text")))
-    idx = idx.withColumn("norm_key", F.lower(F.col("norm_text")))
+    # Materialize both prepared sides ONCE: _prep's blocking columns are
+    # Arrow-kernel-heavy and consumed by every tier plus the final
+    # marker-code projection; without the barrier the lazy anti-join
+    # chain re-runs the whole prep per tier (tier 3 re-evaluates tiers
+    # 1-2's lineage -- measured 14 s -> ~4 s at 5000x5000). In
+    # production the index side is a committed (bucketed Iceberg)
+    # table, i.e. already materialized; this is the in-session analog.
+    q = q.withColumn(
+        "norm_key", F.lower(F.col("norm_text"))
+    ).localCheckpoint(eager=True)
+    idx = idx.withColumn(
+        "norm_key", F.lower(F.col("norm_text"))
+    ).localCheckpoint(eager=True)
 
     remaining = q
     matched_parts: list[DataFrame] = []
@@ -153,6 +173,9 @@ def search_ladder(
             F.col("index_id").asc(),
         )
         wq = Window.partitionBy("query_id")
+        # best is consumed twice (result union + the fall-through
+        # anti-join); the checkpoint also stops the NEXT tier's
+        # remaining-chain from replaying this tier's scoring UDFs
         best = (
             scored.withColumn("rn", F.row_number().over(w))
             .withColumn("any_excl", F.max("i_excl").over(wq))
@@ -164,6 +187,7 @@ def search_ladder(
                 .otherwise(F.array().cast("array<string>")),
             )
             .select("query_id", "index_id", "score", "match_type", "match_codes")
+            .localCheckpoint(eager=True)
         )
         matched_parts.append(best)
         # fall-through: only misses proceed to the coarser tier

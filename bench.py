@@ -232,6 +232,7 @@ def main():
         "streaming_semdedup_match",
         "streaming_drift_monitor",
         "streaming_exact_dedup",
+        "streaming_incremental_er",
         # round-5 additions: disk-roundtrip + composition parity lanes
         "compaction_checksum",
         "ann_ivf_persisted_topk",
