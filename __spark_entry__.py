@@ -939,8 +939,8 @@ def _q_semdedup_prune(spark, sf_dir):
     n_vectors = 2 * emb.count()
     k = max(8, n_vectors // 125)
     # _spread parallelizes the normalize/assign projections over the
-    # single-split scan; the verify join's small-k broadcast+spread lives
-    # in semdedup() itself (24.7 s -> ~2 s at sf0.1).
+    # single-split scan; the within-cluster verify is one Arrow matmul
+    # per cluster inside semdedup() (r05 blocked-scoring shape).
     return semdedup(
         _spread(base.unionByName(scaled)),
         n_clusters=k,
