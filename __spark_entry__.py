@@ -1395,11 +1395,23 @@ def _q_streaming_incremental_er(spark, sf_dir):
     # pipeline F1 test; this row pins tier precedence, ranking, the
     # marker/NO_MATCH/homonym code assembly, and the streaming
     # exactly-once plumbing end to end).
+    from ala_name_matching_spark.functions.normalize import canon_text_col
     from ala_name_matching_spark.streaming.incremental import (
         incremental_match,
     )
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # restrict to CANON-unique docs (canon is coarser than norm, so this
+    # also removes norm collisions): within an organic collision group
+    # the tier winner is the min index_id, not necessarily the query's
+    # own source, which would break the planted q<id>->i<id> truth --
+    # sf0.01 has zero such groups but sf0.1 has some, and the lane must
+    # be deterministic at any SF. The oracle applies the same HAVING=1.
+    raw = _docs(spark, sf_dir).select("doc_id", "text")
+    cc = raw.select("doc_id", canon_text_col(F.col("text")).alias("_c"))
+    uniq = cc.groupBy("_c").agg(F.count("*").alias("_n")).where(F.col("_n") == 1)
+    d = raw.join(
+        cc.join(uniq, "_c", "left_semi").select("doc_id"), "doc_id", "left_semi"
+    )
     role = F.lit("user").alias("role")
     tool = F.lit(None).cast("string").alias("tool")
     idx = d.select(
@@ -1467,18 +1479,26 @@ def _q_streaming_exact_dedup(spark, sf_dir):
     # dropDuplicatesWithinWatermark must pass exactly one copy of each.
     # The within-batch survivor pick is processing-order, but the planted
     # duplicates are byte-identical rows, so ANY pick yields the same
-    # values and the lane is fully value-checked: the oracle is simply
-    # one (doc_id, text_hash) row per source document (the fixture has no
-    # organic normalized-text collisions -- exact_dup_groups is empty on
-    # this corpus, which is what makes doc_id deterministic here).
+    # values and the lane is fully value-checked. Only the
+    # COLLISION-FREE subset is staged (docs whose normalized-text hash
+    # is unique in the corpus; the oracle applies the identical HAVING
+    # filter): among an ORGANIC collision group the survivor's doc_id
+    # would be processing-order -- sf0.01 happens to have zero such
+    # groups but sf0.1 has 8, and the query must be deterministic at
+    # ANY scale factor, not just the one the driver checks.
+    from ala_name_matching_spark.functions.normalize import norm_text_col
     from ala_name_matching_spark.streaming.incremental import (
         streaming_exact_dedup,
     )
 
-    d = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
-        .withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    raw = _docs(spark, sf_dir).select("doc_id", "text")
+    hh = raw.select(
+        "doc_id", F.md5(F.lower(norm_text_col(F.col("text")))).alias("_h")
+    )
+    uniq = hh.groupBy("_h").agg(F.count("*").alias("_c")).where(F.col("_c") == 1)
+    keep = hh.join(uniq, "_h", "left_semi").select("doc_id")
+    d = raw.join(keep, "doc_id", "left_semi").withColumn(
+        "ts", F.lit("2026-01-01 00:00:00").cast("timestamp")
     )
     staged = d.unionByName(d)
     stream, tmp = _stream_stage(staged.coalesce(1), spark, "stream_xd_")
@@ -5477,28 +5497,40 @@ def oracle_sql() -> dict[str, str]:
         # marker flag survives); nonsense -> NO_MATCH + code. Analytic
         # like the planted ANN oracles -- the engine must reproduce the
         # known truth set exactly.
-        "streaming_incremental_er": """
+        "streaming_incremental_er": f"""
+            WITH cu AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, {_CANON} AS c FROM documents)
+              QUALIFY count(*) OVER (PARTITION BY c) = 1)
             SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
                    'i' || CAST(doc_id AS VARCHAR) AS index_id,
                    CAST(1.0 AS DOUBLE) AS score,
                    'EXACT' AS match_type, '' AS error_codes
-            FROM documents
+            FROM cu
             UNION ALL
             SELECT 'm' || CAST(doc_id AS VARCHAR),
                    'i' || CAST(doc_id AS VARCHAR),
                    CAST(1.0 AS DOUBLE), 'CANONICAL', 'QUESTION'
-            FROM documents WHERE doc_id % 5 = 0
+            FROM cu WHERE doc_id % 5 = 0
             UNION ALL
             SELECT 'x' || CAST(doc_id AS VARCHAR),
                    CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
                    'NO_MATCH', 'NO_MATCH'
-            FROM documents WHERE doc_id % 25 = 0""",
-        # every row staged twice, byte-identical -> the dedup must emit
-        # exactly the source table (no organic normalized-text collisions
-        # in this corpus: exact_dup_groups is empty)
+            FROM cu WHERE doc_id % 25 = 0""",
+        # every collision-free row staged twice, byte-identical -> the
+        # dedup must emit exactly that subset once (the HAVING filter
+        # mirrors the query's unique-hash staging, so the lane stays
+        # deterministic at any SF -- organic collision groups would make
+        # the survivor doc_id processing-order)
         "streaming_exact_dedup": f"""
-            SELECT doc_id, md5(lower({_NORM})) AS text_hash
-            FROM documents""",
+            WITH h AS (
+              SELECT doc_id, md5(lower({_NORM})) AS text_hash
+              FROM documents),
+            u AS (
+              SELECT text_hash FROM h
+              GROUP BY text_hash HAVING count(*) = 1)
+            SELECT h.doc_id, h.text_hash
+            FROM h JOIN u USING (text_hash)""",
         # the bucketed write/read roundtrip must be content-transparent:
         # plain join over the SOURCE tables, cents-quantized money sums
         "bucketed_join_parity": """
