@@ -1473,6 +1473,71 @@ def _q_streaming_incremental_er(spark, sf_dir):
     )
 
 
+_CLEAN_TAIL = " the of"
+_CLEAN_BOILER = " click here to subscribe now today"
+
+
+def _q_clean_pipeline(spark, sf_dir):
+    # The end-to-end corpus-cleaning pipeline (was tests-only): quality
+    # gates -> exact dedup -> near-dup keep-best -> duplicated-span strip
+    # (plans/clean_pipeline.py -- the documents-side sibling of the ER
+    # pipeline). The oracle composes the four stages' EXISTING green
+    # fragments (gopher_flags, char_entropy, exact keep-min, the
+    # keep-best recursive-CC election, strip_dup_spans) as stage-scoped
+    # CTEs -- each stage's SQL runs over the PREVIOUS stage's survivors
+    # exactly as the pipeline wires them, so a green row proves the
+    # stage sequencing and survivor threading, not just each operator
+    # in isolation.
+    #
+    # Fixture: the raw word-salad corpus carries ZERO Gopher stopwords
+    # (stop_hits < 2 would flag every doc and make the check vacuous),
+    # so every doc gets a TWO-token stopword tail -- long enough to pass
+    # the gate, too short to form any shared 3-token shingle (a
+    # corpus-wide boilerplate tail was measured to inflate the pairwise
+    # jaccard baseline and blow the LSH candidate volume quadratic).
+    # Every 10th doc ALSO gets a 6-token boilerplate sentence: the
+    # cross-doc duplicated span c4 must strip, shared by only ~10% of
+    # docs so candidate volume stays banded-sparse. Planted work for
+    # the dedup stages: every 20th doc gets a verbatim copy
+    # (doc_id+7000000; c2 must keep the lower id), every 25th a
+    # first-token-swapped near twin (doc_id+8000000; shingle jaccard
+    # ~0.9 -> one c3 cluster, keep-best elects by rounded quality + id
+    # tie-break), and one junk row (3 words -> flagged) that the c1
+    # gate must DROP. Returns the `clean` table: one row per surviving
+    # doc with its span-stripped text.
+    from ala_name_matching_spark.plans.clean_pipeline import (
+        run_clean_pipeline,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(_CLEAN_TAIL),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(_CLEAN_BOILER)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    exact_twin = base.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 7000000).alias("doc_id"), "text"
+    )
+    near_twin = base.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 8000000).alias("doc_id"),
+        F.concat(
+            F.lit("zzz "),
+            F.expr("substring(text, instr(text, ' ') + 1)"),
+        ).alias("text"),
+    )
+    junk = spark.createDataFrame(
+        spark.sparkContext.parallelize([(9000000, "a b c")], 1),
+        "doc_id long, text string",
+    )
+    aug = base.unionByName(exact_twin).unionByName(near_twin).unionByName(junk)
+    return run_clean_pipeline(aug)["clean"]
+
+
 def _q_streaming_exact_dedup(spark, sf_dir):
     # Watermarked streaming exact dedup (was tests-only): every document
     # is staged TWICE verbatim -- the replay/re-ingest shape -- and
@@ -4354,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_full_probe_topk": _q_ivfpq_full_probe_topk,
         "streaming_exact_dedup": _q_streaming_exact_dedup,
         "streaming_incremental_er": _q_streaming_incremental_er,
+        "clean_pipeline": _q_clean_pipeline,
         "bucketed_join_parity": _q_bucketed_join_parity,
         "jaccard_verify_cross": _q_jaccard_verify_cross,
         "prefix_containment": _q_prefix_containment,
@@ -5491,6 +5557,158 @@ def oracle_sql() -> dict[str, str]:
         # full probe prunes nothing -> bit-for-bit pq_adc_topk, so the
         # unrolled PQ train+encode+ADC replay is shared verbatim
         "ivfpq_full_probe_topk": _pq_oracle(),
+        # the four cleaning stages' existing green fragments, re-scoped so
+        # each runs over the PREVIOUS stage's survivors exactly as
+        # plans/clean_pipeline.py threads them: gopher+entropy gate ->
+        # exact keep-min dedup -> shingle-CC keep-best election ->
+        # cross-doc duplicated-span strip
+        "clean_pipeline": f"""
+            WITH RECURSIVE
+            ft AS MATERIALIZED (
+              SELECT doc_id,
+                     text || '{_CLEAN_TAIL}' ||
+                     CASE WHEN doc_id % 10 = 0 THEN '{_CLEAN_BOILER}'
+                          ELSE '' END AS text
+              FROM documents),
+            aug AS MATERIALIZED (
+              SELECT doc_id, text FROM ft
+              UNION ALL
+              SELECT doc_id + 7000000, text FROM ft WHERE doc_id % 20 = 0
+              UNION ALL
+              SELECT doc_id + 8000000,
+                     'zzz ' || substring(text, instr(text, ' ') + 1)
+              FROM ft WHERE doc_id % 25 = 0
+              UNION ALL
+              SELECT 9000000, 'a b c'),
+            gm AS MATERIALIZED (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS words,
+                     length(regexp_replace(text, '\\s+', '', 'g')) AS n_word_chars,
+                     len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym
+              FROM aug),
+            gg AS MATERIALIZED (
+              SELECT doc_id,
+                     (n_words < 10 OR n_words > 100000 OR mean_word_len < 3
+                      OR mean_word_len > 10 OR symbol_word_ratio > 0.1
+                      OR alpha_word_frac < 0.8 OR stop_hits < 2) AS flagged
+              FROM (
+                SELECT doc_id, len(words) AS n_words,
+                       round(CASE WHEN len(words) > 0
+                             THEN n_word_chars * 1.0 / len(words) ELSE 0.0 END, 4)
+                         AS mean_word_len,
+                       round(CASE WHEN len(words) > 0
+                             THEN n_sym * 1.0 / len(words) ELSE 0.0 END, 4)
+                         AS symbol_word_ratio,
+                       round(CASE WHEN len(words) > 0
+                             THEN len(list_filter(words,
+                                      w -> regexp_matches(w, '[A-Za-z]')))
+                                  * 1.0 / len(words) ELSE 0.0 END, 4)
+                         AS alpha_word_frac,
+                       len(list_intersect(
+                           list_distinct(list_transform(words, w -> lower(w))),
+                           ['the','be','to','of','and','that','have','with']))
+                         AS stop_hits
+                FROM gm)),
+            ce AS MATERIALIZED (
+              SELECT doc_id, round(-sum((c / n) * ln(c / n)), 6) AS char_entropy
+              FROM (
+                SELECT doc_id, n, ch, count(*) AS c
+                FROM (
+                  SELECT doc_id, length(text) AS n, substr(text, i.i, 1) AS ch
+                  FROM aug,
+                       unnest(generate_series(1, length(text))) AS i(i)
+                  WHERE length(text) > 0)
+                GROUP BY doc_id, n, ch)
+              GROUP BY doc_id, n),
+            c1 AS MATERIALIZED (
+              SELECT d.doc_id, d.text
+              FROM aug d JOIN gg USING (doc_id) JOIN ce USING (doc_id)
+              WHERE NOT gg.flagged AND ce.char_entropy >= 2.0),
+            c2 AS MATERIALIZED (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(lower({_NORM}))
+                                          ORDER BY doc_id) AS rn
+                FROM c1)
+              WHERE rn = 1),
+            s3 AS MATERIALIZED (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM (SELECT doc_id, string_split(lower({_NORM}), ' ') AS toks
+                    FROM c2)),
+            e3 AS MATERIALIZED (
+              SELECT a.doc_id AS l, b.doc_id AS r
+              FROM s3 a JOIN s3 b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::double
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+            sym3 AS (
+              SELECT l AS a, r AS b FROM e3
+              UNION ALL SELECT r AS a, l AS b FROM e3),
+            reach3 AS (
+              SELECT doc_id AS id, doc_id AS r FROM c2
+              UNION
+              SELECT sym3.b, reach3.r FROM reach3 JOIN sym3 ON sym3.a = reach3.id),
+            cl3 AS MATERIALIZED (
+              SELECT id AS doc_id, min(r) AS cluster_rep FROM reach3 GROUP BY id),
+            q3 AS MATERIALIZED (
+              SELECT doc_id,
+                     round(0.3 * (CASE WHEN n_chars BETWEEN 20 AND 5000
+                                       THEN 1.0 ELSE 0.3 END)
+                         + 0.3 * alpha_ratio
+                         + 0.2 * least(stop_ratio * 4, 1.0)
+                         + 0.2 * (CASE WHEN n_toks > 0
+                                        AND n_chars * 1.0 / n_toks BETWEEN 3 AND 12
+                                       THEN 1.0 ELSE 0.5 END), 6) AS quality
+              FROM (
+                SELECT doc_id, length(text) AS n_chars,
+                       len({_TOKS}) AS n_toks,
+                       CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                                 * 1.0 / length(text)
+                            ELSE 0.0 END AS alpha_ratio,
+                       (SELECT count(*) FROM unnest({_TOKS}) AS u(t)
+                        WHERE t IN ('the','and','of','to','a','in','is','was','for','with'))
+                         * 1.0 / greatest(len({_TOKS}), 1) AS stop_ratio
+                FROM c2)),
+            c3 AS MATERIALIZED (
+              SELECT c2.doc_id, c2.text FROM c2
+              JOIN (SELECT cl3.doc_id,
+                           row_number() OVER (PARTITION BY cl3.cluster_rep
+                                              ORDER BY q3.quality DESC,
+                                                       cl3.doc_id) AS rn
+                    FROM cl3 JOIN q3 USING (doc_id)) k
+                ON k.doc_id = c2.doc_id AND k.rn = 1),
+            toks4 AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM c3),
+            pos4 AS MATERIALIZED (
+              SELECT doc_id, i.i AS pos, t[i.i] AS tok
+              FROM toks4, unnest(generate_series(1, len(t))) AS i(i)),
+            grams4 AS MATERIALIZED (
+              SELECT doc_id, i.i AS pos,
+                     array_to_string(t[i.i:i.i+3], ' ') AS gram
+              FROM toks4,
+                   unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i(i)),
+            dup4 AS MATERIALIZED (
+              SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS nd FROM grams4 GROUP BY 1)
+              WHERE nd >= 2),
+            covered4 AS MATERIALIZED (
+              SELECT DISTINCT g.doc_id, g.pos + o.o AS pos
+              FROM grams4 g JOIN dup4 USING (gram),
+                   unnest(generate_series(0, 3)) AS o(o)),
+            kept4 AS MATERIALIZED (
+              SELECT p.doc_id, p.pos, p.tok
+              FROM pos4 p ANTI JOIN covered4 c
+                ON p.doc_id = c.doc_id AND p.pos = c.pos),
+            rebuilt4 AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS kept
+              FROM kept4 GROUP BY 1),
+            base4 AS (SELECT doc_id, count(*) AS n_tokens FROM pos4 GROUP BY 1)
+            SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                   b.n_tokens, b.n_tokens - coalesce(r.kept, 0) AS n_removed
+            FROM base4 b LEFT JOIN rebuilt4 r USING (doc_id)""",
         # planted-truth ladder expectation, one UNION branch per lane:
         # verbatim copies -> EXACT 1.0 no codes; '?'-suffixed copies ->
         # CANONICAL 1.0 + QUESTION (canon strips the punctuation, the

@@ -57,6 +57,19 @@ def run_clean_pipeline(
     counts: list[tuple[str, int, int]] = []
     n0 = docs.count()
 
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        # the ER pipeline's _phase rule: every stage output is a lineage
+        # barrier. With durable checkpoints the parquet read-back cuts
+        # it; without them an eager localCheckpoint must -- otherwise the
+        # whole four-stage chain is ONE lazy lineage and each stage's
+        # count, the CC iterations inside c3, and the final consumer all
+        # re-execute every upstream stage (measured 206 s -> 32 s for
+        # the sf0.1 clean_pipeline query).
+        out = ckpt.materialize(name, df)
+        if not ckpt.enabled:
+            out = out.localCheckpoint(eager=True)
+        return out
+
     # c1: hard quality gates -- all JVM expressions, one scan + one entropy agg
     gq = gopher_quality_columns(F.col(text_col))
     flagged = docs.select(
@@ -70,7 +83,7 @@ def run_clean_pipeline(
         .filter(~F.col("gopher_flagged") & (F.col("char_entropy") >= min_entropy))
         .select(id_col, text_col)
     )
-    q = ckpt.materialize("c1_quality", q)
+    q = _stage("c1_quality", q)
     n1 = q.count()
     counts.append(("c1_quality", n0, n1))
 
@@ -80,22 +93,51 @@ def run_clean_pipeline(
         F.col(id_col) != F.col("keep_id")
     ).select(id_col)
     d2 = q.join(drop, id_col, "left_anti")
-    d2 = ckpt.materialize("c2_exact", d2)
+    d2 = _stage("c2_exact", d2)
     n2 = d2.count()
     counts.append(("c2_exact", n1, n2))
 
-    # c3: near-dup clusters (shared-shingle edges -> CC) + keep-best election
-    keep = dedup_keep_best(d2, id_col, text_col, threshold=jaccard_threshold)
+    # c3: near-dup clusters + keep-best election. Edges come from the
+    # LSH-BANDED candidate lane (MinHash band join -> exact-Jaccard
+    # verify), not the shared-shingle self-join: a boilerplate shingle
+    # shared by d docs makes the exact lane enumerate O(d^2) candidate
+    # rows (with a corpus-wide boilerplate tail that is ALL-pairs), while
+    # banding bounds candidates by actual signature collisions. The
+    # banded lane's recall vs the exact baseline is the audited
+    # minhash_lsh_neardups property; the clean_pipeline oracle keeps the
+    # exact all-pairs SQL as truth, so any missed >= threshold pair
+    # fails the value check rather than passing silently.
+    from ala_name_matching_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    # 32 hashes / 16 bands (2 rows per band): collision probability for a
+    # threshold-worthy pair (j >= 0.5) is 1-(1-j^2)^16 >= 0.99, vs ~0.90
+    # at 16/8 -- an organic j=0.68 pair was measured to slip through the
+    # smaller signature. Candidate volume stays sparse (a j=0.02
+    # background pair collides with p ~ 0.006).
+    lsh_cands = minhash_lsh_candidates(
+        d2, id_col=id_col, text_col=text_col, num_hashes=32, bands=16,
+        shingle_n=3,
+    )
+    lsh_edges = ngram_jaccard_pairs(
+        d2, lsh_cands, id_col=id_col, text_col=text_col,
+        shingle_n=3, threshold=jaccard_threshold,
+    )
+    keep = dedup_keep_best(
+        d2, id_col, text_col, threshold=jaccard_threshold, edges=lsh_edges
+    )
     d3 = d2.join(
         keep.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
-    d3 = ckpt.materialize("c3_neardup", d3)
+    d3 = _stage("c3_neardup", d3)
     n3 = d3.count()
     counts.append(("c3_neardup", n2, n3))
 
     # c4: duplicated-span removal on the survivors
     stripped = strip_dup_spans(d3, id_col, text_col, span_n=span_n)
-    stripped = ckpt.materialize("c4_strip", stripped)
+    stripped = _stage("c4_strip", stripped)
     n4 = stripped.count()
     counts.append(("c4_strip", n3, n4))
 

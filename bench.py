@@ -239,6 +239,9 @@ def main():
         "ivfpq_full_probe_topk",
         "bucketed_join_parity",
         "jaccard_verify_cross",
+        # end-to-end corpus-cleaning pipeline (the documents-side
+        # er_pipeline sibling): four stages, honest full cost
+        "clean_pipeline",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: consume(f(spark, SF_DIR)))
